@@ -1,0 +1,140 @@
+"""Model configuration from GGUF metadata.
+
+Covers the architectures the reference's distributed path supports —
+LLM_ARCH_LLAMA and LLM_ARCH_QWEN2 (assert at src/llama.cpp:17003) — plus
+their derivatives (DeepSeek-R1 distills ship as llama/qwen2 GGUFs).
+Hparam keys mirror llm_load_hparams (src/llama.cpp:5823).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from ..gguf.reader import GGUFModel
+
+
+class RopeType:
+    NORM = "norm"  # adjacent pairs (GGML_ROPE_TYPE_NORM) — llama
+    NEOX = "neox"  # split halves (GGML_ROPE_TYPE_NEOX) — qwen2
+
+
+@dataclass
+class RopeScaling:
+    kind: str = "none"  # none | linear | yarn
+    factor: float = 1.0
+    orig_ctx: int = 0
+    ext_factor: float = 0.0
+    attn_factor: float = 1.0
+    beta_fast: float = 32.0
+    beta_slow: float = 1.0
+
+
+@dataclass
+class ModelConfig:
+    arch: str
+    n_layers: int
+    n_embd: int
+    n_heads: int
+    n_kv_heads: int
+    head_dim: int
+    n_ff: int
+    n_vocab: int
+    n_ctx_train: int
+    rms_eps: float
+    rope_base: float
+    rope_dim: int
+    rope_type: str
+    rope_scaling: RopeScaling = field(default_factory=RopeScaling)
+    qkv_bias: bool = False  # qwen2: bias on q/k/v projections
+    tie_embeddings: bool = False
+    name: str = ""
+
+    @property
+    def n_embd_k_gqa(self) -> int:
+        return self.n_kv_heads * self.head_dim
+
+    @property
+    def n_embd_v_gqa(self) -> int:
+        return self.n_kv_heads * self.head_dim
+
+    @classmethod
+    def from_gguf(cls, m: GGUFModel) -> "ModelConfig":
+        arch = m.arch
+        if arch not in ("llama", "qwen2"):
+            raise NotImplementedError(
+                f"arch {arch!r}: the distributed runtime supports llama/qwen2 "
+                "(matching reference src/llama.cpp:17003)"
+            )
+        g = m.arch_key
+        n_embd = int(g("{arch}.embedding_length"))
+        n_heads = int(g("{arch}.attention.head_count"))
+        n_kv = int(g("{arch}.attention.head_count_kv", n_heads))
+        head_dim = int(g("{arch}.attention.key_length", n_embd // n_heads))
+        n_layers = int(g("{arch}.block_count"))
+        rope_dim = int(g("{arch}.rope.dimension_count", head_dim))
+
+        scaling = RopeScaling()
+        stype = g("{arch}.rope.scaling.type")
+        if stype in ("linear", "yarn"):
+            scaling.kind = stype
+            scaling.factor = float(g("{arch}.rope.scaling.factor", 1.0))
+            scaling.orig_ctx = int(g("{arch}.rope.scaling.original_context_length", 0))
+            if stype == "yarn":
+                scaling.ext_factor = 1.0
+                scaling.beta_fast = float(g("{arch}.rope.scaling.yarn_beta_fast", 32.0) or 32.0)
+                scaling.beta_slow = float(g("{arch}.rope.scaling.yarn_beta_slow", 1.0) or 1.0)
+
+        tokens = m.get("tokenizer.ggml.tokens")
+        n_vocab = g("{arch}.vocab_size", len(tokens) if tokens is not None else 0)
+
+        tie = "output.weight" not in m.tensors
+
+        return cls(
+            arch=arch,
+            n_layers=n_layers,
+            n_embd=n_embd,
+            n_heads=n_heads,
+            n_kv_heads=n_kv,
+            head_dim=head_dim,
+            n_ff=int(g("{arch}.feed_forward_length")),
+            n_vocab=int(n_vocab),
+            n_ctx_train=int(g("{arch}.context_length", 4096)),
+            rms_eps=float(g("{arch}.attention.layer_norm_rms_epsilon", 1e-5)),
+            rope_base=float(g("{arch}.rope.freq_base", 10000.0)),
+            rope_dim=rope_dim,
+            rope_type=RopeType.NORM if arch == "llama" else RopeType.NEOX,
+            rope_scaling=scaling,
+            qkv_bias=(arch == "qwen2"),
+            tie_embeddings=tie,
+            name=str(m.get("general.name", "")),
+        )
+
+    def flops_per_token(self) -> float:
+        """Approximate forward FLOPs per token (2*params for matmuls)."""
+        attn = 2 * self.n_embd * (self.n_heads + 2 * self.n_kv_heads) * self.head_dim
+        attn += 2 * self.n_heads * self.head_dim * self.n_embd
+        ffn = 3 * 2 * self.n_embd * self.n_ff
+        return self.n_layers * (attn + ffn) + 2 * self.n_embd * self.n_vocab
+
+
+def tiny_config(**overrides: Any) -> ModelConfig:
+    """A small llama config for tests."""
+    cfg = ModelConfig(
+        arch="llama",
+        n_layers=2,
+        n_embd=64,
+        n_heads=4,
+        n_kv_heads=2,
+        head_dim=16,
+        n_ff=128,
+        n_vocab=256,
+        n_ctx_train=128,
+        rms_eps=1e-5,
+        rope_base=10000.0,
+        rope_dim=16,
+        rope_type=RopeType.NORM,
+    )
+    for k, v in overrides.items():
+        setattr(cfg, k, v)
+    return cfg

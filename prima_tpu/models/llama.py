@@ -1,0 +1,364 @@
+"""Llama / Qwen2 model: GGUF weight loading + functional forward pass.
+
+The forward is a pure function over a params pytree — jit/pjit-friendly,
+layers indexable for pipeline windows (the TPU analogue of the reference's
+per-window subgraphs, llama_build_graph src/llama.cpp:16953).
+
+Weight names follow the GGUF convention written by convert_hf_to_gguf
+(token_embd / blk.N.attn_q / ... / output_norm / output), loaded rank-aware
+like llm_load_llama_tensors (src/llama.cpp:7356) / llm_load_qwen2_tensors
+(@7475) when a layer filter is given.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gguf.constants import GGMLType, TYPE_TRAITS
+from ..gguf.reader import GGUFModel, TensorInfo
+from ..ops.layers import apply_rope, causal_mask, gqa_attention, rms_norm, rope_freqs, swiglu
+from ..quant.dequant_jax import QTensor, dequant, qmatmul_xla
+from ..quant.device_format import SUPPORTED_TYPES, to_device_format
+from .config import ModelConfig
+
+# ---------------------------------------------------------------------------
+# Linear dispatch: dense jax arrays or QTensors
+# ---------------------------------------------------------------------------
+
+_MATMUL_IMPL: dict[str, Callable] = {"xla": qmatmul_xla}
+
+
+def register_matmul_impl(name: str, fn: Callable) -> None:
+    _MATMUL_IMPL[name] = fn
+
+
+def linear(x: jax.Array, w, impl: str = "xla") -> jax.Array:
+    """x: (..., K) @ W(rows, K)^T -> (..., rows)."""
+    if isinstance(w, QTensor):
+        return _MATMUL_IMPL[impl](x, w)
+    return jax.lax.dot_general(
+        x, w, (((x.ndim - 1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+
+
+def embed(tok_embd, token_ids: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+    """Row-gather + dequant of the embedding table (quantized rows stay
+    quantized in HBM; only the gathered rows are widened)."""
+    if isinstance(tok_embd, QTensor):
+        rows = QTensor(
+            qs=tok_embd.qs[token_ids],
+            scales=tok_embd.scales[token_ids],
+            mins=tok_embd.mins[token_ids] if tok_embd.mins is not None else None,
+            sub=tok_embd.sub,
+            layout=tok_embd.layout,
+            q_offset=tok_embd.q_offset,
+            shape=(1, tok_embd.shape[1]),  # rows-dim is dynamic; dequant only uses K
+        )
+        return _dequant_gathered(rows, dtype)
+    return tok_embd[token_ids].astype(dtype)
+
+
+def _dequant_gathered(qt: QTensor, dtype) -> jax.Array:
+    k = qt.shape[1]
+    if qt.layout == "nib4":
+        lo = (qt.qs & 0x0F).astype(jnp.int8) + qt.q_offset
+        hi = (qt.qs >> 4).astype(jnp.int8) + qt.q_offset
+        q = jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
+    else:
+        q = qt.qs.astype(jnp.float32)
+    scales = jnp.repeat(qt.scales, qt.sub, axis=-1, total_repeat_length=k)
+    y = scales * q
+    if qt.mins is not None:
+        y = y - jnp.repeat(qt.mins, qt.sub, axis=-1, total_repeat_length=k)
+    return y.astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Params
+# ---------------------------------------------------------------------------
+
+
+def _to_device_tensor(ti: TensorInfo, dtype, dense: bool = False):
+    """GGUF tensor -> QTensor (quantized) or dense jax array."""
+    t = ti.ggml_type
+    tt = TYPE_TRAITS[t]
+    if tt.is_quantized and not dense and t in SUPPORTED_TYPES:
+        uq = to_device_format(ti.data, t, ti.ne[0])
+        return QTensor.from_host(uq)
+    from ..quant.dequant_np import dequantize_tensor
+
+    return jax.device_put(dequantize_tensor(ti).astype(np.dtype(dtype)))
+
+
+def load_params(
+    m: GGUFModel,
+    cfg: ModelConfig,
+    dtype=jnp.bfloat16,
+    layer_filter: Callable[[int], bool] | None = None,
+    with_embedding: bool = True,
+    with_output: bool = True,
+) -> dict:
+    """Build the params pytree from a GGUF model.
+
+    layer_filter(i) -> False skips layer i (rank-aware loading: the analogue
+    of this_layer_is_mine, src/llama.cpp:3838 — unowned layers are None).
+    """
+    t = m.tensors
+
+    def get(name, dense=False, required=True):
+        ti = t.get(name)
+        if ti is None:
+            if required:
+                raise KeyError(f"missing tensor {name}")
+            return None
+        return _to_device_tensor(ti, dtype, dense)
+
+    params: dict[str, Any] = {"layers": []}
+    if with_embedding:
+        params["tok_embd"] = get("token_embd.weight")
+    for i in range(cfg.n_layers):
+        if layer_filter is not None and not layer_filter(i):
+            params["layers"].append(None)
+            continue
+        p = f"blk.{i}."
+        layer = {
+            "attn_norm": get(p + "attn_norm.weight", dense=True),
+            "wq": get(p + "attn_q.weight"),
+            "wk": get(p + "attn_k.weight"),
+            "wv": get(p + "attn_v.weight"),
+            "wo": get(p + "attn_output.weight"),
+            "ffn_norm": get(p + "ffn_norm.weight", dense=True),
+            "w_gate": get(p + "ffn_gate.weight"),
+            "w_up": get(p + "ffn_up.weight"),
+            "w_down": get(p + "ffn_down.weight"),
+        }
+        if cfg.qkv_bias:
+            layer["bq"] = get(p + "attn_q.bias", dense=True)
+            layer["bk"] = get(p + "attn_k.bias", dense=True)
+            layer["bv"] = get(p + "attn_v.bias", dense=True)
+        params["layers"].append(layer)
+    if with_output:
+        params["output_norm"] = get("output_norm.weight", dense=True)
+        params["output"] = None if cfg.tie_embeddings else get("output.weight")
+    return params
+
+
+def synth_params(
+    cfg: ModelConfig,
+    ggml_type: GGMLType = GGMLType.Q4_K,
+    seed: int = 0,
+    layer_filter: Callable[[int], bool] | None = None,
+) -> dict:
+    """Random-weight params with realistic quantized layout (benchmarks and
+    tests; perf-identical to real weights of the same ftype)."""
+    rng = np.random.default_rng(seed)
+
+    def q(rows, k):
+        uq = _synth_uq(rng, rows, k, ggml_type)
+        return QTensor.from_host(uq)
+
+    def vec(n):
+        return jax.device_put(np.ones(n, dtype=np.float32))
+
+    e, h, kvh, hd, f = cfg.n_embd, cfg.n_heads, cfg.n_kv_heads, cfg.head_dim, cfg.n_ff
+    params: dict[str, Any] = {
+        "tok_embd": q(cfg.n_vocab, e),
+        "layers": [],
+        "output_norm": vec(e),
+        "output": None if cfg.tie_embeddings else q(cfg.n_vocab, e),
+    }
+    for i in range(cfg.n_layers):
+        if layer_filter is not None and not layer_filter(i):
+            params["layers"].append(None)
+            continue
+        layer = {
+            "attn_norm": vec(e),
+            "wq": q(h * hd, e),
+            "wk": q(kvh * hd, e),
+            "wv": q(kvh * hd, e),
+            "wo": q(e, h * hd),
+            "ffn_norm": vec(e),
+            "w_gate": q(f, e),
+            "w_up": q(f, e),
+            "w_down": q(e, f),
+        }
+        if cfg.qkv_bias:
+            layer["bq"] = jax.device_put(rng.standard_normal(h * hd).astype(np.float32) * 0.02)
+            layer["bk"] = jax.device_put(rng.standard_normal(kvh * hd).astype(np.float32) * 0.02)
+            layer["bv"] = jax.device_put(rng.standard_normal(kvh * hd).astype(np.float32) * 0.02)
+        params["layers"].append(layer)
+    return params
+
+
+def _synth_uq(rng, rows, k, t: GGMLType):
+    """Directly synthesize a UQTensor (no GGUF round-trip) with ~N(0, 0.02)."""
+    from ..quant.device_format import UQTensor
+
+    if t == GGMLType.Q4_K:
+        sub, layout, off = 32, "nib4", 0
+        qs = rng.integers(0, 256, size=(rows, k // 2), dtype=np.uint16).astype(np.uint8)
+    elif t == GGMLType.Q4_0:
+        sub, layout, off = 32, "nib4", -8
+        qs = rng.integers(0, 256, size=(rows, k // 2), dtype=np.uint16).astype(np.uint8)
+    elif t in (GGMLType.Q8_0, GGMLType.Q6_K, GGMLType.Q5_K):
+        sub = 32 if t != GGMLType.Q6_K else 16
+        layout, off = "int8", 0
+        lim = {GGMLType.Q8_0: 127, GGMLType.Q6_K: 31, GGMLType.Q5_K: 31}[t]
+        qs = rng.integers(-lim, lim + 1, size=(rows, k), dtype=np.int16).astype(np.int8)
+    else:
+        raise NotImplementedError(f"synth for {t.name}")
+    qmax = {GGMLType.Q4_K: 15, GGMLType.Q4_0: 8, GGMLType.Q8_0: 127, GGMLType.Q6_K: 31, GGMLType.Q5_K: 31}[t]
+    scales = (np.abs(rng.standard_normal((rows, k // sub))) * 0.02 / qmax + 1e-4).astype(np.float32)
+    mins = None
+    if t in (GGMLType.Q4_K, GGMLType.Q5_K):
+        mins = (scales * rng.uniform(0, qmax / 2, size=scales.shape)).astype(np.float32)
+    return UQTensor(qs, scales, mins, sub, layout, off, t, (rows, k))
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ForwardOptions:
+    matmul_impl: str = "xla"
+    dtype: Any = jnp.bfloat16
+    logits_dtype: Any = jnp.float32
+
+
+def attention_block(
+    layer: dict,
+    cfg: ModelConfig,
+    x: jax.Array,  # (b, s, e) normed input
+    positions: jax.Array,  # (b, s)
+    kv: tuple[jax.Array, jax.Array],  # (b, T, n_kv, hd) caches
+    cache_pos: jax.Array,  # (b,) write index
+    mask: jax.Array,  # (b, 1, s, T)
+    inv_freq: jax.Array,
+    mscale: float,
+    opts: ForwardOptions,
+):
+    b, s, _ = x.shape
+    h, kvh, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    q = linear(x, layer["wq"], opts.matmul_impl)
+    k = linear(x, layer["wk"], opts.matmul_impl)
+    v = linear(x, layer["wv"], opts.matmul_impl)
+    if cfg.qkv_bias:
+        q = q + layer["bq"].astype(q.dtype)
+        k = k + layer["bk"].astype(k.dtype)
+        v = v + layer["bv"].astype(v.dtype)
+    q = q.reshape(b, s, h, hd)
+    k = k.reshape(b, s, kvh, hd)
+    v = v.reshape(b, s, kvh, hd)
+    q = apply_rope(q, positions, inv_freq, cfg.rope_type, mscale)
+    k = apply_rope(k, positions, inv_freq, cfg.rope_type, mscale)
+
+    k_cache, v_cache = kv
+    upd = jax.vmap(lambda c, u, p: jax.lax.dynamic_update_slice(c, u, (p, 0, 0)))
+    k_cache = upd(k_cache, k.astype(k_cache.dtype), cache_pos)
+    v_cache = upd(v_cache, v.astype(v_cache.dtype), cache_pos)
+
+    scale = 1.0 / np.sqrt(hd)
+    out = gqa_attention(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype), mask, scale)
+    out = out.reshape(b, s, h * hd)
+    return linear(out, layer["wo"], opts.matmul_impl), (k_cache, v_cache)
+
+
+def ffn_block(layer: dict, x: jax.Array, opts: ForwardOptions) -> jax.Array:
+    gate = linear(x, layer["w_gate"], opts.matmul_impl)
+    up = linear(x, layer["w_up"], opts.matmul_impl)
+    return linear(swiglu(gate, up), layer["w_down"], opts.matmul_impl)
+
+
+def decode_layer(
+    layer: dict,
+    cfg: ModelConfig,
+    x: jax.Array,
+    positions: jax.Array,
+    kv,
+    cache_pos,
+    mask,
+    inv_freq,
+    mscale,
+    opts: ForwardOptions,
+):
+    attn_in = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
+    attn_out, kv = attention_block(
+        layer, cfg, attn_in, positions, kv, cache_pos, mask, inv_freq, mscale, opts
+    )
+    x = x + attn_out
+    ffn_in = rms_norm(x, layer["ffn_norm"], cfg.rms_eps)
+    x = x + ffn_block(layer, ffn_in, opts)
+    return x, kv
+
+
+def forward(
+    params: dict,
+    cfg: ModelConfig,
+    tokens: jax.Array,  # (b, s) int32
+    positions: jax.Array,  # (b, s) int32
+    kv_caches: list,  # per layer (k, v): (b, T, n_kv, hd)
+    cache_pos: jax.Array,  # (b,)
+    opts: ForwardOptions = ForwardOptions(),
+    layer_range: tuple[int, int] | None = None,
+    hidden_in: jax.Array | None = None,
+    return_hidden: bool = False,
+):
+    """Full or partial (layer-window) forward.
+
+    With layer_range=(lo, hi), runs layers [lo, hi) taking hidden_in instead
+    of embeddings when lo > 0 and returning hidden states when hi < n_layers
+    — the building block for pipeline windows.
+    """
+    lo, hi = layer_range or (0, cfg.n_layers)
+    if lo == 0:
+        x = embed(params["tok_embd"], tokens, opts.dtype)
+    else:
+        assert hidden_in is not None
+        x = hidden_in
+
+    inv_freq, mscale = rope_freqs(cfg)
+    t_cache = kv_caches[lo][0].shape[1] if kv_caches else 0
+    mask = causal_mask(positions, t_cache)
+
+    new_kv = list(kv_caches)
+    for i in range(lo, hi):
+        layer = params["layers"][i]
+        assert layer is not None, f"layer {i} not loaded on this rank"
+        x, new_kv[i] = decode_layer(
+            layer, cfg, x, positions, new_kv[i], cache_pos, mask, inv_freq, mscale, opts
+        )
+
+    if hi < cfg.n_layers or return_hidden:
+        return x, new_kv
+
+    x = rms_norm(x, params["output_norm"], cfg.rms_eps)
+    w_out = params["output"] if params.get("output") is not None else params["tok_embd"]
+    logits = linear(x, w_out, opts.matmul_impl).astype(opts.logits_dtype)
+    return logits, new_kv
+
+
+def init_kv_caches(
+    cfg: ModelConfig,
+    batch: int,
+    max_seq: int,
+    dtype=jnp.bfloat16,
+    layer_filter: Callable[[int], bool] | None = None,
+) -> list:
+    """Per-layer KV buffers; unowned layers get None (the analogue of
+    rank-filtered llama_kv_cache_init, src/llama.cpp:3920-3975)."""
+    caches = []
+    for i in range(cfg.n_layers):
+        if layer_filter is not None and not layer_filter(i):
+            caches.append(None)
+            continue
+        shape = (batch, max_seq, cfg.n_kv_heads, cfg.head_dim)
+        caches.append((jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)))
+    return caches

@@ -1,0 +1,128 @@
+"""Core transformer ops: RMSNorm, RoPE (norm/neox, YaRN), attention, SwiGLU.
+
+Pure jnp implementations that XLA fuses well; Pallas variants of the hot
+paths live in ops/attention_pallas.py and quant/pallas/. Semantics follow
+the reference kernels (ggml_rope_ext, ggml_rms_norm, ggml_soft_max_ext) so
+logits track llama.cpp for the same weights.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..models.config import ModelConfig, RopeScaling, RopeType
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    """RMSNorm in f32 (matches ggml_rms_norm + ggml_mul)."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    y = xf * jax.lax.rsqrt(var + eps)
+    return (y * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def _yarn_ramp(low: float, high: float, dims: jax.Array) -> jax.Array:
+    y = (dims - low) / max(high - low, 1e-3)
+    return 1.0 - jnp.clip(y, 0.0, 1.0)
+
+
+def _yarn_corr_dim(n_dims: int, n_ctx_orig: int, n_rot: float, base: float) -> float:
+    # inverse of rope freq formula: dim where rotations == n_rot (ggml rope_yarn_corr_dim)
+    return n_dims * math.log(n_ctx_orig / (n_rot * 2 * math.pi)) / (2 * math.log(base))
+
+
+def rope_freqs(cfg: ModelConfig) -> tuple[jax.Array, float]:
+    """Per-dim inverse frequencies (rope_dim//2,) and the YaRN mscale."""
+    half = cfg.rope_dim // 2
+    base = cfg.rope_base
+    inv_freq = 1.0 / (base ** (jnp.arange(0, half, dtype=jnp.float32) * 2.0 / cfg.rope_dim))
+    s = cfg.rope_scaling
+    mscale = 1.0
+    if s.kind == "linear":
+        inv_freq = inv_freq / s.factor
+    elif s.kind == "yarn":
+        freq_scale = 1.0 / s.factor
+        orig = s.orig_ctx or cfg.n_ctx_train
+        low = max(0.0, math.floor(_yarn_corr_dim(cfg.rope_dim, orig, s.beta_fast, base)))
+        high = min(cfg.rope_dim - 1.0, math.ceil(_yarn_corr_dim(cfg.rope_dim, orig, s.beta_slow, base)))
+        ramp = _yarn_ramp(low / 2.0, high / 2.0, jnp.arange(half, dtype=jnp.float32))
+        # interpolate between scaled (long-range) and original (short-range) freqs
+        inv_freq_interp = inv_freq * freq_scale
+        inv_freq = inv_freq_interp * ramp + inv_freq * (1.0 - ramp)
+        mscale = float(s.attn_factor * (1.0 + 0.1 * math.log(s.factor))) if s.factor > 1 else s.attn_factor
+    return inv_freq, mscale
+
+
+def apply_rope(
+    x: jax.Array,
+    positions: jax.Array,
+    inv_freq: jax.Array,
+    rope_type: str,
+    mscale: float = 1.0,
+) -> jax.Array:
+    """Rotate q/k. x: (batch, seq, heads, head_dim); positions: (batch, seq)."""
+    half = inv_freq.shape[0]
+    rot = 2 * half
+    theta = positions[..., None].astype(jnp.float32) * inv_freq  # (b, s, half)
+    cos = (jnp.cos(theta) * mscale)[:, :, None, :]  # (b, s, 1, half)
+    sin = (jnp.sin(theta) * mscale)[:, :, None, :]
+    xf = x.astype(jnp.float32)
+    x_rot = xf[..., :rot]
+    x_pass = xf[..., rot:]
+    if rope_type == RopeType.NORM:
+        # adjacent pairs: (x0, x1), (x2, x3), ...
+        xr = x_rot.reshape(x_rot.shape[:-1] + (half, 2))
+        x0, x1 = xr[..., 0], xr[..., 1]
+        y0 = x0 * cos - x1 * sin
+        y1 = x0 * sin + x1 * cos
+        y = jnp.stack([y0, y1], axis=-1).reshape(x_rot.shape)
+    else:
+        # neox: split halves (x_i, x_{i+half})
+        x0, x1 = x_rot[..., :half], x_rot[..., half:]
+        y0 = x0 * cos - x1 * sin
+        y1 = x0 * sin + x1 * cos
+        y = jnp.concatenate([y0, y1], axis=-1)
+    out = jnp.concatenate([y, x_pass], axis=-1) if x_pass.shape[-1] else y
+    return out.astype(x.dtype)
+
+
+def gqa_attention(
+    q: jax.Array,  # (b, s, n_heads, hd)
+    k: jax.Array,  # (b, t, n_kv, hd)
+    v: jax.Array,  # (b, t, n_kv, hd)
+    mask: jax.Array | None,  # (b, 1, s, t) additive, or None
+    scale: float,
+) -> jax.Array:
+    """Grouped-query attention, f32 softmax. Returns (b, s, n_heads, hd)."""
+    b, s, n_heads, hd = q.shape
+    n_kv = k.shape[2]
+    group = n_heads // n_kv
+    qg = q.reshape(b, s, n_kv, group, hd)
+    scores = jnp.einsum("bsngh,btnh->bngst", qg, k, preferred_element_type=jnp.float32)
+    scores = scores * scale
+    if mask is not None:
+        scores = scores + mask[:, None]  # mask (b,1,s,t) -> (b,1,1,s,t)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bngst,btnh->bsngh", probs.astype(v.dtype), v)
+    return out.reshape(b, s, n_heads, hd)
+
+
+def swiglu(gate: jax.Array, up: jax.Array) -> jax.Array:
+    """SiLU(gate) * up (ggml_silu + ggml_mul)."""
+    g = gate.astype(jnp.float32)
+    return (jax.nn.silu(g) * up.astype(jnp.float32)).astype(gate.dtype)
+
+
+def causal_mask(pos_q: jax.Array, t: int, seq_lens: jax.Array | None = None) -> jax.Array:
+    """Additive causal mask. pos_q: (b, s) absolute positions of queries;
+    keys occupy cache slots [0, t). Slot j is visible iff j <= pos_q."""
+    b, s = pos_q.shape
+    cols = jnp.arange(t)[None, None, :]  # (1,1,t)
+    visible = cols <= pos_q[:, :, None]  # (b, s, t)
+    if seq_lens is not None:
+        visible &= cols < seq_lens[:, None, None]
+    return jnp.where(visible, 0.0, -jnp.inf).astype(jnp.float32)[:, None]  # (b,1,s,t)

@@ -8,12 +8,18 @@ live in bench.py, not the test suite.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 # all Pallas kernels run in interpreter mode on CPU
 os.environ.setdefault("PRIMA_PALLAS_INTERPRET", "1")
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+# jax may already be imported by the environment's sitecustomize with
+# JAX_PLATFORMS pointing at a TPU plugin; override via config as well.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
