@@ -51,32 +51,10 @@ def embed(tok_embd, token_ids: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
     """Row-gather + dequant of the embedding table (quantized rows stay
     quantized in HBM; only the gathered rows are widened)."""
     if isinstance(tok_embd, QTensor):
-        rows = QTensor(
-            qs=tok_embd.qs[token_ids],
-            scales=tok_embd.scales[token_ids],
-            mins=tok_embd.mins[token_ids] if tok_embd.mins is not None else None,
-            sub=tok_embd.sub,
-            layout=tok_embd.layout,
-            q_offset=tok_embd.q_offset,
-            shape=(1, tok_embd.shape[1]),  # rows-dim is dynamic; dequant only uses K
-        )
-        return _dequant_gathered(rows, dtype)
+        from ..quant.dequant_jax import dequant_rows
+
+        return dequant_rows(tok_embd, token_ids, dtype)
     return tok_embd[token_ids].astype(dtype)
-
-
-def _dequant_gathered(qt: QTensor, dtype) -> jax.Array:
-    k = qt.shape[1]
-    if qt.layout == "nib4":
-        lo = (qt.qs & 0x0F).astype(jnp.int8) + qt.q_offset
-        hi = (qt.qs >> 4).astype(jnp.int8) + qt.q_offset
-        q = jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
-    else:
-        q = qt.qs.astype(jnp.float32)
-    scales = jnp.repeat(qt.scales, qt.sub, axis=-1, total_repeat_length=k)
-    y = scales * q
-    if qt.mins is not None:
-        y = y - jnp.repeat(qt.mins, qt.sub, axis=-1, total_repeat_length=k)
-    return y.astype(dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -1,9 +1,14 @@
 """XLA-level dequantization of the uniform quant layout.
 
-This is the correctness-reference compute path: dequantize a UQTensor to
+This is the correctness-reference compute path: dequantize a QTensor to
 f32/bf16 with jnp ops (bit-identical to dequant_np for f32), letting XLA
 fuse the dequant into consumers. The performance path (fused dequant-matmul
 without materializing the f32 weight) lives in quant/pallas/.
+
+QTensors may be kernel-packed (kperm=True): weight columns permuted to
+p = t*S + s so the Pallas kernel's scale expansion is a lane-aligned tile
+repeat (see quant/pallas/qmatmul.py). All XLA paths here understand both
+orders; dequant() always returns natural column order.
 """
 
 from __future__ import annotations
@@ -30,29 +35,47 @@ class QTensor:
     layout: str
     q_offset: int
     shape: tuple[int, int]
+    kperm: bool = False
 
     def tree_flatten(self):
         children = (self.qs, self.scales, self.mins)
-        aux = (self.sub, self.layout, self.q_offset, self.shape)
+        aux = (self.sub, self.layout, self.q_offset, self.shape, self.kperm)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         qs, scales, mins = children
-        sub, layout, q_offset, shape = aux
-        return cls(qs, scales, mins, sub, layout, q_offset, shape)
+        return cls(qs, scales, mins, *aux)
 
     @classmethod
-    def from_host(cls, uq: UQTensor, device=None, sharding=None) -> "QTensor":
+    def from_host(
+        cls, uq: UQTensor, device=None, sharding=None, pallas: bool = True
+    ) -> "QTensor":
+        from .pallas.qmatmul import pallas_eligible, permute_cols_np
+        from .device_format import unpack_nib4
+
         put = partial(jax.device_put, device=sharding if sharding is not None else device)
+        qs = uq.qs
+        kperm = False
+        if pallas and pallas_eligible(uq.shape, uq.sub, uq.layout):
+            kperm = True
+            if uq.layout == "nib4":
+                # unpack (raw nibbles), permute columns, repack canonically
+                raw = unpack_nib4(uq.qs, 0).astype(np.uint8)
+                rawp = permute_cols_np(raw, uq.sub)
+                half = uq.shape[1] // 2
+                qs = (rawp[:, :half] | (rawp[:, half:] << 4)).astype(np.uint8)
+            else:
+                qs = permute_cols_np(uq.qs, uq.sub)
         return cls(
-            qs=put(uq.qs),
+            qs=put(qs),
             scales=put(uq.scales),
             mins=put(uq.mins) if uq.mins is not None else None,
             sub=uq.sub,
             layout=uq.layout,
             q_offset=uq.q_offset,
             shape=uq.shape,
+            kperm=kperm,
         )
 
     @property
@@ -63,23 +86,46 @@ class QTensor:
         return n
 
 
-def dequant(qt: QTensor, dtype=jnp.float32) -> jax.Array:
-    """Materialize the full weight matrix (rows, K) in `dtype`."""
-    rows, k = qt.shape
+def _unpack_q(qt: QTensor, qs: jax.Array) -> jax.Array:
+    """Raw storage -> integer quants in storage-column order, as f32."""
     if qt.layout == "nib4":
-        lo = (qt.qs & 0x0F).astype(jnp.int8) + qt.q_offset
-        hi = (qt.qs >> 4).astype(jnp.int8) + qt.q_offset
-        q = jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
+        lo = (qs & 0x0F).astype(jnp.int8) + qt.q_offset
+        hi = (qs >> 4).astype(jnp.int8) + qt.q_offset
+        return jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
+    return qs.astype(jnp.float32)
+
+
+def _dequant_any(qt: QTensor, qs, scales, mins, dtype) -> jax.Array:
+    """Dequant with arbitrary leading dims; returns natural column order."""
+    k = qt.shape[1]
+    s = k // qt.sub
+    q = _unpack_q(qt, qs)
+    if qt.kperm:
+        sc = jnp.tile(scales, (1,) * (scales.ndim - 1) + (qt.sub,))
+        y = sc * q
+        if mins is not None:
+            y = y - jnp.tile(mins, (1,) * (mins.ndim - 1) + (qt.sub,))
+        # inverse permutation p = t*S + s -> k = s*sub + t
+        y = y.reshape(y.shape[:-1] + (qt.sub, s)).swapaxes(-1, -2).reshape(y.shape)
     else:
-        q = qt.qs.astype(jnp.float32)
-    n_sub = k // qt.sub
-    scales = jnp.repeat(qt.scales, qt.sub, axis=1, total_repeat_length=k)
-    y = scales * q
-    if qt.mins is not None:
-        mins = jnp.repeat(qt.mins, qt.sub, axis=1, total_repeat_length=k)
-        y = y - mins
-    del n_sub
+        sc = jnp.repeat(scales, qt.sub, axis=-1, total_repeat_length=k)
+        y = sc * q
+        if mins is not None:
+            y = y - jnp.repeat(mins, qt.sub, axis=-1, total_repeat_length=k)
     return y.astype(dtype)
+
+
+def dequant(qt: QTensor, dtype=jnp.float32) -> jax.Array:
+    """Materialize the full weight matrix (rows, K) in `dtype`, natural order."""
+    return _dequant_any(qt, qt.qs, qt.scales, qt.mins, dtype)
+
+
+def dequant_rows(qt: QTensor, row_ids: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """Gather rows then dequant (embedding lookup): (..., K) in natural order."""
+    qs = qt.qs[row_ids]
+    scales = qt.scales[row_ids]
+    mins = qt.mins[row_ids] if qt.mins is not None else None
+    return _dequant_any(qt, qs, scales, mins, dtype)
 
 
 def qmatmul_xla(x: jax.Array, qt: QTensor, out_dtype=None) -> jax.Array:
@@ -93,8 +139,3 @@ def qmatmul_xla(x: jax.Array, qt: QTensor, out_dtype=None) -> jax.Array:
         x, w, (((x.ndim - 1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     return out.astype(out_dtype or x.dtype)
-
-
-def dequant_rows_np_check(qt: QTensor) -> np.ndarray:
-    """Convenience: pull back to host and dequantize (tests only)."""
-    return np.asarray(dequant(qt, jnp.float32))
