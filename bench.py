@@ -1,0 +1,142 @@
+"""Headline benchmark: single-chip greedy-decode throughput, Llama-3-8B-shaped
+Q4_K weights through the fused Pallas dequant-matmul path.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: prima.cpp's best published Llama-3-8B Q4K token latency — 15 ms/token
+on its 4-device home cluster (reference README.md:37-46, BASELINE.md) =
+66.67 tok/s. vs_baseline = our tok/s / 66.67.
+
+The decode step is HBM-bandwidth-bound: ~6.5 bits/weight (nib4 + f32
+scales/mins) must stream HBM->VMEM per token, so speed-of-light on one
+v5e chip (~819 GB/s) is ~120 tok/s for the 8B model.
+"""
+
+from __future__ import annotations
+
+import argparse
+import gc
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_model(cfg, ggml_type, impl):
+    import jax
+
+    from prima_tpu.models.llama import synth_host_head, synth_host_layer
+    from prima_tpu.quant.dequant_jax import QTensor
+
+    def conv(t):
+        if t is None:
+            return None
+        if hasattr(t, "ggml_type"):
+            qt = QTensor.from_host(t, pallas=(impl == "pallas"))
+            jax.block_until_ready(qt.qs)
+            return qt
+        return jax.device_put(np.asarray(t))
+
+    params = {"layers": []}
+    head = synth_host_head(cfg, ggml_type)
+    params["tok_embd"] = conv(head["tok_embd"])
+    params["output_norm"] = conv(head["output_norm"])
+    params["output"] = conv(head["output"])
+    for i in range(cfg.n_layers):
+        host = synth_host_layer(cfg, i, ggml_type)
+        params["layers"].append({k: conv(v) for k, v in host.items()})
+        del host
+        gc.collect()
+    return params
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true", help="tiny model for smoke testing")
+    ap.add_argument("--impl", default="pallas", choices=["pallas", "xla"])
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--ctx", type=int, default=1024)
+    ap.add_argument("--decode-steps", type=int, default=16)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from prima_tpu.gguf.constants import GGMLType
+    from prima_tpu.models.config import tiny_config
+    from prima_tpu.models.llama import ForwardOptions, forward, init_kv_caches
+
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
+        import os
+
+        os.environ.setdefault("PRIMA_PALLAS_INTERPRET", "1")
+
+    if args.small or not on_tpu:
+        cfg = tiny_config(
+            n_layers=4, n_embd=1024, n_heads=16, n_kv_heads=8, head_dim=64,
+            n_ff=2816, n_vocab=32000, rope_dim=64,
+        )
+    else:
+        # Llama-3-8B shape (the reference's headline 8B Q4K row)
+        cfg = tiny_config(
+            n_layers=32, n_embd=4096, n_heads=32, n_kv_heads=8, head_dim=128,
+            n_ff=14336, n_vocab=128256, n_ctx_train=8192, rope_base=500000.0,
+            rope_dim=128,
+        )
+
+    impl = args.impl if on_tpu else "xla"
+    # device-side weight synthesis: host->device transfer through a tunneled
+    # TPU is ~20 MB/s, so a 6 GB model would take minutes to upload
+    from prima_tpu.models.llama import synth_params_device
+
+    params = jax.jit(lambda: synth_params_device(cfg, GGMLType.Q4_K))()
+    jax.block_until_ready(jax.tree.leaves(params)[0])
+    opts = ForwardOptions(matmul_impl=impl)
+
+    B, T = args.batch, args.ctx
+    kv = init_kv_caches(cfg, B, T)
+    steps = args.decode_steps
+
+    # Timing methodology: the whole decode loop runs inside ONE jit (a
+    # lax.fori_loop) to amortize dispatch, and we read a VALUE back to
+    # synchronize — on tunneled TPU runtimes, block_until_ready alone does
+    # not wait for remote execution.
+    @jax.jit
+    def decode_many(params, kv, token, pos0):
+        def body(i, carry):
+            kv, token = carry
+            pos = pos0 + i
+            logits, kv = forward(params, cfg, token, pos[:, None], kv, pos, opts)
+            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            return (kv, nxt[:, None])
+        return jax.lax.fori_loop(0, steps, body, (kv, token))
+
+    token = jnp.ones((B, 1), jnp.int32)
+    pos0 = jnp.ones((B,), jnp.int32)
+    out = decode_many(params, kv, token, pos0)
+    _ = int(out[1][0, 0])  # sync
+
+    trials = []
+    for _t in range(3):
+        t0 = time.perf_counter()
+        out = decode_many(params, kv, token, pos0)
+        _ = int(out[1][0, 0])  # sync
+        trials.append(time.perf_counter() - t0)
+    dt = sorted(trials)[len(trials) // 2]  # median vs noisy shared TPU
+
+    tok_s = steps * B / dt
+    baseline_tok_s = 1000.0 / 15.0  # prima.cpp 8B Q4K: 15 ms/token
+    print(json.dumps({
+        "metric": "llama3_8b_q4k_decode_throughput" if not (args.small or not on_tpu)
+        else "tiny_q4k_decode_throughput",
+        "value": round(tok_s, 3),
+        "unit": "tok/s",
+        "vs_baseline": round(tok_s / baseline_tok_s, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

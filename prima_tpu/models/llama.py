@@ -24,7 +24,7 @@ from ..gguf.constants import GGMLType, TYPE_TRAITS
 from ..gguf.reader import GGUFModel, TensorInfo
 from ..ops.layers import apply_rope, causal_mask, gqa_attention, rms_norm, rope_freqs, swiglu
 from ..quant.dequant_jax import QTensor, dequant, qmatmul_xla
-from ..quant.device_format import SUPPORTED_TYPES, to_device_format
+from ..quant.device_format import SUPPORTED_TYPES, UQTensor as _UQ, to_device_format
 from .config import ModelConfig
 
 # ---------------------------------------------------------------------------
@@ -127,6 +127,164 @@ def load_params(
     return params
 
 
+def synth_qtensor_device(key: jax.Array, rows: int, k: int,
+                         t: GGMLType = GGMLType.Q4_K) -> QTensor:
+    """Random QTensor generated ON DEVICE (no host transfer) — for benchmarks
+    on remote/tunneled TPUs where host->device bandwidth is the bottleneck.
+    Layout/bytes identical to real weights of the same ftype; random bytes
+    are permutation-invariant so kperm layout is free."""
+    from ..quant.pallas.qmatmul import pallas_eligible
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    if t == GGMLType.Q4_K:
+        sub, layout, off, qmax, has_mins = 32, "nib4", 0, 15, True
+    elif t == GGMLType.Q4_0:
+        sub, layout, off, qmax, has_mins = 32, "nib4", -8, 8, False
+    elif t == GGMLType.Q8_0:
+        sub, layout, off, qmax, has_mins = 32, "int8", 0, 127, False
+    elif t == GGMLType.Q6_K:
+        sub, layout, off, qmax, has_mins = 16, "int8", 0, 31, False
+    elif t == GGMLType.Q5_K:
+        sub, layout, off, qmax, has_mins = 32, "int8", 0, 31, True
+    else:
+        raise NotImplementedError(f"device synth for {t.name}")
+    if layout == "nib4":
+        qs = jax.random.randint(k1, (rows, k // 2), 0, 256, dtype=jnp.int32).astype(jnp.uint8)
+    else:
+        qs = jax.random.randint(k1, (rows, k), -qmax, qmax + 1, dtype=jnp.int32).astype(jnp.int8)
+    s = k // sub
+    scales = jnp.abs(jax.random.normal(k2, (rows, s), jnp.float32)) * (0.02 / qmax) + 1e-4
+    mins = scales * jax.random.uniform(k3, (rows, s), jnp.float32, 0, qmax / 2) if has_mins else None
+    return QTensor(qs=qs, scales=scales, mins=mins, sub=sub, layout=layout,
+                   q_offset=off, shape=(rows, k),
+                   kperm=pallas_eligible((rows, k), sub, layout))
+
+
+def synth_params_device(cfg: ModelConfig, ggml_type: GGMLType = GGMLType.Q4_K,
+                        seed: int = 0) -> dict:
+    """Full random params generated on device (see synth_qtensor_device)."""
+    key = jax.random.PRNGKey(seed)
+    e, h, kvh, hd, f = cfg.n_embd, cfg.n_heads, cfg.n_kv_heads, cfg.head_dim, cfg.n_ff
+    keys = iter(jax.random.split(key, 3 + cfg.n_layers * 12))
+
+    def q(rows, k):
+        return synth_qtensor_device(next(keys), rows, k, ggml_type)
+
+    params: dict[str, Any] = {
+        "tok_embd": q(cfg.n_vocab, e),
+        "layers": [],
+        "output_norm": jnp.ones(e, jnp.float32),
+        "output": None if cfg.tie_embeddings else q(cfg.n_vocab, e),
+    }
+    for _ in range(cfg.n_layers):
+        layer = {
+            "attn_norm": jnp.ones(e, jnp.float32),
+            "wq": q(h * hd, e), "wk": q(kvh * hd, e), "wv": q(kvh * hd, e),
+            "wo": q(e, h * hd),
+            "ffn_norm": jnp.ones(e, jnp.float32),
+            "w_gate": q(f, e), "w_up": q(f, e), "w_down": q(e, f),
+        }
+        if cfg.qkv_bias:
+            layer["bq"] = jax.random.normal(next(keys), (h * hd,), jnp.float32) * 0.02
+            layer["bk"] = jax.random.normal(next(keys), (kvh * hd,), jnp.float32) * 0.02
+            layer["bv"] = jax.random.normal(next(keys), (kvh * hd,), jnp.float32) * 0.02
+        params["layers"].append(layer)
+    return params
+
+
+def synth_host_layer(cfg: ModelConfig, i: int, ggml_type: GGMLType = GGMLType.Q4_K,
+                     seed: int = 0) -> dict:
+    """Host (UQTensor / numpy) tensors for one synthetic layer — the input
+    unit for both single-chip placement and pipeline/TP sharding."""
+    rng = np.random.default_rng(seed * 1000003 + i)
+    e, h, kvh, hd, f = cfg.n_embd, cfg.n_heads, cfg.n_kv_heads, cfg.head_dim, cfg.n_ff
+    layer = {
+        "attn_norm": np.ones(e, dtype=np.float32),
+        "wq": _synth_uq(rng, h * hd, e, ggml_type),
+        "wk": _synth_uq(rng, kvh * hd, e, ggml_type),
+        "wv": _synth_uq(rng, kvh * hd, e, ggml_type),
+        "wo": _synth_uq(rng, e, h * hd, ggml_type),
+        "ffn_norm": np.ones(e, dtype=np.float32),
+        "w_gate": _synth_uq(rng, f, e, ggml_type),
+        "w_up": _synth_uq(rng, f, e, ggml_type),
+        "w_down": _synth_uq(rng, e, f, ggml_type),
+    }
+    if cfg.qkv_bias:
+        layer["bq"] = rng.standard_normal(h * hd).astype(np.float32) * 0.02
+        layer["bk"] = rng.standard_normal(kvh * hd).astype(np.float32) * 0.02
+        layer["bv"] = rng.standard_normal(kvh * hd).astype(np.float32) * 0.02
+    return layer
+
+
+def synth_host_head(cfg: ModelConfig, ggml_type: GGMLType = GGMLType.Q4_K, seed: int = 0) -> dict:
+    """Host tensors for embedding / output-norm / lm-head (synthetic)."""
+    rng = np.random.default_rng(seed)
+    return {
+        "tok_embd": _synth_uq(rng, cfg.n_vocab, cfg.n_embd, ggml_type),
+        "output_norm": np.ones(cfg.n_embd, dtype=np.float32),
+        "output": None if cfg.tie_embeddings else _synth_uq(rng, cfg.n_vocab, cfg.n_embd, ggml_type),
+    }
+
+
+def gguf_host_head(m: GGUFModel, cfg: ModelConfig) -> dict:
+    from ..quant.dequant_np import dequantize_tensor
+
+    def uq(name):
+        ti = m.tensors.get(name)
+        if ti is None:
+            return None
+        t = ti.ggml_type
+        if TYPE_TRAITS[t].is_quantized and t in SUPPORTED_TYPES:
+            return to_device_format(ti.data, t, ti.ne[0])
+        return dequantize_tensor(ti).astype(np.float32)
+
+    return {
+        "tok_embd": uq("token_embd.weight"),
+        "output_norm": dequantize_tensor(m.tensors["output_norm.weight"]).astype(np.float32),
+        "output": None if cfg.tie_embeddings else uq("output.weight"),
+    }
+
+
+def gguf_host_layer(m: GGUFModel, cfg: ModelConfig, i: int) -> dict:
+    """Host tensors for layer i of a GGUF model (UQTensor for quantized
+    weights, numpy f32 for norms/biases)."""
+    from ..quant.dequant_np import dequantize_tensor
+
+    p = f"blk.{i}."
+
+    def uq(name):
+        ti = m.tensors[p + name]
+        t = ti.ggml_type
+        if TYPE_TRAITS[t].is_quantized and t in SUPPORTED_TYPES:
+            return to_device_format(ti.data, t, ti.ne[0])
+        return dequantize_tensor(ti).astype(np.float32)
+
+    def vec(name, required=True):
+        ti = m.tensors.get(p + name)
+        if ti is None:
+            if required:
+                raise KeyError(f"missing tensor {p + name}")
+            return None
+        return dequantize_tensor(ti).astype(np.float32)
+
+    layer = {
+        "attn_norm": vec("attn_norm.weight"),
+        "wq": uq("attn_q.weight"),
+        "wk": uq("attn_k.weight"),
+        "wv": uq("attn_v.weight"),
+        "wo": uq("attn_output.weight"),
+        "ffn_norm": vec("ffn_norm.weight"),
+        "w_gate": uq("ffn_gate.weight"),
+        "w_up": uq("ffn_up.weight"),
+        "w_down": uq("ffn_down.weight"),
+    }
+    if cfg.qkv_bias:
+        layer["bq"] = vec("attn_q.bias")
+        layer["bk"] = vec("attn_k.bias")
+        layer["bv"] = vec("attn_v.bias")
+    return layer
+
+
 def synth_params(
     cfg: ModelConfig,
     ggml_type: GGMLType = GGMLType.Q4_K,
@@ -144,32 +302,21 @@ def synth_params(
     def vec(n):
         return jax.device_put(np.ones(n, dtype=np.float32))
 
-    e, h, kvh, hd, f = cfg.n_embd, cfg.n_heads, cfg.n_kv_heads, cfg.head_dim, cfg.n_ff
     params: dict[str, Any] = {
-        "tok_embd": q(cfg.n_vocab, e),
+        "tok_embd": q(cfg.n_vocab, cfg.n_embd),
         "layers": [],
-        "output_norm": vec(e),
-        "output": None if cfg.tie_embeddings else q(cfg.n_vocab, e),
+        "output_norm": vec(cfg.n_embd),
+        "output": None if cfg.tie_embeddings else q(cfg.n_vocab, cfg.n_embd),
     }
     for i in range(cfg.n_layers):
         if layer_filter is not None and not layer_filter(i):
             params["layers"].append(None)
             continue
+        host = synth_host_layer(cfg, i, ggml_type, seed)
         layer = {
-            "attn_norm": vec(e),
-            "wq": q(h * hd, e),
-            "wk": q(kvh * hd, e),
-            "wv": q(kvh * hd, e),
-            "wo": q(e, h * hd),
-            "ffn_norm": vec(e),
-            "w_gate": q(f, e),
-            "w_up": q(f, e),
-            "w_down": q(e, f),
+            name: QTensor.from_host(t) if isinstance(t, _UQ) else jax.device_put(t)
+            for name, t in host.items()
         }
-        if cfg.qkv_bias:
-            layer["bq"] = jax.device_put(rng.standard_normal(h * hd).astype(np.float32) * 0.02)
-            layer["bk"] = jax.device_put(rng.standard_normal(kvh * hd).astype(np.float32) * 0.02)
-            layer["bv"] = jax.device_put(rng.standard_normal(kvh * hd).astype(np.float32) * 0.02)
         params["layers"].append(layer)
     return params
 
@@ -209,6 +356,10 @@ class ForwardOptions:
     matmul_impl: str = "xla"
     dtype: Any = jnp.bfloat16
     logits_dtype: Any = jnp.float32
+    # Megatron-style tensor parallelism inside shard_map: wq/wk/wv/gate/up
+    # are row-sharded (local heads / local FFN columns), wo/down are
+    # column-sharded, and their partial outputs are psum'd over this axis.
+    tp_axis: str | None = None
 
 
 def attention_block(
@@ -246,13 +397,19 @@ def attention_block(
     scale = 1.0 / np.sqrt(hd)
     out = gqa_attention(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype), mask, scale)
     out = out.reshape(b, s, h * hd)
-    return linear(out, layer["wo"], opts.matmul_impl), (k_cache, v_cache)
+    out = linear(out, layer["wo"], opts.matmul_impl)
+    if opts.tp_axis is not None:
+        out = jax.lax.psum(out, opts.tp_axis)  # column-parallel wo
+    return out, (k_cache, v_cache)
 
 
 def ffn_block(layer: dict, x: jax.Array, opts: ForwardOptions) -> jax.Array:
     gate = linear(x, layer["w_gate"], opts.matmul_impl)
     up = linear(x, layer["w_up"], opts.matmul_impl)
-    return linear(swiglu(gate, up), layer["w_down"], opts.matmul_impl)
+    out = linear(swiglu(gate, up), layer["w_down"], opts.matmul_impl)
+    if opts.tp_axis is not None:
+        out = jax.lax.psum(out, opts.tp_axis)  # column-parallel w_down
+    return out
 
 
 def decode_layer(

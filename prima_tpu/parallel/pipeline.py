@@ -1,0 +1,322 @@
+"""Piped-ring pipeline executor over a TPU mesh.
+
+The TPU-native replacement for the reference's ZMQ-ring distributed decode
+loop (llama_decode_internal src/llama.cpp:18229-18704). The mapping:
+
+  reference                         this module
+  ---------                         -----------
+  ring of devices over TCP          `pp` mesh axis, hops via lax.ppermute (ICI)
+  per-window subgraphs              per-window layer stacks, scanned in SPMD
+  k ring cycles per token           k cycles: device d owns windows c*n+d
+  (this_layer_is_mine @3838)        for c in [0,k) — same ring-cyclic order
+  intra-device CPU/GPU split        Megatron tensor parallelism over `tp`
+  server-slot batching              `dp` mesh axis + microbatches M ≤ n_pp
+  master shortcut to rank 0         final psum gather of the last window
+  rank-filtered KV cache init       KV lives per (window, layer) shard, heads
+  (@3920-3975)                      sharded over `tp`, batch over `dp`
+
+Schedule: microbatch m enters stage 0 at step m; one window + one ring hop
+per step; window (c*n + d) runs on device d at step m + c*n + d. Total steps
+V + M - 1 with V = n*k windows — every stage is busy in steady state when
+M = n_pp. Everything is a single lax.scan inside one shard_map: XLA overlaps
+the ppermute with the next window's compute (the analogue of the reference's
+prefetch-overlap, manage_graph_tensors @18152).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.config import ModelConfig
+from ..models.llama import ForwardOptions, decode_layer, embed, linear
+from ..ops.layers import causal_mask, rms_norm, rope_freqs
+from .sharding import put_stacked_dense, put_stacked_qtensor, put_replicated
+from .tp import REPLICATED_DENSE, shard_layer_uq, tp_local_config
+
+
+@dataclass(frozen=True)
+class PipeSpec:
+    """Static layout of the piped-ring pipeline."""
+
+    n_pp: int  # pipeline stages (ring length)
+    n_tp: int  # tensor-parallel ranks per stage
+    n_dp: int  # data-parallel replicas
+    k_cycles: int  # ring cycles per token (the reference's k, common.cpp:1133)
+    window: int  # layers per window (w)
+    microbatches: int  # in-flight microbatches M (≤ n_pp)
+
+    @property
+    def n_layers(self) -> int:
+        return self.n_pp * self.k_cycles * self.window
+
+    @property
+    def n_steps(self) -> int:
+        return self.n_pp * self.k_cycles + self.microbatches - 1
+
+    def window_layers(self, stage: int, cycle: int) -> range:
+        v = cycle * self.n_pp + stage
+        return range(v * self.window, (v + 1) * self.window)
+
+    @staticmethod
+    def for_model(cfg: ModelConfig, n_pp: int, n_tp: int = 1, n_dp: int = 1,
+                  k_cycles: int | None = None, microbatches: int | None = None) -> "PipeSpec":
+        L = cfg.n_layers
+        if k_cycles is None:
+            k_cycles = 1
+        if L % (n_pp * k_cycles):
+            raise ValueError(f"L={L} not divisible by n_pp*k={n_pp * k_cycles}")
+        m = microbatches if microbatches is not None else n_pp
+        if m > n_pp:
+            raise ValueError(f"microbatches {m} > n_pp {n_pp}")
+        return PipeSpec(n_pp, n_tp, n_dp, k_cycles, L // (n_pp * k_cycles), m)
+
+
+# ---------------------------------------------------------------------------
+# Parameter layout: leaves stacked (PP, TP, K, W, *dims), sharded P(pp, tp)
+# ---------------------------------------------------------------------------
+
+
+def build_pipeline_params(
+    get_layer: Callable[[int], dict],
+    cfg: ModelConfig,
+    spec: PipeSpec,
+    mesh: Mesh,
+    pallas: bool = True,
+) -> dict:
+    """Stack per-layer host tensors into the pipeline layout.
+
+    get_layer(i) returns the host dict for layer i (UQTensor / np arrays),
+    the analogue of per-rank tensor loading: each (pp, tp) shard only ever
+    materializes on its own device.
+    """
+    # nested[pp][tp][cycle][w] = shard dict
+    nested: list[list[list[list[dict]]]] = [
+        [[[None for _ in range(spec.window)] for _ in range(spec.k_cycles)]
+         for _ in range(spec.n_tp)]
+        for _ in range(spec.n_pp)
+    ]
+    names: set[str] = set()
+    for d in range(spec.n_pp):
+        for c in range(spec.k_cycles):
+            for wi, li in enumerate(spec.window_layers(d, c)):
+                shards = shard_layer_uq(get_layer(li), spec.n_tp)
+                names.update(shards[0].keys())
+                for t in range(spec.n_tp):
+                    nested[d][t][c][wi] = shards[t]
+
+    out: dict[str, Any] = {}
+    for name in sorted(names):
+        tree = [
+            [[[nested[d][t][c][w][name] for w in range(spec.window)]
+              for c in range(spec.k_cycles)]
+             for t in range(spec.n_tp)]
+            for d in range(spec.n_pp)
+        ]
+        first = tree[0][0][0][0]
+        axes = ("pp", "tp", None, None)
+        if hasattr(first, "ggml_type"):  # UQTensor
+            out[name] = put_stacked_qtensor(tree, mesh, axes, pallas=pallas)
+        else:
+            dtype = np.float32
+            out[name] = put_stacked_dense(tree, mesh, axes, dtype=dtype)
+    return out
+
+
+def build_pipe_model(
+    get_layer: Callable[[int], dict],
+    head_host: dict,
+    cfg: ModelConfig,
+    spec: PipeSpec,
+    mesh: Mesh,
+    pallas: bool = True,
+) -> dict:
+    """Full distributed params: stacked layers + replicated head tensors.
+
+    head_host: {'tok_embd': UQTensor|np, 'output_norm': np, 'output':
+    UQTensor|np|None} — kept replicated (the reference keeps embedding and
+    the output head on rank 0; on a mesh, replication makes them free to
+    reach from every dp replica)."""
+    from ..quant.dequant_jax import QTensor
+
+    def put_head(t):
+        if t is None:
+            return None
+        if hasattr(t, "ggml_type"):
+            return QTensor.from_host(t, sharding=NamedSharding(mesh, P()), pallas=pallas)
+        return put_replicated(np.asarray(t), mesh)
+
+    return {
+        "pipe": build_pipeline_params(get_layer, cfg, spec, mesh, pallas=pallas),
+        "tok_embd": put_head(head_host["tok_embd"]),
+        "output_norm": put_head(head_host["output_norm"]),
+        "output": put_head(head_host.get("output")),
+    }
+
+
+def init_pipe_kv(cfg: ModelConfig, spec: PipeSpec, mesh: Mesh, batch_per_micro: int,
+                 max_seq: int, dtype=jnp.bfloat16) -> tuple[jax.Array, jax.Array]:
+    """KV caches (PP, K, W, M*B, T, KVH, HD): layer dims sharded over pp,
+    batch over dp, heads over tp — rank-filtered KV init, the TPU way."""
+    shape = (
+        spec.n_pp, spec.k_cycles, spec.window,
+        spec.microbatches * batch_per_micro, max_seq, cfg.n_kv_heads, cfg.head_dim,
+    )
+    sh = NamedSharding(mesh, P("pp", None, None, "dp", None, "tp", None))
+    z = jnp.zeros(shape, dtype, device=sh)
+    return z, jnp.zeros(shape, dtype, device=sh)
+
+
+# ---------------------------------------------------------------------------
+# The SPMD schedule
+# ---------------------------------------------------------------------------
+
+
+def _pipe_body(
+    layers: dict,  # local view: leaves (1, 1, K, W, ...)
+    x_all: jax.Array,  # (M, B_loc, S, E) embedded inputs
+    positions: jax.Array,  # (M, B_loc, S)
+    cache_pos: jax.Array,  # (M, B_loc)
+    k_cache: jax.Array,  # (1, K, W, M*B_loc, T, kvh_loc, hd)
+    v_cache: jax.Array,
+    *,
+    cfg_local: ModelConfig,
+    spec: PipeSpec,
+    opts: ForwardOptions,
+):
+    n, kc, W, M = spec.n_pp, spec.k_cycles, spec.window, spec.microbatches
+    d = jax.lax.axis_index("pp")
+    local = jax.tree.map(lambda a: a[0, 0], layers)  # (K, W, ...)
+    k_cache, v_cache = k_cache[0], v_cache[0]  # (K, W, MB, T, kvh, hd)
+    B = x_all.shape[1]
+    T = k_cache.shape[3]
+    inv_freq, mscale = rope_freqs(cfg_local)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    out_shape = x_all.shape  # (M, B, S, E)
+
+    def step(carry, t):
+        x_cur, kcache, vcache, out_buf = carry
+        # schedule: which (microbatch, cycle) is on this device at step t
+        j = t - d
+        m = jnp.mod(j, n)
+        c = (j - m) // n
+        valid = (c >= 0) & (c < kc) & (m < M)
+        m_idx = jnp.clip(m, 0, M - 1)
+        c_idx = jnp.clip(c, 0, kc - 1)
+
+        # stage 0 injects microbatch t while t < M (rank-0 embedding role)
+        inject = (d == 0) & (t < M)
+        x_inj = jax.lax.dynamic_index_in_dim(x_all, jnp.minimum(t, M - 1), 0, keepdims=False)
+        x = jnp.where(inject, x_inj, x_cur)
+
+        pos_m = jax.lax.dynamic_index_in_dim(positions, m_idx, 0, keepdims=False)
+        cp_m = jax.lax.dynamic_index_in_dim(cache_pos, m_idx, 0, keepdims=False)
+        mask = causal_mask(pos_m, T)
+
+        # select this cycle's window params: (K, W, ...) -> (W, ...)
+        win = jax.tree.map(
+            lambda a: jax.lax.dynamic_index_in_dim(a, c_idx, 0, keepdims=False), local
+        )
+        row0 = m_idx * B
+        for w in range(W):
+            layer = jax.tree.map(lambda a: a[w], win)
+            kv_k = jax.lax.dynamic_slice(
+                kcache, (c_idx, w, row0, 0, 0, 0),
+                (1, 1, B, T, kcache.shape[4], kcache.shape[5]),
+            )[0, 0]
+            kv_v = jax.lax.dynamic_slice(
+                vcache, (c_idx, w, row0, 0, 0, 0),
+                (1, 1, B, T, vcache.shape[4], vcache.shape[5]),
+            )[0, 0]
+            x, (kv_k, kv_v) = decode_layer(
+                layer, cfg_local, x, pos_m, (kv_k, kv_v), cp_m, mask, inv_freq, mscale, opts
+            )
+            vf = valid
+            kcache = _masked_update(kcache, kv_k, (c_idx, w, row0), vf)
+            vcache = _masked_update(vcache, kv_v, (c_idx, w, row0), vf)
+
+        # last window of the ring: stash the finished microbatch (the
+        # analogue of the master-socket shortcut, src/llama.cpp:18559)
+        done = valid & (d == n - 1) & (c == kc - 1)
+        upd = jax.lax.dynamic_update_slice(
+            out_buf, x[None].astype(out_buf.dtype), (m_idx, 0, 0, 0)
+        )
+        out_buf = jnp.where(done, upd, out_buf)
+
+        x_next = jax.lax.ppermute(x, "pp", perm)
+        return (x_next, kcache, vcache, out_buf), None
+
+    init = (
+        jnp.zeros(x_all.shape[1:], x_all.dtype),
+        k_cache,
+        v_cache,
+        jnp.zeros(out_shape, x_all.dtype),
+    )
+    (x_last, k_cache, v_cache, out_buf), _ = jax.lax.scan(
+        step, init, jnp.arange(spec.n_steps)
+    )
+    out = jax.lax.psum(out_buf, "pp")  # only the last stage wrote; gather
+    return out, k_cache[None], v_cache[None]
+
+
+def _masked_update(cache, new, idx3, valid):
+    c, w, row0 = idx3
+    new = jnp.where(valid, new, jax.lax.dynamic_slice(
+        cache, (c, w, row0, 0, 0, 0), (1, 1) + new.shape)[0, 0])
+    return jax.lax.dynamic_update_slice(cache, new[None, None], (c, w, row0, 0, 0, 0))
+
+
+def make_pipe_forward(
+    cfg: ModelConfig,
+    spec: PipeSpec,
+    mesh: Mesh,
+    opts: ForwardOptions | None = None,
+):
+    """Build the jitted distributed forward: (params, tokens, positions,
+    cache_pos, kv) -> (logits, kv).
+
+    tokens: (M, B, S) int32 — M microbatches of global batch B each.
+    Embedding and the output head run replicated outside the ring (the
+    reference runs them on rank 0, main.cpp flow; here they are data-parallel
+    over dp and cheap relative to the layer stack).
+    """
+    opts = opts or ForwardOptions()
+    cfg_local = tp_local_config(cfg, spec.n_tp)
+    opts_local = ForwardOptions(
+        matmul_impl=opts.matmul_impl,
+        dtype=opts.dtype,
+        logits_dtype=opts.logits_dtype,
+        tp_axis="tp" if spec.n_tp > 1 else None,
+    )
+
+    body = functools.partial(_pipe_body, cfg_local=cfg_local, spec=spec, opts=opts_local)
+    data_spec = P(None, "dp", None, None)
+    kv_spec = P("pp", None, None, "dp", None, "tp", None)
+
+    def fwd(params, tokens, positions, cache_pos, kv):
+        """params: dict with 'pipe' (stacked layers), 'tok_embd',
+        'output_norm', 'output' (replicated)."""
+        layer_specs = jax.tree.map(lambda _: P("pp", "tp"), params["pipe"])
+        pipe = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(layer_specs, data_spec, P(None, "dp", None), P(None, "dp"),
+                      kv_spec, kv_spec),
+            out_specs=(data_spec, kv_spec, kv_spec),
+            check_vma=False,
+        )
+        x = embed(params["tok_embd"], tokens, opts.dtype)  # (M, B, S, E)
+        hidden, kc, vc = pipe(params["pipe"], x, positions, cache_pos, kv[0], kv[1])
+        h = rms_norm(hidden, params["output_norm"], cfg.rms_eps)
+        w_out = params["output"] if params.get("output") is not None else params["tok_embd"]
+        logits = linear(h, w_out, opts.matmul_impl).astype(opts.logits_dtype)
+        return logits, (kc, vc)
+
+    return fwd

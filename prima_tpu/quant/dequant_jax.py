@@ -51,22 +51,8 @@ class QTensor:
     def from_host(
         cls, uq: UQTensor, device=None, sharding=None, pallas: bool = True
     ) -> "QTensor":
-        from .pallas.qmatmul import pallas_eligible, permute_cols_np
-        from .device_format import unpack_nib4
-
+        qs, kperm = host_pack(uq, pallas)
         put = partial(jax.device_put, device=sharding if sharding is not None else device)
-        qs = uq.qs
-        kperm = False
-        if pallas and pallas_eligible(uq.shape, uq.sub, uq.layout):
-            kperm = True
-            if uq.layout == "nib4":
-                # unpack (raw nibbles), permute columns, repack canonically
-                raw = unpack_nib4(uq.qs, 0).astype(np.uint8)
-                rawp = permute_cols_np(raw, uq.sub)
-                half = uq.shape[1] // 2
-                qs = (rawp[:, :half] | (rawp[:, half:] << 4)).astype(np.uint8)
-            else:
-                qs = permute_cols_np(uq.qs, uq.sub)
         return cls(
             qs=put(qs),
             scales=put(uq.scales),
@@ -85,6 +71,51 @@ class QTensor:
             n += self.mins.size * 4
         return n
 
+    # Shapes derived from the arrays, NOT the static aux `shape`: inside
+    # shard_map / after slicing, the arrays are the per-shard view while the
+    # aux still records the full logical tensor.
+    @property
+    def n_rows(self) -> int:
+        return self.qs.shape[-2]
+
+    @property
+    def n_cols(self) -> int:
+        return self.sub * self.scales.shape[-1]
+
+    def __getitem__(self, idx) -> "QTensor":
+        """Index leading (stacked-shard) axes; quant metadata is preserved."""
+        return QTensor(
+            qs=self.qs[idx],
+            scales=self.scales[idx],
+            mins=self.mins[idx] if self.mins is not None else None,
+            sub=self.sub,
+            layout=self.layout,
+            q_offset=self.q_offset,
+            shape=self.shape,
+            kperm=self.kperm,
+        )
+
+
+def host_pack(uq: UQTensor, pallas: bool = True) -> tuple[np.ndarray, bool]:
+    """Host-side kernel packing: returns (qs bytes, kperm flag).
+
+    When the shape is Pallas-eligible, columns are permuted to p = t*S + s
+    (see quant/pallas/qmatmul.py) so the in-kernel scale expansion is a
+    lane-aligned tile repeat.
+    """
+    from .pallas.qmatmul import pallas_eligible, permute_cols_np
+    from .device_format import unpack_nib4
+
+    if not (pallas and pallas_eligible(uq.shape, uq.sub, uq.layout)):
+        return uq.qs, False
+    if uq.layout == "nib4":
+        # unpack (raw nibbles), permute columns, repack canonically
+        raw = unpack_nib4(uq.qs, 0).astype(np.uint8)
+        rawp = permute_cols_np(raw, uq.sub)
+        half = uq.shape[1] // 2
+        return (rawp[:, :half] | (rawp[:, half:] << 4)).astype(np.uint8), True
+    return permute_cols_np(uq.qs, uq.sub), True
+
 
 def _unpack_q(qt: QTensor, qs: jax.Array) -> jax.Array:
     """Raw storage -> integer quants in storage-column order, as f32."""
@@ -97,8 +128,8 @@ def _unpack_q(qt: QTensor, qs: jax.Array) -> jax.Array:
 
 def _dequant_any(qt: QTensor, qs, scales, mins, dtype) -> jax.Array:
     """Dequant with arbitrary leading dims; returns natural column order."""
-    k = qt.shape[1]
-    s = k // qt.sub
+    s = scales.shape[-1]
+    k = s * qt.sub
     q = _unpack_q(qt, qs)
     if qt.kperm:
         sc = jnp.tile(scales, (1,) * (scales.ndim - 1) + (qt.sub,))

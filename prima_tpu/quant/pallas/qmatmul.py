@@ -2,16 +2,29 @@
 
 The TPU replacement for the reference's fused quantized GEMV/GEMM kernels
 (ggml_vec_dot_q4_K_q8_K ggml-quants.c:7713, CUDA mmvq/mmq). Weights stay
-packed in HBM (nib4: ~4.5 bits/w with scales; int8: ~8.5) and are widened
-tile-by-tile in VMEM; the decode GEMV is HBM-bandwidth-bound, so bytes/weight
-is the whole ballgame for tokens/s.
+packed in HBM (nib4: 4 bits/w + f32 sub-block scales; int8: 8 bits/w) and
+are widened tile-by-tile in VMEM; the decode GEMV is HBM-bandwidth-bound,
+so bytes-from-HBM per weight is the whole ballgame for tokens/s.
 
-Layout trick: weight columns are host-permuted to p = t*S + s (s = sub-block
-index, S = K/sub, t = position within the sub-block). In permuted space the
-scale for column p is scales[p mod S], so in-kernel scale expansion is a
-single lane-aligned pltpu.repeat (tile semantics) — no gathers, no unaligned
-slices. The activation picks up the same permutation with one cheap XLA
-reshape-transpose per call; the matmul result is permutation-invariant.
+Design notes (v2):
+  * Every qs byte is fetched from HBM exactly once: a nib4 byte tile yields
+    BOTH its low-nibble and high-nibble column groups in the same grid step
+    (two MXU dots against two x slices), instead of re-reading the tile.
+  * The affine terms never touch the big tile: for sub-block c,
+    y += Σ_c x_c·(sc·off − min) = xs @ (off·sc − mins)ᵀ with xs the per-sub-
+    block sums of x (B, S) — one tiny dot at kt == 0 replaces a full-width
+    second dot and the per-weight offset add.
+  * Layout trick: weight columns are host-permuted to p = t*S + s (s =
+    sub-block index, S = K/sub). In permuted space the scale for column p is
+    scales[p mod S], so in-kernel scale expansion is one lane-aligned
+    pltpu.repeat. The activation picks up the same permutation with one
+    cheap XLA reshape-transpose per call; the result is permutation-
+    invariant.
+
+Precision: `fast=False` dequantizes in f32 (reference-exact weights, matches
+qmatmul_xla); `fast=True` uses bf16 weights on the MXU — still *more*
+precise than the reference CPU path, which quantizes activations to Q8_K
+(8 bits, ggml-quants.c:3835) before its integer dot.
 """
 
 from __future__ import annotations
@@ -62,66 +75,69 @@ def unpermute_w(w: jax.Array, sub: int) -> jax.Array:
     return w.reshape(w.shape[:-1] + (sub, s)).swapaxes(-1, -2).reshape(w.shape)
 
 
+def _dot_nt(x, w):
+    """(B, K) @ (N, K)^T -> (B, N) f32."""
+    return jax.lax.dot_general(
+        x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
 def _qmm_kernel(
-    x_ref,  # (B, K_T) f32 — permuted activation tile
-    qs_ref,  # (N_T, K_T) uint8 nib4 bytes | int8
+    x_lo_ref,  # (B, C_T) — permuted activation, low-nibble columns
+    x_hi_ref,  # (B, C_T) — high-nibble columns (nib4 only; else absent)
+    xs_ref,  # (B, S) per-sub-block x sums (affine formats only; else absent)
+    qs_ref,  # (N_T, C_T) uint8 nib4 bytes | int8
     sc_ref,  # (N_T, S) f32 — full scale row, tile-repeated in kernel
-    mn_ref,  # like sc_ref, or absent
+    mn_ref,  # (N_T, S) f32 mins, or absent
     o_ref,  # (B, N_T) f32
     *,
     layout: str,
     q_offset: int,
     t_chunk: int,
-    half_k_tiles: int,
     has_mins: bool,
     fast: bool,
 ):
     kt = pl.program_id(1)
-
     cdtype = jnp.bfloat16 if fast else jnp.float32
-    if layout == "nib4":
-        b = qs_ref[:].astype(jnp.int32)
-        lo = (b & 0x0F) + q_offset
-        hi = (b >> 4) + q_offset
-        q = jnp.where(kt < half_k_tiles, lo, hi).astype(cdtype)
-    else:
-        q = qs_ref[:].astype(cdtype)
-
     scales = _tile_repeat(sc_ref[:], t_chunk).astype(cdtype)
-    w = scales * q  # (N_T, K_T) dequantized tile
-    x = x_ref[:].astype(cdtype)
-    acc = jax.lax.dot_general(
-        x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    if has_mins:
-        mins = _tile_repeat(mn_ref[:], t_chunk).astype(cdtype)
-        acc = acc - jax.lax.dot_general(
-            x, mins, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
+
+    if layout == "nib4":
+        b = qs_ref[:].astype(jnp.int32)  # Mosaic: no direct u8->float cast
+        acc = _dot_nt(x_lo_ref[:].astype(cdtype), (b & 0x0F).astype(cdtype) * scales)
+        acc += _dot_nt(x_hi_ref[:].astype(cdtype), (b >> 4).astype(cdtype) * scales)
+    else:
+        w = qs_ref[:].astype(cdtype) * scales
+        acc = _dot_nt(x_lo_ref[:].astype(cdtype), w)
 
     @pl.when(kt == 0)
     def _():
-        o_ref[:] = acc
+        if xs_ref is None:
+            o_ref[:] = acc
+        else:
+            # affine term over the FULL row: y += xs @ (off*sc - mins)^T
+            corr = sc_ref[:] * np.float32(q_offset) if q_offset else None
+            if has_mins:
+                corr = -mn_ref[:] if corr is None else corr - mn_ref[:]
+            o_ref[:] = acc + _dot_nt(xs_ref[:], corr)
 
     @pl.when(kt != 0)
     def _():
         o_ref[:] = o_ref[:] + acc
 
 
-def _pick_tiles(n: int, k: int, sub: int, layout: str) -> tuple[int, int, int]:
-    """Returns (n_tile, k_tile, t_chunk); k_tile = t_chunk * S."""
-    s = k // sub
-    half_t = (k // 2 if layout == "nib4" else k) // s  # t positions per half
+def _pick_tiles(n: int, kb: int, s: int) -> tuple[int, int]:
+    """(n_tile, kb_tile): qs byte-tile is (n_tile, kb_tile), kb_tile = tc*S."""
+    tb = kb // s  # byte-columns per t-position
     t_chunk = 1
     for cand in (16, 8, 4, 2, 1):
-        if half_t % cand == 0 and cand * s <= 4096:
+        if tb % cand == 0 and cand * s <= 4096:
             t_chunk = cand
             break
-    k_tile = t_chunk * s
+    kb_tile = t_chunk * s
     n_tile = min(n, 256)
     while n % n_tile:
         n_tile //= 2
-    return max(n_tile, 8), k_tile, t_chunk
+    return max(n_tile, 8), kb_tile
 
 
 def pallas_eligible(shape: tuple[int, int], sub: int, layout: str) -> bool:
@@ -130,55 +146,85 @@ def pallas_eligible(shape: tuple[int, int], sub: int, layout: str) -> bool:
         return False
     s = k // sub
     if s % 8:
-        return False  # scale row must be loadable as (n_tile, S) tile
-    half = k // 2 if layout == "nib4" else k
-    if half % s:
+        return False  # scale row must be loadable as (n_tile, S) tiles
+    kb = k // 2 if layout == "nib4" else k
+    if kb % s:
         return False
     return True
 
 
 @functools.lru_cache(maxsize=None)
-def _build_qmm(b: int, n: int, k: int, layout: str, q_offset: int, sub: int, has_mins: bool, fast: bool):
-    n_tile, k_tile, t_chunk = _pick_tiles(n, k, sub, layout)
+def _build_qmm(b: int, n: int, k: int, layout: str, q_offset: int, sub: int,
+               has_mins: bool, fast: bool):
     s = k // sub
-    n_k_tiles = k // k_tile
-    if layout == "nib4":
-        half_k_tiles = n_k_tiles // 2
-        qs_index = lambda nt, kt: (nt, kt % half_k_tiles)
-    else:
-        half_k_tiles = n_k_tiles
-        qs_index = lambda nt, kt: (nt, kt)
+    kb = k // 2 if layout == "nib4" else k  # qs bytes per row
+    n_tile, kb_tile = _pick_tiles(n, kb, s)
+    t_chunk = kb_tile // s
+    n_kb_tiles = kb // kb_tile
+    nib4 = layout == "nib4"
+    affine = has_mins or q_offset != 0
 
-    grid = (n // n_tile, n_k_tiles)
+    grid = (n // n_tile, n_kb_tiles)
     kernel = functools.partial(
         _qmm_kernel,
         layout=layout,
         q_offset=q_offset,
         t_chunk=t_chunk,
-        half_k_tiles=half_k_tiles,
         has_mins=has_mins,
         fast=fast,
     )
 
     sc_spec = pl.BlockSpec((n_tile, s), lambda nt, kt: (nt, 0), memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((b, k_tile), lambda nt, kt: (0, kt), memory_space=pltpu.VMEM),
-        pl.BlockSpec((n_tile, k_tile), qs_index, memory_space=pltpu.VMEM),
-        sc_spec,
+        pl.BlockSpec((b, kb_tile), lambda nt, kt: (0, kt), memory_space=pltpu.VMEM),
     ]
+    if nib4:  # second view of x: the high-nibble half, offset by K/2
+        in_specs.append(
+            pl.BlockSpec((b, kb_tile), lambda nt, kt: (0, kt + n_kb_tiles),
+                         memory_space=pltpu.VMEM)
+        )
+    if affine:
+        in_specs.append(pl.BlockSpec((b, s), lambda nt, kt: (0, 0), memory_space=pltpu.VMEM))
+    in_specs.append(pl.BlockSpec((n_tile, kb_tile), lambda nt, kt: (nt, kt),
+                                 memory_space=pltpu.VMEM))
+    in_specs.append(sc_spec)
     if has_mins:
         in_specs.append(sc_spec)
 
-    flops = 2 * b * n * k
-    bytes_accessed = n * (k if layout == "int8" else k // 2) + n * s * 4 * (2 if has_mins else 1)
+    # drop unused refs so the kernel signature matches in_specs
+    def kernel_wrap(*refs):
+        i = 0
+        x_lo = refs[i]; i += 1
+        x_hi = refs[i] if nib4 else None
+        i += 1 if nib4 else 0
+        xs = refs[i] if affine else None
+        i += 1 if affine else 0
+        qs = refs[i]; i += 1
+        sc = refs[i]; i += 1
+        mn = refs[i] if has_mins else None
+        i += 1 if has_mins else 0
+        o = refs[i]
+        kernel(x_lo, x_hi, xs, qs, sc, mn, o)
 
-    def _fn(x, qs, scales, mins):
-        args = (x, qs, scales) + ((mins,) if has_mins else ())
+    flops = 2 * b * n * k
+    bytes_accessed = n * kb + n * s * 4 * (2 if has_mins else 1) + b * k * 4
+
+    def _fn(x, xs, qs, scales, mins):
+        args = [x]
+        if nib4:
+            args.append(x)  # same buffer, two block views
+        if affine:
+            args.append(xs)
+        args.append(qs)
+        args.append(scales)
+        if has_mins:
+            args.append(mins)
         return pl.pallas_call(
-            kernel if has_mins else functools.partial(_qmm_kernel_nomins, kernel),
+            kernel_wrap,
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((b, n_tile), lambda nt, kt: (0, nt), memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec((b, n_tile), lambda nt, kt: (0, nt),
+                                   memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary"),
@@ -192,16 +238,13 @@ def _build_qmm(b: int, n: int, k: int, layout: str, q_offset: int, sub: int, has
     return _fn
 
 
-def _qmm_kernel_nomins(kernel, x_ref, qs_ref, sc_ref, o_ref):
-    kernel(x_ref, qs_ref, sc_ref, None, o_ref)
-
-
 def qmatmul_pallas(x: jax.Array, qt: QTensor, out_dtype=None, fast: bool | None = None) -> jax.Array:
     """x: (..., K) @ dequant(qt)(N, K)^T -> (..., N). Requires a kernel-packed
     QTensor (kperm=True, see QTensor.from_host); falls back to XLA otherwise."""
-    n, k = qt.shape
     if not getattr(qt, "kperm", False):
         return qmatmul_xla(x, qt, out_dtype)
+    n, k = qt.n_rows, qt.n_cols  # per-shard view, not the logical aux shape
+    s = k // qt.sub
 
     lead = x.shape[:-1]
     b = int(np.prod(lead)) if lead else 1
@@ -209,11 +252,15 @@ def qmatmul_pallas(x: jax.Array, qt: QTensor, out_dtype=None, fast: bool | None 
     b_pad = max(8, -(-b // 8) * 8)
     if b_pad != b:
         x2 = jnp.pad(x2, ((0, b_pad - b), (0, 0)))
+    # per-sub-block sums for the affine term (tiny; fused by XLA)
+    has_mins = qt.mins is not None
+    affine = has_mins or qt.q_offset != 0
+    xs = x2.reshape(b_pad, qt.sub, s).sum(axis=1) if affine else None
 
     if fast is None:
         fast = os.environ.get("PRIMA_QMM_FAST", "0") == "1"
-    fn = _build_qmm(b_pad, n, k, qt.layout, qt.q_offset, qt.sub, qt.mins is not None, fast)
-    out = fn(x2, qt.qs, qt.scales, qt.mins)
+    fn = _build_qmm(b_pad, n, k, qt.layout, qt.q_offset, qt.sub, has_mins, fast)
+    out = fn(x2, xs, qt.qs, qt.scales, qt.mins)
     out = out[:b].reshape(lead + (n,))
     return out.astype(out_dtype or x.dtype)
 
