@@ -1,0 +1,219 @@
+"""GBNF grammar parser.
+
+Parses the reference's GBNF dialect (src/llama-grammar.cpp, grammars/*.gbnf):
+rules `name ::= alternates`, literals with escapes, char classes with ranges
+and negation, rule references, grouping, postfix * + ?, alternation, and
+# comments. Compiles to flat rules: each rule is a list of alternates; each
+alternate a tuple of symbols:
+
+    ("char", ((lo, hi), ...), negated)   — codepoint class
+    ("ref", rule_id)                     — rule reference
+
+Postfix operators expand to synthetic rules (S* -> R ::= S R | ε etc.), the
+same desugaring the reference performs at parse time.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class Grammar:
+    rules: list[list[tuple]]  # rules[rule_id] = [alternate, ...]
+    names: dict[str, int]
+    root: int
+
+    def rule_name(self, rid: int) -> str:
+        for n, i in self.names.items():
+            if i == rid:
+                return n
+        return f"<{rid}>"
+
+
+class GBNFError(ValueError):
+    pass
+
+
+class _Parser:
+    def __init__(self, src: str):
+        self.src = src
+        self.pos = 0
+        self.rules: list[list[tuple]] = []
+        self.names: dict[str, int] = {}
+
+    # -- low-level ----------------------------------------------------------
+
+    def _ws(self, newlines: bool = True):
+        while self.pos < len(self.src):
+            c = self.src[self.pos]
+            if c == "#":  # comment to end of line
+                while self.pos < len(self.src) and self.src[self.pos] != "\n":
+                    self.pos += 1
+            elif c in " \t" or (newlines and c in "\r\n"):
+                self.pos += 1
+            else:
+                break
+
+    def _peek(self) -> str:
+        return self.src[self.pos] if self.pos < len(self.src) else ""
+
+    def _expect(self, s: str):
+        if not self.src.startswith(s, self.pos):
+            raise GBNFError(f"expected {s!r} at {self.pos}: ...{self.src[self.pos:self.pos+20]!r}")
+        self.pos += len(s)
+
+    def _name(self) -> str:
+        start = self.pos
+        while (c := self._peek()) and (c.isalnum() or c in "-_"):
+            self.pos += 1
+        if start == self.pos:
+            raise GBNFError(f"expected rule name at {self.pos}")
+        return self.src[start : self.pos]
+
+    def _rule_id(self, name: str) -> int:
+        if name not in self.names:
+            self.names[name] = len(self.rules)
+            self.rules.append([])
+        return self.names[name]
+
+    def _new_rule(self, alternates: list[tuple]) -> int:
+        rid = len(self.rules)
+        self.rules.append(alternates)
+        return rid
+
+    def _escape(self) -> int:
+        c = self._peek()
+        self.pos += 1
+        if c == "x":
+            h = self.src[self.pos : self.pos + 2]
+            self.pos += 2
+            return int(h, 16)
+        if c == "u":
+            h = self.src[self.pos : self.pos + 4]
+            self.pos += 4
+            return int(h, 16)
+        if c == "U":
+            h = self.src[self.pos : self.pos + 8]
+            self.pos += 8
+            return int(h, 16)
+        return {"n": 10, "r": 13, "t": 9, "\\": 92, '"': 34, "[": 91, "]": 93}.get(c, ord(c))
+
+    def _char(self) -> int:
+        c = self._peek()
+        if c == "\\":
+            self.pos += 1
+            return self._escape()
+        self.pos += 1
+        return ord(c)
+
+    # -- grammar constructs ---------------------------------------------------
+
+    def _literal(self) -> list[tuple]:
+        self._expect('"')
+        out = []
+        while self._peek() != '"':
+            if not self._peek():
+                raise GBNFError("unterminated string literal")
+            cp = self._char()
+            out.append(("char", ((cp, cp),), False))
+        self.pos += 1
+        return out
+
+    def _char_class(self) -> tuple:
+        self._expect("[")
+        neg = False
+        if self._peek() == "^":
+            neg = True
+            self.pos += 1
+        ranges = []
+        while self._peek() != "]":
+            if not self._peek():
+                raise GBNFError("unterminated char class")
+            lo = self._char()
+            hi = lo
+            if self._peek() == "-" and self.src[self.pos + 1 : self.pos + 2] != "]":
+                self.pos += 1
+                hi = self._char()
+            ranges.append((lo, hi))
+        self.pos += 1
+        return ("char", tuple(ranges), neg)
+
+    def _sequence(self) -> list[tuple]:
+        seq: list[tuple] = []
+        while True:
+            self._ws(newlines=False)
+            c = self._peek()
+            if c == '"':
+                syms = self._literal()
+            elif c == "[":
+                syms = [self._char_class()]
+            elif c == "(":
+                self.pos += 1
+                alts = self._alternates()
+                self._expect(")")
+                syms = [("ref", self._new_rule(alts))]
+            elif c and (c.isalnum() or c in "-_"):
+                save = self.pos
+                name = self._name()
+                self._ws(newlines=False)
+                if self.src.startswith("::=", self.pos):
+                    self.pos = save  # next rule definition, not a reference
+                    break
+                syms = [("ref", self._rule_id(name))]
+            else:
+                break
+            # postfix operator applies to the last symbol/group
+            self._ws(newlines=False)
+            op = self._peek()
+            if op in "*+?":
+                self.pos += 1
+                last = syms[-1] if len(syms) == 1 else None
+                if last is None:
+                    # operator after a multi-char literal binds to last char
+                    last = syms.pop()
+                else:
+                    syms = syms[:-1]
+                body = last
+                if op == "*":
+                    rid = self._new_rule([])
+                    self.rules[rid] = [(body, ("ref", rid)), ()]
+                elif op == "+":
+                    rid = self._new_rule([])
+                    self.rules[rid] = [(body, ("ref", rid)), (body,)]
+                else:  # ?
+                    rid = self._new_rule([(body,), ()])
+                syms.append(("ref", rid))
+            seq.extend(syms)
+        return seq
+
+    def _alternates(self) -> list[tuple]:
+        alts = [tuple(self._sequence())]
+        self._ws(newlines=False)
+        while self._peek() == "|":
+            self.pos += 1
+            self._ws()
+            alts.append(tuple(self._sequence()))
+            self._ws(newlines=False)
+        return alts
+
+    def parse(self) -> Grammar:
+        self._ws()
+        while self.pos < len(self.src):
+            name = self._name()
+            self._ws(newlines=False)
+            self._expect("::=")
+            self._ws(newlines=False)
+            rid = self._rule_id(name)
+            self.rules[rid] = self._alternates()
+            self._ws()
+        if "root" not in self.names:
+            raise GBNFError("grammar has no 'root' rule")
+        for name, rid in self.names.items():
+            if not self.rules[rid]:
+                raise GBNFError(f"rule {name!r} referenced but never defined")
+        return Grammar(self.rules, self.names, self.names["root"])
+
+
+def parse_gbnf(src: str) -> Grammar:
+    return _Parser(src).parse()

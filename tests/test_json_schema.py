@@ -1,0 +1,78 @@
+"""JSON-schema -> GBNF conversion, validated by actually constraining text
+with the generated grammar (reference: common/json-schema-to-grammar.cpp +
+tests/test-json-schema-to-grammar.cpp)."""
+
+import json
+
+import pytest
+
+from prima_tpu.grammar import GrammarMatcher, parse_gbnf
+from prima_tpu.grammar.json_schema import json_schema_to_gbnf
+
+
+def _matches(schema: dict, text: str) -> bool:
+    g = parse_gbnf(json_schema_to_gbnf(schema))
+    m = GrammarMatcher(g)
+    return m.advance_text(text.encode()) and m.is_complete()
+
+
+def test_object_required_and_optional():
+    schema = {
+        "type": "object",
+        "properties": {"name": {"type": "string"}, "age": {"type": "integer"},
+                       "tag": {"type": "string"}},
+        "required": ["name", "age"],
+    }
+    assert _matches(schema, '{"name": "bob", "age": 7}')
+    assert _matches(schema, '{"name": "bob", "age": 7, "tag": "x"}')
+    assert not _matches(schema, '{"age": 7}')
+    assert not _matches(schema, '{"name": "bob", "age": "x"}')
+
+
+def test_enum_and_const():
+    assert _matches({"enum": ["red", "green", 3]}, '"red"')
+    assert _matches({"enum": ["red", "green", 3]}, "3")
+    assert not _matches({"enum": ["red", "green"]}, '"blue"')
+    assert _matches({"const": 42}, "42")
+    assert not _matches({"const": 42}, "43")
+
+
+def test_array_items_and_bounds():
+    schema = {"type": "array", "items": {"type": "integer"}}
+    assert _matches(schema, "[]")
+    assert _matches(schema, "[1, 2, 3]")
+    assert not _matches(schema, '[1, "a"]')
+    bounded = {"type": "array", "items": {"type": "integer"}, "minItems": 2, "maxItems": 3}
+    assert not _matches(bounded, "[1]")
+    assert _matches(bounded, "[1, 2]")
+    assert _matches(bounded, "[1, 2, 3]")
+    assert not _matches(bounded, "[1, 2, 3, 4]")
+
+
+def test_oneof_and_types_list():
+    schema = {"oneOf": [{"type": "integer"}, {"type": "boolean"}]}
+    assert _matches(schema, "5")
+    assert _matches(schema, "true")
+    assert not _matches(schema, '"s"')
+    schema2 = {"type": ["string", "null"]}
+    assert _matches(schema2, '"x"')
+    assert _matches(schema2, "null")
+    assert not _matches(schema2, "1")
+
+
+def test_refs_and_nesting():
+    schema = {
+        "$defs": {"pt": {"type": "object",
+                         "properties": {"x": {"type": "number"}, "y": {"type": "number"}},
+                         "required": ["x", "y"]}},
+        "type": "object",
+        "properties": {"a": {"$ref": "#/$defs/pt"}, "b": {"$ref": "#/$defs/pt"}},
+        "required": ["a", "b"],
+    }
+    assert _matches(schema, '{"a": {"x": 1, "y": 2}, "b": {"x": -1.5, "y": 0}}')
+    assert not _matches(schema, '{"a": {"x": 1}, "b": {"x": 1, "y": 2}}')
+
+
+def test_free_value():
+    assert _matches({}, '{"anything": [1, "two", null, {"deep": true}]}')
+    assert _matches({}, "3.14")
