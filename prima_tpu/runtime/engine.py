@@ -1,0 +1,239 @@
+"""Continuous-batching inference engine (single host).
+
+The analogue of the server's slot machinery + llama_decode driving loop
+(examples/server/server.cpp update_slots @1996, llama_decode_internal
+src/llama.cpp:18229): N slots share one dense KV cache; prompts prefill in
+bucketed chunks; every step() decodes ONE token for every active slot in a
+single batched forward (XLA-friendly static shapes — inactive rows are
+parked, their writes overwritten before ever being read).
+
+Uniform decode invariant: prefill ingests prompt[:-1] only; the last prompt
+token always enters through the batched decode step, so first-token logits
+need no special casing.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import ModelConfig
+from ..models.llama import ForwardOptions, forward
+from ..sampling import Sampler, SamplerParams
+from .kv import KVCache
+
+
+class SlotState(Enum):
+    IDLE = 0
+    PREFILL = 1
+    DECODE = 2
+
+
+@dataclass
+class Slot:
+    id: int
+    state: SlotState = SlotState.IDLE
+    prompt: list[int] = field(default_factory=list)
+    n_prompt_done: int = 0
+    generated: list[int] = field(default_factory=list)
+    sampler: Sampler | None = None
+    n_predict: int = -1
+    request_id: Any = None
+    stop_reason: str | None = None
+
+    @property
+    def n_past(self) -> int:
+        return self.n_prompt_done + len(self.generated)
+
+
+@dataclass
+class StepEvent:
+    slot_id: int
+    request_id: Any
+    token: int | None
+    done: bool
+    reason: str | None = None
+
+
+class Engine:
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        params: dict,
+        n_slots: int = 4,
+        max_seq: int = 2048,
+        n_batch: int = 256,
+        opts: ForwardOptions | None = None,
+        kv_dtype=jnp.bfloat16,
+        eog_ids: set[int] | None = None,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.opts = opts or ForwardOptions()
+        self.n_slots = n_slots
+        self.max_seq = max_seq
+        self.n_batch = n_batch
+        self.kv = KVCache(cfg, n_slots, max_seq, kv_dtype)
+        self.slots = [Slot(i) for i in range(n_slots)]
+        self.eog_ids = eog_ids or set()
+        self.n_decode_calls = 0  # /metrics counter parity (server.cpp:2928)
+
+        cfg_ = cfg
+        opts_ = self.opts
+
+        @functools.partial(jax.jit, static_argnames=("s_len",))
+        def _prefill(params, caches, tokens, pos0, slot, s_len):
+            # tokens: (s_len,) — single-slot chunked prefill on a kv row slice
+            row = [(k[slot][None], v[slot][None]) for k, v in caches]
+            positions = pos0 + jnp.arange(s_len, dtype=jnp.int32)[None]
+            _logits, row = forward(
+                params, cfg_, tokens[None], positions, row, pos0[None], opts_
+            )
+            caches = [
+                (k.at[slot].set(r[0][0]), v.at[slot].set(r[1][0]))
+                for (k, v), r in zip(caches, row)
+            ]
+            return caches
+
+        @jax.jit
+        def _decode(params, caches, tokens, cache_pos):
+            # tokens: (B, 1); cache_pos: (B,) — batched one-token step
+            positions = cache_pos[:, None]
+            logits, caches = forward(
+                params, cfg_, tokens, positions, caches, cache_pos, opts_
+            )
+            return logits[:, -1], caches
+
+        self._prefill = _prefill
+        self._decode = _decode
+
+    # -- request management ----------------------------------------------------
+
+    def find_idle_slot(self) -> Slot | None:
+        for s in self.slots:
+            if s.state == SlotState.IDLE:
+                return s
+        return None
+
+    def submit(self, prompt_tokens: list[int], sampler: Sampler | None = None,
+               n_predict: int = -1, request_id: Any = None,
+               reuse_prefix: bool = True) -> Slot:
+        if not prompt_tokens:
+            raise ValueError("empty prompt")
+        slot = self.find_idle_slot()
+        if slot is None:
+            raise RuntimeError("no idle slot")
+        if len(prompt_tokens) >= self.max_seq:
+            raise ValueError(f"prompt ({len(prompt_tokens)}) exceeds max_seq")
+        # prompt-prefix reuse against this slot's previous contents
+        # (cache_prompt / slot_prompt_similarity, server.cpp update_slots)
+        common = 0
+        if reuse_prefix and slot.prompt:
+            limit = min(len(slot.prompt), len(prompt_tokens) - 1, self.kv.used(slot.id))
+            while common < limit and slot.prompt[common] == prompt_tokens[common]:
+                common += 1
+        self.kv.seq_rm(slot.id, p0=common)
+        slot.state = SlotState.PREFILL
+        slot.prompt = list(prompt_tokens)
+        slot.n_prompt_done = common
+        slot.generated = []
+        slot.sampler = sampler or Sampler(SamplerParams(temp=0.0))
+        slot.n_predict = n_predict
+        slot.request_id = request_id
+        slot.stop_reason = None
+        for t in prompt_tokens:
+            slot.sampler.accept(t, accept_grammar=False)
+        if slot.n_prompt_done >= len(slot.prompt) - 1:
+            slot.state = SlotState.DECODE  # everything but last token cached
+        return slot
+
+    def cancel(self, request_id: Any) -> bool:
+        """/v1/cancel analogue (server.cpp:2826)."""
+        for s in self.slots:
+            if s.request_id == request_id and s.state != SlotState.IDLE:
+                s.state = SlotState.IDLE
+                s.stop_reason = "cancelled"
+                return True
+        return False
+
+    # -- the decode loop --------------------------------------------------------
+
+    def _advance_prefill(self, slot: Slot) -> None:
+        """Ingest one chunk of prompt[:-1] into the KV cache."""
+        target = len(slot.prompt) - 1
+        chunk = slot.prompt[slot.n_prompt_done : min(slot.n_prompt_done + self.n_batch, target)]
+        s_len = _bucket(len(chunk), self.n_batch)
+        padded = np.zeros(s_len, dtype=np.int32)
+        padded[: len(chunk)] = chunk
+        pos0 = np.int32(self.kv.used(slot.id))
+        self.kv.caches = self._prefill(
+            self.params, self.kv.caches, jnp.asarray(padded), pos0, slot.id, s_len
+        )
+        self.kv.cache_pos[slot.id] += len(chunk)
+        slot.n_prompt_done += len(chunk)
+        if slot.n_prompt_done >= target:
+            slot.state = SlotState.DECODE
+
+    def step(self) -> list[StepEvent]:
+        """One scheduler tick: advance prefills, then one batched decode."""
+        events: list[StepEvent] = []
+        for slot in self.slots:
+            if slot.state == SlotState.PREFILL:
+                self._advance_prefill(slot)
+
+        active = [s for s in self.slots if s.state == SlotState.DECODE]
+        if not active:
+            return events
+
+        B = self.n_slots
+        tokens = np.zeros((B, 1), dtype=np.int32)
+        for slot in active:
+            tokens[slot.id, 0] = slot.generated[-1] if slot.generated else slot.prompt[-1]
+        cache_pos = self.kv.cache_pos.copy()  # inactive rows park in place
+
+        logits_j, self.kv.caches = self._decode(
+            self.params, self.kv.caches, jnp.asarray(tokens), jnp.asarray(cache_pos)
+        )
+        self.n_decode_calls += 1
+        logits_all = np.asarray(logits_j, dtype=np.float32)
+        for slot in active:
+            self.kv.cache_pos[slot.id] += 1
+
+        for slot in active:
+            tok = slot.sampler.sample_and_accept(logits_all[slot.id])
+            slot.generated.append(tok)
+            done, reason = self._check_stop(slot, tok)
+            if done:
+                slot.state = SlotState.IDLE
+                slot.stop_reason = reason
+            events.append(StepEvent(slot.id, slot.request_id, tok, done, reason))
+        return events
+
+    def _check_stop(self, slot: Slot, tok: int) -> tuple[bool, str | None]:
+        if tok in self.eog_ids:
+            return True, "eog"
+        if slot.n_predict >= 0 and len(slot.generated) >= slot.n_predict:
+            return True, "length"
+        if self.kv.used(slot.id) >= self.max_seq:
+            return True, "context_full"
+        return False, None
+
+    def run_to_completion(self, prompt_tokens: list[int], **kw) -> list[int]:
+        """Synchronous single-request helper (the llama-cli one-shot path)."""
+        slot = self.submit(prompt_tokens, **kw)
+        while slot.state != SlotState.IDLE:
+            self.step()
+        return list(slot.generated)
+
+
+def _bucket(n: int, cap: int) -> int:
+    b = 8
+    while b < n:
+        b *= 2
+    return min(b, cap)

@@ -1,0 +1,181 @@
+"""prima-cli — interactive / one-shot chat CLI.
+
+The llama-cli analogue (reference examples/main/main.cpp): loads a GGUF,
+tokenizes the prompt, streams sampled tokens, supports the full sampler
+flag set, grammar/JSON-schema constrained output, reverse prompts, and a
+simple interactive mode. Flags mirror common/arg.cpp names with LLAMA_ARG_*
+environment fallbacks.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    def env(name, default=None):
+        return os.environ.get(f"LLAMA_ARG_{name}", default)
+
+    ap = argparse.ArgumentParser(prog="prima-cli", description=__doc__)
+    ap.add_argument("-m", "--model", default=env("MODEL"), required=env("MODEL") is None)
+    ap.add_argument("-p", "--prompt", default="")
+    ap.add_argument("-f", "--file", help="read prompt from file")
+    ap.add_argument("-n", "--n-predict", type=int, default=int(env("N_PREDICT", -1)))
+    ap.add_argument("-c", "--ctx-size", type=int, default=int(env("CTX_SIZE", 2048)))
+    ap.add_argument("-b", "--batch-size", type=int, default=int(env("BATCH", 256)))
+    ap.add_argument("-i", "--interactive", action="store_true")
+    ap.add_argument("-r", "--reverse-prompt", action="append", default=[])
+    ap.add_argument("-e", "--escape", action="store_true",
+                    help="process \\n, \\t, ... escapes in the prompt")
+    ap.add_argument("--no-display-prompt", action="store_true")
+    ap.add_argument("--matmul", default="pallas", choices=["pallas", "xla"])
+    ap.add_argument("--verbose", "-v", action="count", default=0)
+    # sampling (common/arg.cpp flag names)
+    ap.add_argument("-s", "--seed", type=int, default=-1)
+    ap.add_argument("--temp", type=float, default=0.8)
+    ap.add_argument("--top-k", type=int, default=40)
+    ap.add_argument("--top-p", type=float, default=0.95)
+    ap.add_argument("--min-p", type=float, default=0.05)
+    ap.add_argument("--tfs", type=float, default=1.0)
+    ap.add_argument("--typical", type=float, default=1.0)
+    ap.add_argument("--repeat-penalty", type=float, default=1.0)
+    ap.add_argument("--repeat-last-n", type=int, default=64)
+    ap.add_argument("--frequency-penalty", type=float, default=0.0)
+    ap.add_argument("--presence-penalty", type=float, default=0.0)
+    ap.add_argument("--mirostat", type=int, default=0)
+    ap.add_argument("--mirostat-lr", type=float, default=0.1)
+    ap.add_argument("--mirostat-ent", type=float, default=5.0)
+    ap.add_argument("-l", "--logit-bias", action="append", default=[],
+                    help="TOKEN_ID(+/-)BIAS, e.g. 29871+1.5")
+    ap.add_argument("--ignore-eos", action="store_true")
+    ap.add_argument("--grammar", default="")
+    ap.add_argument("--grammar-file", default="")
+    ap.add_argument("--json-schema", default="")
+    return ap
+
+
+def make_sampler(args, model, n_vocab: int):
+    from ..sampling import Sampler, SamplerParams
+
+    bias = {}
+    for spec in args.logit_bias:
+        spec = spec.replace("+", ":").replace("-", ":-")
+        tid, _, b = spec.partition(":")
+        bias[int(tid)] = float(b)
+    if args.ignore_eos:
+        for t in model.eog_ids:
+            bias[t] = -np.inf
+
+    grammar = None
+    gtext = args.grammar
+    if args.grammar_file:
+        gtext = open(args.grammar_file).read()
+    if args.json_schema:
+        from ..grammar.json_schema import json_schema_to_gbnf
+
+        gtext = json_schema_to_gbnf(args.json_schema)
+    if gtext:
+        from ..grammar.engine import GrammarSampler
+
+        token_bytes = [model.tokenizer.decode_token_bytes(i) for i in range(n_vocab)]
+        grammar = GrammarSampler(gtext, token_bytes, eog_ids=model.eog_ids)
+
+    params = SamplerParams(
+        seed=args.seed if args.seed >= 0 else 0xFFFFFFFF,
+        top_k=args.top_k, top_p=args.top_p, min_p=args.min_p,
+        tfs_z=args.tfs, typ_p=args.typical, temp=args.temp,
+        penalty_last_n=args.repeat_last_n, penalty_repeat=args.repeat_penalty,
+        penalty_freq=args.frequency_penalty, penalty_present=args.presence_penalty,
+        mirostat=args.mirostat, mirostat_eta=args.mirostat_lr,
+        mirostat_tau=args.mirostat_ent, logit_bias=bias,
+    )
+    return Sampler(params, n_vocab=n_vocab, grammar=grammar)
+
+
+def _stream_generate(eng, model, sampler, prompt_tokens, n_predict, reverse: list[str]):
+    """Generate, print incrementally, honor reverse prompts. Returns text."""
+    from ..runtime.engine import SlotState
+
+    slot = eng.submit(prompt_tokens, sampler=sampler, n_predict=n_predict)
+    buf = b""
+    text_out = ""
+    while slot.state != SlotState.IDLE:
+        for ev in eng.step():
+            if ev.token is None:
+                continue
+            buf += model.tokenizer.decode_token_bytes(ev.token)
+            try:
+                piece = buf.decode("utf-8")
+                buf = b""
+            except UnicodeDecodeError:
+                continue
+            text_out += piece
+            sys.stdout.write(piece)
+            sys.stdout.flush()
+            if any(r in text_out for r in reverse):
+                eng.cancel(slot.request_id)
+                break
+    return text_out
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from ..models.loader import load_model
+    from ..models.llama import ForwardOptions
+    from ..runtime.engine import Engine
+
+    if args.verbose:
+        print(f"loading {args.model} ...", file=sys.stderr)
+    model = load_model(args.model)
+    opts = ForwardOptions(matmul_impl=args.matmul)
+    eng = Engine(model.cfg, model.params, n_slots=1, max_seq=args.ctx_size,
+                 n_batch=args.batch_size, opts=opts, eog_ids=model.eog_ids)
+
+    prompt = args.prompt
+    if args.file:
+        prompt = open(args.file).read()
+    if args.escape:
+        prompt = prompt.encode().decode("unicode_escape")
+
+    v = model.tokenizer.vocab
+    if args.verbose:
+        print(f"model: {model.cfg.name or model.cfg.arch}, {model.cfg.n_layers} layers, "
+              f"vocab {v.n_tokens}", file=sys.stderr)
+
+    if not args.interactive:
+        toks = model.tokenizer.encode(prompt, add_special=True, parse_special=True)
+        if not args.no_display_prompt:
+            sys.stdout.write(prompt)
+        sampler = make_sampler(args, model, v.n_tokens)
+        _stream_generate(eng, model, sampler, toks, args.n_predict, args.reverse_prompt)
+        sys.stdout.write("\n")
+        return 0
+
+    # interactive chat loop
+    print("== interactive mode: empty line or Ctrl-D to exit ==", file=sys.stderr)
+    history = prompt
+    while True:
+        try:
+            line = input("> ")
+        except EOFError:
+            break
+        if not line.strip():
+            break
+        history += line + "\n"
+        toks = model.tokenizer.encode(history, add_special=True, parse_special=True)
+        sampler = make_sampler(args, model, v.n_tokens)
+        out = _stream_generate(eng, model, sampler, toks, args.n_predict,
+                               args.reverse_prompt or ["\n>"])
+        history += out
+        print()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

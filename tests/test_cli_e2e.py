@@ -1,0 +1,63 @@
+"""End-to-end: synth GGUF -> loader -> engine -> CLI (the ci/run.sh analogue)."""
+
+import io
+import json
+import sys
+
+import pytest
+
+from prima_tpu.gguf.constants import GGMLType
+from prima_tpu.tools.make_tiny_gguf import make_tiny_gguf
+
+
+@pytest.fixture(scope="module")
+def tiny_model(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("m") / "tiny.gguf")
+    return make_tiny_gguf(path, seed=3)
+
+
+def _run_cli(args):
+    from prima_tpu.tools.cli import main
+
+    old = sys.stdout
+    sys.stdout = cap = io.StringIO()
+    try:
+        rc = main(args)
+    finally:
+        sys.stdout = old
+    assert rc == 0
+    return cap.getvalue()
+
+
+def test_cli_greedy_deterministic(tiny_model):
+    out1 = _run_cli(["-m", tiny_model, "-p", "Hello", "-n", "6", "--temp", "0",
+                     "--matmul", "xla", "--no-display-prompt"])
+    out2 = _run_cli(["-m", tiny_model, "-p", "Hello", "-n", "6", "--temp", "0",
+                     "--matmul", "xla", "--no-display-prompt"])
+    assert out1 == out2
+    assert len(out1.strip()) > 0
+
+
+def test_cli_json_schema_constrained(tiny_model):
+    schema = '{"type":"object","properties":{"a":{"type":"integer"}},"required":["a"]}'
+    out = _run_cli(["-m", tiny_model, "-p", "x", "-n", "48", "--temp", "0.7",
+                    "-s", "11", "--matmul", "xla", "--no-display-prompt",
+                    "--json-schema", schema])
+    obj = json.loads(out.strip())
+    assert "a" in obj and isinstance(obj["a"], int)
+
+
+def test_cli_seeded_sampling_reproducible(tiny_model):
+    args = ["-m", tiny_model, "-p", "ab", "-n", "8", "--temp", "1.0", "-s", "7",
+            "--matmul", "xla", "--no-display-prompt"]
+    assert _run_cli(args) == _run_cli(args)
+
+
+def test_loader_roundtrip(tiny_model):
+    from prima_tpu.models.loader import load_model
+
+    m = load_model(tiny_model)
+    assert m.cfg.n_layers == 2
+    assert m.cfg.n_vocab == m.tokenizer.vocab.n_tokens
+    ids = m.tokenizer.encode("hello world")
+    assert m.tokenizer.decode(ids) == "hello world"
