@@ -224,6 +224,28 @@ class Engine:
             return True, "context_full"
         return False, None
 
+    def embed(self, prompt_tokens: list[int], pooling: str = "mean") -> np.ndarray:
+        """Sequence embedding (the /v1/embeddings path, pooling per
+        llama_pooling_type: mean | last | cls)."""
+        s_len = _bucket(len(prompt_tokens), max(self.n_batch, len(prompt_tokens)))
+        padded = np.zeros((1, s_len), dtype=np.int32)
+        padded[0, : len(prompt_tokens)] = prompt_tokens
+        positions = np.arange(s_len, dtype=np.int32)[None]
+        kv = [(jnp.zeros_like(k[0:1]), jnp.zeros_like(v[0:1])) for k, v in self.kv.caches]
+        hidden, _ = forward(
+            self.params, self.cfg, jnp.asarray(padded), jnp.asarray(positions),
+            kv, jnp.zeros(1, jnp.int32), self.opts, return_hidden=True,
+        )
+        from ..ops.layers import rms_norm
+
+        hidden = rms_norm(hidden, self.params["output_norm"], self.cfg.rms_eps)
+        h = np.asarray(hidden[0, : len(prompt_tokens)], dtype=np.float32)
+        if pooling == "last":
+            return h[-1]
+        if pooling == "cls":
+            return h[0]
+        return h.mean(axis=0)
+
     def run_to_completion(self, prompt_tokens: list[int], **kw) -> list[int]:
         """Synchronous single-request helper (the llama-cli one-shot path)."""
         slot = self.submit(prompt_tokens, **kw)

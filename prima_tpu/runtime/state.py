@@ -1,0 +1,92 @@
+"""State save/load: session files and per-slot KV serialization.
+
+The analogue of llama_state_get_data / llama_state_seq_* (reference
+include/llama.h:860-950) and the server's slot save/restore endpoints
+(slotsave.feature): a slot's KV rows (trimmed to its used length), its
+token history, and versioned model-shape metadata go into one .npz.
+"""
+
+from __future__ import annotations
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+
+STATE_MAGIC = "prima-tpu-state"
+STATE_VERSION = 1
+
+
+def _meta(engine, n_tokens: int) -> dict:
+    cfg = engine.cfg
+    return {
+        "magic": STATE_MAGIC,
+        "version": STATE_VERSION,
+        "arch": cfg.arch,
+        "n_layers": cfg.n_layers,
+        "n_kv_heads": cfg.n_kv_heads,
+        "head_dim": cfg.head_dim,
+        "n_tokens": n_tokens,
+    }
+
+
+def slot_save(engine, slot_id: int, path: str) -> int:
+    """Save one slot's sequence state; returns tokens saved."""
+    used = engine.kv.used(slot_id)
+    slot = engine.slots[slot_id]
+    tokens = (slot.prompt + slot.generated)[: used + 1]
+    arrays = {}
+    for li, kv in enumerate(engine.kv.caches):
+        if kv is None:
+            continue
+        k, v = kv
+        arrays[f"k{li}"] = np.asarray(k[slot_id, :used], dtype=np.float32)
+        arrays[f"v{li}"] = np.asarray(v[slot_id, :used], dtype=np.float32)
+    np.savez_compressed(
+        path,
+        meta=json.dumps(_meta(engine, used)),
+        tokens=np.asarray(tokens, dtype=np.int32),
+        **arrays,
+    )
+    return used
+
+
+def slot_restore(engine, slot_id: int, path: str) -> int:
+    """Restore a saved sequence into a slot; returns tokens restored."""
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(str(z["meta"]))
+        if meta.get("magic") != STATE_MAGIC:
+            raise ValueError(f"{path}: not a prima-tpu state file")
+        for key in ("arch", "n_layers", "n_kv_heads", "head_dim"):
+            want = getattr(engine.cfg, key if key != "arch" else "arch")
+            if meta.get(key) != want:
+                raise ValueError(f"{path}: state {key}={meta.get(key)} != model {want}")
+        used = int(meta["n_tokens"])
+        if used > engine.max_seq:
+            raise ValueError(f"{path}: state length {used} > max_seq {engine.max_seq}")
+        tokens = [int(t) for t in z["tokens"]]
+        for li in range(engine.cfg.n_layers):
+            k, v = engine.kv.caches[li]
+            kd = jnp.asarray(z[f"k{li}"], dtype=k.dtype)
+            vd = jnp.asarray(z[f"v{li}"], dtype=v.dtype)
+            k = k.at[slot_id, :used].set(kd)
+            v = v.at[slot_id, :used].set(vd)
+            engine.kv.caches[li] = (k, v)
+    engine.kv.cache_pos[slot_id] = used
+    slot = engine.slots[slot_id]
+    slot.prompt = tokens
+    slot.generated = []
+    slot.n_prompt_done = min(used, max(len(tokens) - 1, 0))
+    return used
+
+
+def session_save(engine, slot_id: int, path: str) -> int:
+    """CLI session file (--prompt-cache, main.cpp:268-288)."""
+    return slot_save(engine, slot_id, path)
+
+
+def session_load(engine, slot_id: int, path: str) -> list[int]:
+    """Returns the cached token list (the CLI matches it against the new
+    prompt and reuses the longest common prefix)."""
+    slot_restore(engine, slot_id, path)
+    return list(engine.slots[slot_id].prompt)

@@ -1,0 +1,47 @@
+"""prima-server launcher: python -m prima_tpu.server -m model.gguf [...]"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv=None) -> int:
+    def env(name, default=None):
+        return os.environ.get(f"LLAMA_ARG_{name}", default)
+
+    ap = argparse.ArgumentParser(prog="prima-server")
+    ap.add_argument("-m", "--model", default=env("MODEL"), required=env("MODEL") is None)
+    ap.add_argument("--host", default=env("HOST", "127.0.0.1"))
+    ap.add_argument("--port", type=int, default=int(env("PORT", 8080)))
+    ap.add_argument("-c", "--ctx-size", type=int, default=int(env("CTX_SIZE", 2048)))
+    ap.add_argument("-np", "--parallel", type=int, default=int(env("N_PARALLEL", 4)),
+                    help="number of server slots")
+    ap.add_argument("-b", "--batch-size", type=int, default=256)
+    ap.add_argument("--matmul", default="pallas", choices=["pallas", "xla"])
+    ap.add_argument("--alias", default="prima-tpu")
+    args = ap.parse_args(argv)
+
+    from ..models.loader import load_model
+    from ..models.llama import ForwardOptions
+    from ..runtime.engine import Engine
+    from .app import serve
+
+    print(f"loading {args.model} ...", file=sys.stderr)
+    model = load_model(args.model)
+    engine = Engine(model.cfg, model.params, n_slots=args.parallel,
+                    max_seq=args.ctx_size, n_batch=args.batch_size,
+                    opts=ForwardOptions(matmul_impl=args.matmul),
+                    eog_ids=model.eog_ids)
+    httpd, _ctx = serve(model, engine, args.host, args.port, args.alias)
+    print(f"listening on http://{args.host}:{args.port}", file=sys.stderr)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

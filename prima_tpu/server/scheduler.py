@@ -1,0 +1,193 @@
+"""Server-side task scheduler: the queue_tasks / update_slots analogue.
+
+A single engine thread owns the Engine (JAX is driven from one thread);
+HTTP handler threads enqueue GenerationRequests and consume per-request
+event queues (SSE streaming). Stop-string matching holds back partial
+matches exactly like the server's incomplete-stop handling
+(examples/server/server.cpp find_partial_stop_string).
+"""
+
+from __future__ import annotations
+
+import itertools
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from ..runtime.engine import Engine, SlotState
+from ..sampling import Sampler
+
+
+@dataclass
+class GenerationRequest:
+    prompt_tokens: list[int]
+    sampler: Sampler
+    n_predict: int = -1
+    stop: list[str] = field(default_factory=list)
+    request_id: int = 0
+    events: queue.Queue = field(default_factory=queue.Queue)
+    # filled by the worker
+    text: str = ""
+    n_prompt: int = 0
+    done_reason: str | None = None
+
+
+@dataclass
+class StreamEvent:
+    text: str
+    done: bool
+    reason: str | None = None
+    token: int | None = None
+
+
+class EngineWorker:
+    """Owns the Engine; admits queued requests to idle slots; steps."""
+
+    def __init__(self, engine: Engine, tokenizer):
+        self.engine = engine
+        self.tokenizer = tokenizer
+        self.pending: queue.Queue[GenerationRequest] = queue.Queue()
+        self.active: dict[int, GenerationRequest] = {}  # request_id -> req
+        self._buffers: dict[int, bytes] = {}
+        self._texts: dict[int, str] = {}
+        self._ids = itertools.count(1)
+        self._lock = threading.Lock()
+        self._wake = threading.Event()
+        self._stop = False
+        self.metrics = {
+            "prompt_tokens_total": 0,
+            "tokens_predicted_total": 0,
+            "n_requests": 0,
+            "n_busy_slots": 0,
+        }
+        self.thread = threading.Thread(target=self._loop, daemon=True)
+
+    def start(self):
+        self.thread.start()
+
+    def shutdown(self):
+        self._stop = True
+        self._wake.set()
+        self.thread.join(timeout=10)
+
+    def submit(self, req: GenerationRequest) -> GenerationRequest:
+        req.request_id = next(self._ids)
+        self.metrics["n_requests"] += 1
+        self.metrics["prompt_tokens_total"] += len(req.prompt_tokens)
+        self.pending.put(req)
+        self._wake.set()
+        return req
+
+    def cancel(self, request_id: int) -> bool:
+        with self._lock:
+            req = self.active.get(request_id)
+        if req is None:
+            return False
+        ok = self.engine.cancel(request_id)
+        if ok:
+            self._finish(req, "cancelled")
+        return ok
+
+    # -- worker loop ----------------------------------------------------------
+
+    def _admit(self):
+        while True:
+            slot = self.engine.find_idle_slot()
+            if slot is None:
+                return
+            try:
+                req = self.pending.get_nowait()
+            except queue.Empty:
+                return
+            self.engine.submit(req.prompt_tokens, sampler=req.sampler,
+                               n_predict=req.n_predict, request_id=req.request_id)
+            with self._lock:
+                self.active[req.request_id] = req
+            self._buffers[req.request_id] = b""
+            self._texts[req.request_id] = ""
+
+    def _finish(self, req: GenerationRequest, reason: str):
+        with self._lock:
+            self.active.pop(req.request_id, None)
+        self._buffers.pop(req.request_id, None)
+        req.done_reason = reason
+        req.events.put(StreamEvent("", True, reason))
+
+    def _emit(self, req: GenerationRequest, token: int) -> None:
+        rid = req.request_id
+        self._buffers[rid] += self.tokenizer.decode_token_bytes(token)
+        try:
+            piece = self._buffers[rid].decode("utf-8")
+            self._buffers[rid] = b""
+        except UnicodeDecodeError:
+            return
+        text = self._texts[rid] + piece
+        # full stop-string match: trim and finish
+        for s in req.stop:
+            idx = text.find(s, max(0, len(self._texts[rid]) - len(s)))
+            if idx >= 0:
+                final = text[:idx]
+                delta = final[len(req.text):]
+                if delta:
+                    req.events.put(StreamEvent(delta, False, token=token))
+                    req.text = final
+                self._texts[rid] = final
+                self.engine.cancel(rid)
+                self._finish(req, "stop")
+                return
+        self._texts[rid] = text
+        # hold back a suffix that could begin a stop string
+        hold = 0
+        for s in req.stop:
+            for k in range(min(len(s) - 1, len(text)), 0, -1):
+                if text.endswith(s[:k]):
+                    hold = max(hold, k)
+                    break
+        emit_to = len(text) - hold
+        delta = text[len(req.text):emit_to]
+        if delta:
+            req.text += delta
+            req.events.put(StreamEvent(delta, False, token=token))
+
+    def _loop(self):
+        while not self._stop:
+            self._admit()
+            with self._lock:
+                busy = len(self.active)
+            self.metrics["n_busy_slots"] = busy
+            if busy == 0:
+                self._wake.wait(timeout=0.2)
+                self._wake.clear()
+                continue
+            events = self.engine.step()
+            for ev in events:
+                with self._lock:
+                    req = self.active.get(ev.request_id)
+                if req is None:
+                    continue
+                if ev.token is not None:
+                    self.metrics["tokens_predicted_total"] += 1
+                    self._emit(req, ev.token)
+                with self._lock:
+                    still = ev.request_id in self.active
+                if ev.done and still:
+                    # flush any held-back text
+                    tail = self._texts.get(ev.request_id, "")[len(req.text):]
+                    if tail:
+                        req.text += tail
+                        req.events.put(StreamEvent(tail, False))
+                    self._finish(req, ev.reason or "done")
+
+    # -- synchronous helper ------------------------------------------------------
+
+    def generate(self, req: GenerationRequest, timeout: float = 600.0):
+        """Submit and iterate stream events until done."""
+        self.submit(req)
+        t0 = time.time()
+        while True:
+            ev = req.events.get(timeout=max(0.1, timeout - (time.time() - t0)))
+            yield ev
+            if ev.done:
+                return

@@ -1,0 +1,226 @@
+"""Server integration tests — the analogue of the reference's behave suites
+(examples/server/tests/features/*): a real HTTP server on a tiny model,
+exercising endpoints, streaming, concurrency, cancellation, slot save."""
+
+import http.client
+import json
+import threading
+import time
+
+import pytest
+
+from prima_tpu.gguf.constants import GGMLType
+from prima_tpu.models.llama import ForwardOptions
+from prima_tpu.models.loader import load_model
+from prima_tpu.runtime.engine import Engine
+from prima_tpu.server.app import serve
+from prima_tpu.tools.make_tiny_gguf import make_tiny_gguf
+
+OPTS = ForwardOptions(matmul_impl="xla")
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("m") / "tiny.gguf")
+    make_tiny_gguf(path, seed=3)
+    model = load_model(path)
+    engine = Engine(model.cfg, model.params, n_slots=2, max_seq=256, n_batch=64,
+                    opts=OPTS, eog_ids=model.eog_ids)
+    httpd, ctx = serve(model, engine, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield port, ctx
+    httpd.shutdown()
+    ctx.worker.shutdown()
+
+
+def _req(port, method, path, body=None, timeout=300):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=timeout)
+    conn.request(method, path, json.dumps(body) if body is not None else None,
+                 {"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    data = resp.read()
+    conn.close()
+    return resp.status, data
+
+
+def test_health_props_models_metrics(server):
+    port, _ = server
+    st, data = _req(port, "GET", "/health")
+    assert st == 200 and json.loads(data)["status"] == "ok"
+    st, data = _req(port, "GET", "/props")
+    props = json.loads(data)
+    assert st == 200 and props["total_slots"] == 2
+    st, data = _req(port, "GET", "/v1/models")
+    assert st == 200 and json.loads(data)["data"][0]["object"] == "model"
+    st, data = _req(port, "GET", "/metrics")
+    assert st == 200 and b"llamacpp:prompt_tokens_total" in data
+
+
+def test_completion_non_streaming(server):
+    port, _ = server
+    st, data = _req(port, "POST", "/v1/completions",
+                    {"prompt": "Hello", "max_tokens": 6, "temperature": 0})
+    assert st == 200
+    out = json.loads(data)
+    assert out["object"] == "text_completion"
+    assert len(out["choices"][0]["text"]) > 0
+    assert out["choices"][0]["finish_reason"] in ("stop", "length")
+
+
+def test_completion_deterministic(server):
+    port, _ = server
+    body = {"prompt": "abc", "max_tokens": 5, "temperature": 0}
+    _, d1 = _req(port, "POST", "/v1/completions", body)
+    _, d2 = _req(port, "POST", "/v1/completions", body)
+    assert json.loads(d1)["choices"][0]["text"] == json.loads(d2)["choices"][0]["text"]
+
+
+def test_chat_completion(server):
+    port, _ = server
+    st, data = _req(port, "POST", "/v1/chat/completions",
+                    {"messages": [{"role": "user", "content": "Hi"}],
+                     "max_tokens": 5, "temperature": 0})
+    assert st == 200
+    out = json.loads(data)
+    assert out["object"] == "chat.completion"
+    assert out["choices"][0]["message"]["role"] == "assistant"
+
+
+def test_streaming_sse(server):
+    port, _ = server
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+    conn.request("POST", "/v1/completions",
+                 json.dumps({"prompt": "xy", "max_tokens": 4, "temperature": 0,
+                             "stream": True}),
+                 {"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    assert resp.status == 200
+    assert "text/event-stream" in resp.getheader("Content-Type", "")
+    raw = resp.read().decode()
+    conn.close()
+    events = [l[6:] for l in raw.splitlines() if l.startswith("data: ")]
+    assert events[-1] == "[DONE]"
+    payloads = [json.loads(e) for e in events[:-1]]
+    text = "".join(p["choices"][0]["text"] for p in payloads)
+    assert len(text) > 0
+    assert payloads[-1]["choices"][0]["finish_reason"] in ("stop", "length")
+
+
+def test_concurrent_requests(server):
+    port, _ = server
+    results = {}
+
+    def go(name, prompt):
+        st, data = _req(port, "POST", "/v1/completions",
+                        {"prompt": prompt, "max_tokens": 8, "temperature": 0})
+        results[name] = (st, json.loads(data)["choices"][0]["text"])
+
+    threads = [threading.Thread(target=go, args=(f"r{i}", p))
+               for i, p in enumerate(["alpha", "beta", "gamma"])]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert len(results) == 3 and all(st == 200 for st, _ in results.values())
+    # same prompts solo must give same text (batching doesn't corrupt)
+    _, d = _req(port, "POST", "/v1/completions",
+                {"prompt": "beta", "max_tokens": 8, "temperature": 0})
+    assert json.loads(d)["choices"][0]["text"] == results["r1"][1]
+
+
+def test_stop_strings(server):
+    port, _ = server
+    _, d0 = _req(port, "POST", "/v1/completions",
+                 {"prompt": "q", "max_tokens": 12, "temperature": 0})
+    full = json.loads(d0)["choices"][0]["text"]
+    if len(full) > 4:
+        stop = full[2:4]
+        _, d1 = _req(port, "POST", "/v1/completions",
+                     {"prompt": "q", "max_tokens": 12, "temperature": 0, "stop": [stop]})
+        out = json.loads(d1)["choices"][0]["text"]
+        assert stop not in out
+        assert full.startswith(out)
+
+
+def test_embeddings(server):
+    port, _ = server
+    st, data = _req(port, "POST", "/v1/embeddings", {"input": ["hello", "world"]})
+    assert st == 200
+    out = json.loads(data)
+    assert len(out["data"]) == 2
+    assert len(out["data"][0]["embedding"]) == 256  # n_embd
+
+
+def test_tokenize_detokenize(server):
+    port, _ = server
+    st, data = _req(port, "POST", "/tokenize", {"content": "hello world"})
+    ids = json.loads(data)["tokens"]
+    assert st == 200 and len(ids) > 0
+    st, data = _req(port, "POST", "/detokenize", {"tokens": ids})
+    assert json.loads(data)["content"] == "hello world"
+
+
+def test_cancel_endpoint(server):
+    port, ctx = server
+    # cancel a long-running streamed task mid-flight
+    task_ids = {}
+
+    def run():
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        conn.request("POST", "/v1/completions",
+                     json.dumps({"prompt": "z", "max_tokens": 150, "temperature": 0,
+                                 "stream": True}),
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        buf = b""
+        while True:
+            chunk = resp.read(200)
+            if not chunk:
+                break
+            buf += chunk
+            *complete, _tail = buf.decode(errors="ignore").split("\n")
+            for line in complete:
+                if line.startswith("data: {") and "task_id" in line:
+                    try:
+                        task_ids["id"] = json.loads(line[6:]).get("task_id")
+                    except json.JSONDecodeError:
+                        pass
+        conn.close()
+
+    t = threading.Thread(target=run)
+    t.start()
+    deadline = time.time() + 60
+    while "id" not in task_ids and time.time() < deadline:
+        time.sleep(0.05)
+    assert "id" in task_ids
+    st, data = _req(port, "POST", "/v1/cancel", {"task_id": task_ids["id"]})
+    # request may have been admitted: cancellation should succeed or the
+    # request already finished (404)
+    assert st in (200, 404)
+    t.join(timeout=120)
+    assert not t.is_alive()
+
+
+def test_slot_save_restore(server, tmp_path):
+    port, ctx = server
+    _req(port, "POST", "/v1/completions", {"prompt": "persist me", "max_tokens": 3,
+                                           "temperature": 0})
+    st, data = _req(port, "POST", "/slots/0?action=save",
+                    {"filename": str(tmp_path / "s0.npz")})
+    assert st == 200 and json.loads(data)["n_saved"] >= 0
+    st, data = _req(port, "POST", "/slots/0?action=erase")
+    assert st == 200
+    st, data = _req(port, "POST", "/slots/0?action=restore",
+                    {"filename": str(tmp_path / "s0.npz")})
+    assert st == 200
+    assert json.loads(data)["n_restored"] == json.loads(_req(port, "GET", "/slots")[1])[0]["n_past"]
+
+
+def test_unknown_endpoint_404(server):
+    port, _ = server
+    st, _ = _req(port, "GET", "/nope")
+    assert st == 404
+    st, _ = _req(port, "POST", "/nope", {})
+    assert st == 404
