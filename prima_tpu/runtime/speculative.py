@@ -1,0 +1,151 @@
+"""Speculative decoding: draft-model proposal + batched target verification.
+
+The analogue of common/speculative.cpp (+ the server's per-slot speculative
+branch, server.cpp:2493-2560): the draft model greedily proposes up to
+n_draft tokens (stopping when its own confidence drops below p_min); the
+target verifies the whole chain in ONE batched forward and accepts the
+longest prefix that matches its own sampling. Lossless: greedy output is
+token-identical to plain decoding regardless of draft quality.
+
+The reference keeps the draft whole on rank 0 (speculative.cpp:73-76); the
+TPU analogue is a replicated draft next to the sharded target.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.llama import ForwardOptions, forward
+from ..sampling import Sampler, SamplerParams, softmax
+from .engine import Engine, _bucket
+
+
+@dataclass
+class SpecStats:
+    n_target_calls: int = 0
+    n_draft_calls: int = 0
+    n_drafted: int = 0
+    n_accepted: int = 0
+
+    @property
+    def acceptance(self) -> float:
+        return self.n_accepted / self.n_drafted if self.n_drafted else 0.0
+
+
+class SpeculativeDecoder:
+    def __init__(self, target: Engine, draft: Engine, n_draft: int = 8,
+                 p_min: float = 0.75):
+        assert target.n_slots >= 1 and draft.n_slots >= 1
+        self.target = target
+        self.draft = draft
+        self.n_draft = n_draft
+        self.p_min = p_min
+
+        cfg, opts = target.cfg, target.opts
+
+        @functools.partial(jax.jit, static_argnames=("s_len",))
+        def _verify(params, caches, tokens, pos0, slot, s_len):
+            """Decode s_len tokens on one slot, returning logits at EVERY
+            position (the batched verification forward)."""
+            row = [(k[slot][None], v[slot][None]) for k, v in caches]
+            positions = pos0 + jnp.arange(s_len, dtype=jnp.int32)[None]
+            logits, row = forward(params, cfg, tokens[None], positions, row,
+                                  pos0[None], opts)
+            caches = [
+                (k.at[slot].set(r[0][0]), v.at[slot].set(r[1][0]))
+                for (k, v), r in zip(caches, row)
+            ]
+            return logits[0], caches
+
+        self._verify = _verify
+
+    # -- draft proposal (common_speculative_gen_draft) -------------------------
+
+    def _gen_draft(self, stats: SpecStats) -> list[int]:
+        """Greedy draft continuation from the draft engine's slot 0 state."""
+        d = self.draft
+        slot = d.slots[0]
+        out: list[int] = []
+        for _ in range(self.n_draft):
+            tokens = np.zeros((d.n_slots, 1), dtype=np.int32)
+            cur = slot.generated[-1] if slot.generated else slot.prompt[-1]
+            tokens[0, 0] = cur
+            cache_pos = d.kv.cache_pos.copy()
+            logits_j, d.kv.caches = d._decode(
+                d.params, d.kv.caches, jnp.asarray(tokens), jnp.asarray(cache_pos)
+            )
+            stats.n_draft_calls += 1
+            d.kv.cache_pos[0] += 1
+            logits = np.asarray(logits_j[0], dtype=np.float32)
+            probs = softmax(logits)
+            tok = int(np.argmax(probs))
+            if probs[tok] < self.p_min and out:
+                d.kv.cache_pos[0] -= 1  # un-commit the peeked position
+                break
+            slot.generated.append(tok)
+            out.append(tok)
+        stats.n_drafted += len(out)
+        return out
+
+    # -- main loop -----------------------------------------------------------
+
+    def generate(self, prompt_tokens: list[int], sampler: Sampler | None = None,
+                 n_predict: int = 64) -> tuple[list[int], SpecStats]:
+        sampler = sampler or Sampler(SamplerParams(temp=0.0))
+        stats = SpecStats()
+        t, d = self.target, self.draft
+
+        # ingest prompt[:-1] in both engines (slot 0 each)
+        t_slot = t.submit(prompt_tokens, sampler=sampler, n_predict=-1)
+        d_slot = d.submit(prompt_tokens, n_predict=-1)
+        while t_slot.state.name == "PREFILL":
+            t._advance_prefill(t_slot)
+        while d_slot.state.name == "PREFILL":
+            d._advance_prefill(d_slot)
+        for tok in prompt_tokens:
+            sampler.accept(tok, accept_grammar=False)
+
+        out: list[int] = []
+        cur = prompt_tokens[-1]
+        while len(out) < n_predict:
+            # draft continuation: next input token is `cur`
+            d.slots[0].generated = [cur]
+            draft = self._gen_draft(stats) if self.n_draft > 0 else []
+
+            # target verifies [cur, draft...] in one forward
+            chain = [cur] + draft
+            s_len = len(chain)
+            pos0 = np.int32(t.kv.used(0))
+            logits, t.kv.caches = self._verify(
+                t.params, t.kv.caches, jnp.asarray(np.asarray(chain, np.int32)),
+                pos0, 0, s_len,
+            )
+            stats.n_target_calls += 1
+            logits = np.asarray(logits, dtype=np.float32)
+
+            accepted: list[int] = []
+            for j in range(s_len):
+                tok = sampler.sample_and_accept(logits[j])
+                accepted.append(tok)
+                if j < len(draft) and tok == draft[j] and len(out) + len(accepted) < n_predict:
+                    stats.n_accepted += 1
+                    continue
+                break
+            out.extend(accepted)
+            cur = accepted[-1]
+
+            # target consumed j+1 positions; roll back the unaccepted tail
+            t.kv.cache_pos[0] = int(pos0) + len(accepted)
+            # draft cache: roll back to the verified history [prompt..out]
+            d.kv.cache_pos[0] = min(d.kv.used(0), len(prompt_tokens) + len(out) - 1)
+
+            if t.eog_ids and out and out[-1] in t.eog_ids:
+                break
+            if t.kv.used(0) >= t.max_seq - self.n_draft - 2:
+                break
+        return out[:n_predict], stats

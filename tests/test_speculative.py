@@ -1,0 +1,64 @@
+"""Speculative decoding: losslessness + acceptance accounting."""
+
+import jax.numpy as jnp
+import pytest
+
+from prima_tpu.gguf.constants import GGMLType
+from prima_tpu.models.config import tiny_config
+from prima_tpu.models.llama import ForwardOptions, synth_params
+from prima_tpu.runtime.engine import Engine
+from prima_tpu.runtime.speculative import SpeculativeDecoder
+from prima_tpu.sampling import Sampler, SamplerParams
+
+OPTS = ForwardOptions(matmul_impl="xla", dtype=jnp.float32)
+
+
+def _engine(cfg, params, **kw):
+    return Engine(cfg, params, n_slots=1, max_seq=128, n_batch=32, opts=OPTS,
+                  kv_dtype=jnp.float32, **kw)
+
+
+@pytest.fixture(scope="module")
+def models():
+    cfg = tiny_config(n_layers=2)
+    target = synth_params(cfg, GGMLType.Q4_K, seed=5)
+    draft_cfg = tiny_config(n_layers=1)
+    draft = synth_params(draft_cfg, GGMLType.Q4_K, seed=6)
+    return cfg, target, draft_cfg, draft
+
+
+def test_lossless_vs_plain_greedy(models):
+    cfg, tparams, dcfg, dparams = models
+    prompt = [3, 17, 42, 7, 99, 5]
+    plain = _engine(cfg, tparams).run_to_completion(prompt, n_predict=16)
+
+    spec = SpeculativeDecoder(_engine(cfg, tparams), _engine(dcfg, dparams),
+                              n_draft=4, p_min=0.0)
+    out, stats = spec.generate(prompt, Sampler(SamplerParams(temp=0.0)), n_predict=16)
+    assert out == plain  # lossless regardless of draft quality
+    assert stats.n_target_calls <= 16  # verification batches save calls
+
+
+def test_perfect_draft_high_acceptance(models):
+    cfg, tparams, _, _ = models
+    prompt = [3, 17, 42, 7]
+    # draft == target -> greedy draft always matches: near-100% acceptance
+    spec = SpeculativeDecoder(_engine(cfg, tparams), _engine(cfg, tparams),
+                              n_draft=4, p_min=0.0)
+    out, stats = spec.generate(prompt, Sampler(SamplerParams(temp=0.0)), n_predict=12)
+    plain = _engine(cfg, tparams).run_to_completion(prompt, n_predict=12)
+    assert out == plain
+    # all mid-stream drafts accepted; only the n_predict boundary discards
+    assert stats.acceptance >= 0.75
+    assert stats.n_target_calls <= 3  # ~n_predict/(n_draft+1) calls, not 12
+
+
+def test_zero_draft_degenerates_to_plain(models):
+    cfg, tparams, dcfg, dparams = models
+    prompt = [3, 17, 42]
+    spec = SpeculativeDecoder(_engine(cfg, tparams), _engine(dcfg, dparams),
+                              n_draft=0)
+    out, stats = spec.generate(prompt, Sampler(SamplerParams(temp=0.0)), n_predict=6)
+    plain = _engine(cfg, tparams).run_to_completion(prompt, n_predict=6)
+    assert out == plain
+    assert stats.n_drafted == 0
