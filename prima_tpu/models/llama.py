@@ -389,10 +389,11 @@ def attention_block(
     q = apply_rope(q, positions, inv_freq, cfg.rope_type, mscale)
     k = apply_rope(k, positions, inv_freq, cfg.rope_type, mscale)
 
+    from ..ops.kvquant import update_kv
+
     k_cache, v_cache = kv
-    upd = jax.vmap(lambda c, u, p: jax.lax.dynamic_update_slice(c, u, (p, 0, 0)))
-    k_cache = upd(k_cache, k.astype(k_cache.dtype), cache_pos)
-    v_cache = upd(v_cache, v.astype(v_cache.dtype), cache_pos)
+    k_cache = update_kv(k_cache, k, cache_pos)
+    v_cache = update_kv(v_cache, v, cache_pos)
 
     scale = 1.0 / np.sqrt(hd)
     out = gqa_attention(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype), mask, scale)
@@ -495,5 +496,10 @@ def init_kv_caches(
             caches.append(None)
             continue
         shape = (batch, max_seq, cfg.n_kv_heads, cfg.head_dim)
-        caches.append((jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)))
+        if isinstance(dtype, str) and dtype == "q8_0":
+            from ..ops.kvquant import KVQ8
+
+            caches.append((KVQ8.zeros(shape), KVQ8.zeros(shape)))
+        else:
+            caches.append((jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)))
     return caches

@@ -90,15 +90,12 @@ class Engine:
         @functools.partial(jax.jit, static_argnames=("s_len",))
         def _prefill(params, caches, tokens, pos0, slot, s_len):
             # tokens: (s_len,) — single-slot chunked prefill on a kv row slice
-            row = [(k[slot][None], v[slot][None]) for k, v in caches]
+            row = jax.tree.map(lambda a: a[slot][None], caches)
             positions = pos0 + jnp.arange(s_len, dtype=jnp.int32)[None]
             _logits, row = forward(
                 params, cfg_, tokens[None], positions, row, pos0[None], opts_
             )
-            caches = [
-                (k.at[slot].set(r[0][0]), v.at[slot].set(r[1][0]))
-                for (k, v), r in zip(caches, row)
-            ]
+            caches = jax.tree.map(lambda c, r: c.at[slot].set(r[0]), caches, row)
             return caches
 
         @jax.jit
@@ -231,7 +228,7 @@ class Engine:
         padded = np.zeros((1, s_len), dtype=np.int32)
         padded[0, : len(prompt_tokens)] = prompt_tokens
         positions = np.arange(s_len, dtype=np.int32)[None]
-        kv = [(jnp.zeros_like(k[0:1]), jnp.zeros_like(v[0:1])) for k, v in self.kv.caches]
+        kv = jax.tree.map(lambda a: jnp.zeros_like(a[0:1]), self.kv.caches)
         hidden, _ = forward(
             self.params, self.cfg, jnp.asarray(padded), jnp.asarray(positions),
             kv, jnp.zeros(1, jnp.int32), self.opts, return_hidden=True,

@@ -52,6 +52,25 @@ def _rope_delta(k: jax.Array, delta: jax.Array, inv_freq: jax.Array, rope_type: 
     return out.astype(k.dtype)
 
 
+def _materialize_row(cache, slot: int) -> jax.Array:
+    """One slot's dense (T, H, D) values from a dense or KVQ8 cache."""
+    from ..ops.kvquant import KVQ8
+
+    if isinstance(cache, KVQ8):
+        return KVQ8(cache.qs[slot], cache.scale[slot]).astype(jnp.bfloat16)
+    return cache[slot]
+
+
+def _set_row(cache, slot: int, row: jax.Array):
+    """Write one slot's dense row back (requantizing for KVQ8)."""
+    from ..ops.kvquant import KVQ8, quantize_kv
+
+    if isinstance(cache, KVQ8):
+        q, s = quantize_kv(row)
+        return KVQ8(cache.qs.at[slot].set(q), cache.scale.at[slot].set(s))
+    return cache.at[slot].set(row.astype(cache.dtype))
+
+
 @dataclass
 class KVCache:
     """Per-slot dense KV cache + host-side cell metadata."""
@@ -90,8 +109,7 @@ class KVCache:
         for i, kv in enumerate(self.caches):
             if kv is None:
                 continue
-            k, v = kv
-            self.caches[i] = (k.at[dst].set(k[src]), v.at[dst].set(v[src]))
+            self.caches[i] = jax.tree.map(lambda a: a.at[dst].set(a[src]), kv)
         self.cache_pos[dst] = self.cache_pos[src]
 
     def seq_keep(self, slot: int) -> None:
@@ -117,10 +135,12 @@ class KVCache:
             if kvp is None:
                 continue
             k, v = kvp
-            k_row = k[slot][src_j]  # (T, kvh, hd) gathered
+            k_row = _materialize_row(k, slot)[src_j]  # (T, kvh, hd)
             k_row = _rope_delta(k_row, delta_j, self._inv_freq, self.cfg.rope_type)
-            v_row = v[slot][src_j]
-            self.caches[i] = (k.at[slot].set(k_row), v.at[slot].set(v_row))
+            self.caches[i] = (
+                _set_row(k, slot, k_row),
+                jax.tree.map(lambda a: a.at[slot].set(a[slot][src_j]), v),
+            )
         self.cache_pos[slot] = n_keep + move
 
     def seq_div(self, slot: int, p0: int, p1: int, divisor: int) -> None:
@@ -138,8 +158,9 @@ class KVCache:
             if kvp is None:
                 continue
             k, v = kvp
-            k_row = _rope_delta(k[slot], delta_j, self._inv_freq, self.cfg.rope_type)
-            self.caches[i] = (k.at[slot].set(k_row), v)
+            k_row = _rope_delta(_materialize_row(k, slot), delta_j,
+                                self._inv_freq, self.cfg.rope_type)
+            self.caches[i] = (_set_row(k, slot, k_row), v)
 
     def used(self, slot: int) -> int:
         return int(self.cache_pos[slot])

@@ -52,14 +52,11 @@ class SpeculativeDecoder:
         def _verify(params, caches, tokens, pos0, slot, s_len):
             """Decode s_len tokens on one slot, returning logits at EVERY
             position (the batched verification forward)."""
-            row = [(k[slot][None], v[slot][None]) for k, v in caches]
+            row = jax.tree.map(lambda a: a[slot][None], caches)
             positions = pos0 + jnp.arange(s_len, dtype=jnp.int32)[None]
             logits, row = forward(params, cfg, tokens[None], positions, row,
                                   pos0[None], opts)
-            caches = [
-                (k.at[slot].set(r[0][0]), v.at[slot].set(r[1][0]))
-                for (k, v), r in zip(caches, row)
-            ]
+            caches = jax.tree.map(lambda c, r: c.at[slot].set(r[0]), caches, row)
             return logits[0], caches
 
         self._verify = _verify

@@ -35,13 +35,15 @@ def slot_save(engine, slot_id: int, path: str) -> int:
     used = engine.kv.used(slot_id)
     slot = engine.slots[slot_id]
     tokens = (slot.prompt + slot.generated)[: used + 1]
+    from .kv import _materialize_row
+
     arrays = {}
     for li, kv in enumerate(engine.kv.caches):
         if kv is None:
             continue
         k, v = kv
-        arrays[f"k{li}"] = np.asarray(k[slot_id, :used], dtype=np.float32)
-        arrays[f"v{li}"] = np.asarray(v[slot_id, :used], dtype=np.float32)
+        arrays[f"k{li}"] = np.asarray(_materialize_row(k, slot_id)[:used], dtype=np.float32)
+        arrays[f"v{li}"] = np.asarray(_materialize_row(v, slot_id)[:used], dtype=np.float32)
     np.savez_compressed(
         path,
         meta=json.dumps(_meta(engine, used)),
@@ -64,14 +66,17 @@ def slot_restore(engine, slot_id: int, path: str) -> int:
         used = int(meta["n_tokens"])
         if used > engine.max_seq:
             raise ValueError(f"{path}: state length {used} > max_seq {engine.max_seq}")
+        from .kv import _materialize_row, _set_row
+
         tokens = [int(t) for t in z["tokens"]]
         for li in range(engine.cfg.n_layers):
             k, v = engine.kv.caches[li]
-            kd = jnp.asarray(z[f"k{li}"], dtype=k.dtype)
-            vd = jnp.asarray(z[f"v{li}"], dtype=v.dtype)
-            k = k.at[slot_id, :used].set(kd)
-            v = v.at[slot_id, :used].set(vd)
-            engine.kv.caches[li] = (k, v)
+            k_row = _materialize_row(k, slot_id).astype(jnp.float32)
+            v_row = _materialize_row(v, slot_id).astype(jnp.float32)
+            k_row = k_row.at[:used].set(jnp.asarray(z[f"k{li}"]))
+            v_row = v_row.at[:used].set(jnp.asarray(z[f"v{li}"]))
+            engine.kv.caches[li] = (_set_row(k, slot_id, k_row),
+                                    _set_row(v, slot_id, v_row))
     engine.kv.cache_pos[slot_id] = used
     slot = engine.slots[slot_id]
     slot.prompt = tokens

@@ -20,6 +20,8 @@ def main(argv=None) -> int:
                     help="number of server slots")
     ap.add_argument("-b", "--batch-size", type=int, default=256)
     ap.add_argument("--matmul", default="pallas", choices=["pallas", "xla"])
+    ap.add_argument("-ctk", "--cache-type-k", default="bf16",
+                    choices=["f32", "bf16", "q8_0"], dest="cache_type")
     ap.add_argument("--alias", default="prima-tpu")
     args = ap.parse_args(argv)
 
@@ -30,10 +32,13 @@ def main(argv=None) -> int:
 
     print(f"loading {args.model} ...", file=sys.stderr)
     model = load_model(args.model)
+    import jax.numpy as jnp
+
+    kv_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16, "q8_0": "q8_0"}[args.cache_type]
     engine = Engine(model.cfg, model.params, n_slots=args.parallel,
                     max_seq=args.ctx_size, n_batch=args.batch_size,
                     opts=ForwardOptions(matmul_impl=args.matmul),
-                    eog_ids=model.eog_ids)
+                    eog_ids=model.eog_ids, kv_dtype=kv_dtype)
     httpd, _ctx = serve(model, engine, args.host, args.port, args.alias)
     print(f"listening on http://{args.host}:{args.port}", file=sys.stderr)
     try:

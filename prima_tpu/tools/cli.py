@@ -34,6 +34,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="process \\n, \\t, ... escapes in the prompt")
     ap.add_argument("--no-display-prompt", action="store_true")
     ap.add_argument("--matmul", default="pallas", choices=["pallas", "xla"])
+    ap.add_argument("-ctk", "--cache-type-k", default="bf16",
+                    choices=["f32", "bf16", "q8_0"], dest="cache_type")
     ap.add_argument("--verbose", "-v", action="count", default=0)
     # sampling (common/arg.cpp flag names)
     ap.add_argument("-s", "--seed", type=int, default=-1)
@@ -134,8 +136,12 @@ def main(argv=None) -> int:
         print(f"loading {args.model} ...", file=sys.stderr)
     model = load_model(args.model)
     opts = ForwardOptions(matmul_impl=args.matmul)
+    import jax.numpy as _jnp
+
+    kv_dtype = {"f32": _jnp.float32, "bf16": _jnp.bfloat16, "q8_0": "q8_0"}[args.cache_type]
     eng = Engine(model.cfg, model.params, n_slots=1, max_seq=args.ctx_size,
-                 n_batch=args.batch_size, opts=opts, eog_ids=model.eog_ids)
+                 n_batch=args.batch_size, opts=opts, eog_ids=model.eog_ids,
+                 kv_dtype=kv_dtype)
 
     prompt = args.prompt
     if args.file:
