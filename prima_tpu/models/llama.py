@@ -47,6 +47,17 @@ def linear(x: jax.Array, w, impl: str = "xla") -> jax.Array:
     ).astype(x.dtype)
 
 
+def linear_l(layer: dict, name: str, x: jax.Array, impl: str = "xla") -> jax.Array:
+    """Layer linear with optional LoRA: y = W x + scale * B (A x)."""
+    y = linear(x, layer[name], impl)
+    ab = layer.get(name + "_lora")
+    if ab is not None:
+        from .adapters import lora_delta
+
+        y = y + lora_delta(x, ab)
+    return y
+
+
 def embed(tok_embd, token_ids: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
     """Row-gather + dequant of the embedding table (quantized rows stay
     quantized in HBM; only the gathered rows are widened)."""
@@ -376,9 +387,9 @@ def attention_block(
 ):
     b, s, _ = x.shape
     h, kvh, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
-    q = linear(x, layer["wq"], opts.matmul_impl)
-    k = linear(x, layer["wk"], opts.matmul_impl)
-    v = linear(x, layer["wv"], opts.matmul_impl)
+    q = linear_l(layer, "wq", x, opts.matmul_impl)
+    k = linear_l(layer, "wk", x, opts.matmul_impl)
+    v = linear_l(layer, "wv", x, opts.matmul_impl)
     if cfg.qkv_bias:
         q = q + layer["bq"].astype(q.dtype)
         k = k + layer["bk"].astype(k.dtype)
@@ -398,16 +409,16 @@ def attention_block(
     scale = 1.0 / np.sqrt(hd)
     out = gqa_attention(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype), mask, scale)
     out = out.reshape(b, s, h * hd)
-    out = linear(out, layer["wo"], opts.matmul_impl)
+    out = linear_l(layer, "wo", out, opts.matmul_impl)
     if opts.tp_axis is not None:
         out = jax.lax.psum(out, opts.tp_axis)  # column-parallel wo
     return out, (k_cache, v_cache)
 
 
 def ffn_block(layer: dict, x: jax.Array, opts: ForwardOptions) -> jax.Array:
-    gate = linear(x, layer["w_gate"], opts.matmul_impl)
-    up = linear(x, layer["w_up"], opts.matmul_impl)
-    out = linear(swiglu(gate, up), layer["w_down"], opts.matmul_impl)
+    gate = linear_l(layer, "w_gate", x, opts.matmul_impl)
+    up = linear_l(layer, "w_up", x, opts.matmul_impl)
+    out = linear_l(layer, "w_down", swiglu(gate, up), opts.matmul_impl)
     if opts.tp_axis is not None:
         out = jax.lax.psum(out, opts.tp_axis)  # column-parallel w_down
     return out
@@ -432,6 +443,8 @@ def decode_layer(
     x = x + attn_out
     ffn_in = rms_norm(x, layer["ffn_norm"], cfg.rms_eps)
     x = x + ffn_block(layer, ffn_in, opts)
+    if layer.get("cvec") is not None:  # control vector (llama_control_vector_apply)
+        x = x + layer["cvec"].astype(x.dtype)
     return x, kv
 
 
