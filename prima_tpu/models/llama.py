@@ -75,9 +75,15 @@ def embed(tok_embd, token_ids: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
 
 def _to_device_tensor(ti: TensorInfo, dtype, dense: bool = False):
     """GGUF tensor -> QTensor (quantized) or dense jax array."""
+    from ..quant.dequant_jax import qtensor_from_raw
+
     t = ti.ggml_type
     tt = TYPE_TRAITS[t]
     if tt.is_quantized and not dense and t in SUPPORTED_TYPES:
+        rows = ti.n_elements // ti.ne[0]
+        qt = qtensor_from_raw(ti.data, t, (rows, ti.ne[0]))  # native fast path
+        if qt is not None:
+            return qt
         uq = to_device_format(ti.data, t, ti.ne[0])
         return QTensor.from_host(uq)
     from ..quant.dequant_np import dequantize_tensor

@@ -96,6 +96,43 @@ class QTensor:
         )
 
 
+_NATIVE_META = {
+    # ggml_type -> (sub, layout, q_offset)
+    12: (32, "nib4", 0),   # Q4_K
+    2: (32, "nib4", -8),   # Q4_0
+    14: (16, "int8", 0),   # Q6_K
+    8: (32, "int8", 0),    # Q8_0
+}
+
+
+def qtensor_from_raw(raw: np.ndarray, ggml_type, shape: tuple[int, int],
+                     device=None, sharding=None, pallas: bool = True) -> "QTensor | None":
+    """Fused native (C++) GGUF-block -> kernel-packed QTensor path. Returns
+    None when the type has no native converter (caller falls back to the
+    numpy UQTensor pipeline). Bit-exact with that pipeline."""
+    from functools import partial as _partial
+
+    from ..native import native_convert
+    from .pallas.qmatmul import pallas_eligible
+
+    meta = _NATIVE_META.get(int(ggml_type))
+    if meta is None:
+        return None
+    sub, layout, q_offset = meta
+    rows, k = shape
+    kperm = pallas and pallas_eligible((rows, k), sub, layout)
+    res = native_convert(raw, ggml_type, k, kperm)
+    if res is None:
+        return None
+    qs, scales, mins = res
+    put = _partial(jax.device_put, device=sharding if sharding is not None else device)
+    return QTensor(
+        qs=put(qs), scales=put(scales),
+        mins=put(mins) if mins is not None else None,
+        sub=sub, layout=layout, q_offset=q_offset, shape=(rows, k), kperm=kperm,
+    )
+
+
 def host_pack(uq: UQTensor, pallas: bool = True) -> tuple[np.ndarray, bool]:
     """Host-side kernel packing: returns (qs bytes, kperm flag).
 

@@ -1,0 +1,61 @@
+"""Native C++ converter vs the numpy reference — bit-exact, both orders."""
+
+import numpy as np
+import pytest
+
+from prima_tpu.gguf.constants import GGMLType
+from prima_tpu.native import get_lib, native_convert
+from prima_tpu.quant.device_format import to_device_format, unpack_nib4
+from prima_tpu.quant.dequant_jax import host_pack
+from prima_tpu.quant.quantize_np import quantize
+
+pytestmark = pytest.mark.skipif(get_lib() is None, reason="no C++ toolchain")
+
+ROWS, K = 24, 512
+
+
+def _raw(t, seed=0):
+    rng = np.random.default_rng(seed)
+    x = (rng.standard_normal((ROWS, K)) * 0.07).astype(np.float32)
+    return quantize(x, t)
+
+
+@pytest.mark.parametrize("t", [GGMLType.Q4_K, GGMLType.Q4_0, GGMLType.Q6_K, GGMLType.Q8_0],
+                         ids=lambda t: t.name)
+@pytest.mark.parametrize("kperm", [False, True], ids=["natural", "kperm"])
+def test_native_matches_numpy(t, kperm):
+    raw = _raw(t)
+    got = native_convert(raw, t, K, kperm)
+    assert got is not None
+    qs_n, sc_n, mn_n = got
+
+    uq = to_device_format(raw, t, K)
+    if kperm:
+        qs_ref, did = host_pack(uq, pallas=True)
+        assert did
+    else:
+        qs_ref = uq.qs
+    np.testing.assert_array_equal(qs_n, qs_ref)
+    np.testing.assert_array_equal(sc_n, uq.scales)
+    if mn_n is not None:
+        np.testing.assert_array_equal(mn_n, uq.mins)
+    else:
+        assert uq.mins is None
+
+
+def test_native_faster_than_numpy():
+    """Sanity: native should not be slower on a moderately sized tensor."""
+    import time
+
+    t = GGMLType.Q4_K
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal((1024, 2048)) * 0.05).astype(np.float32)
+    raw = quantize(x, t)
+    t0 = time.perf_counter()
+    native_convert(raw, t, 2048, True)
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    uq = to_device_format(raw, t, 2048)
+    host_pack(uq, pallas=True)
+    t_numpy = time.perf_counter() - t0
+    assert t_native < t_numpy * 3  # loose: CI boxes vary wildly
