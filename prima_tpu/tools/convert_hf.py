@@ -1,0 +1,210 @@
+"""prima-convert — HuggingFace -> GGUF converter (llama / qwen2 families).
+
+The analogue of the reference's convert_hf_to_gguf.py (L6 tooling): reads a
+HF checkpoint directory (safetensors or torch .bin), maps tensor names to
+GGUF convention, writes metadata + tokenizer, quantizing weights to the
+requested ftype with our own quantizer.
+
+Supported architectures: LlamaForCausalLM, Qwen2ForCausalLM (the two the
+distributed runtime serves, matching reference src/llama.cpp:17003).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+from ..gguf.constants import GGMLType
+from ..gguf.writer import GGUFWriter
+from .quantize import FTYPES, _encode, _target_type
+
+# HF name -> GGUF name (llama/qwen2 share the mapping)
+_MAP = [
+    ("model.embed_tokens.weight", "token_embd.weight"),
+    ("model.norm.weight", "output_norm.weight"),
+    ("lm_head.weight", "output.weight"),
+]
+_LAYER_MAP = [
+    ("input_layernorm.weight", "attn_norm.weight"),
+    ("self_attn.q_proj.weight", "attn_q.weight"),
+    ("self_attn.k_proj.weight", "attn_k.weight"),
+    ("self_attn.v_proj.weight", "attn_v.weight"),
+    ("self_attn.o_proj.weight", "attn_output.weight"),
+    ("self_attn.q_proj.bias", "attn_q.bias"),
+    ("self_attn.k_proj.bias", "attn_k.bias"),
+    ("self_attn.v_proj.bias", "attn_v.bias"),
+    ("post_attention_layernorm.weight", "ffn_norm.weight"),
+    ("mlp.gate_proj.weight", "ffn_gate.weight"),
+    ("mlp.up_proj.weight", "ffn_up.weight"),
+    ("mlp.down_proj.weight", "ffn_down.weight"),
+]
+
+
+def _iter_hf_tensors(path: str):
+    """Yields (name, np.ndarray f32) from safetensors or torch bins."""
+    st_files = sorted(f for f in os.listdir(path) if f.endswith(".safetensors"))
+    if st_files:
+        from safetensors import safe_open
+
+        for f in st_files:
+            with safe_open(os.path.join(path, f), framework="np") as s:
+                for name in s.keys():
+                    t = s.get_tensor(name)
+                    if t.dtype != np.float32:
+                        t = t.astype(np.float32)
+                    yield name, t
+        return
+    import torch
+
+    bins = sorted(f for f in os.listdir(path) if f.endswith(".bin"))
+    for f in bins:
+        sd = torch.load(os.path.join(path, f), map_location="cpu", weights_only=True)
+        for name, t in sd.items():
+            yield name, t.float().numpy()
+
+
+def _gguf_name(hf_name: str) -> str | None:
+    for src, dst in _MAP:
+        if hf_name == src:
+            return dst
+    if hf_name.startswith("model.layers."):
+        _, _, idx, rest = hf_name.split(".", 3)
+        for src, dst in _LAYER_MAP:
+            if rest == src:
+                return f"blk.{idx}.{dst}"
+    return None
+
+
+def _permute_qk(w: np.ndarray, n_heads: int) -> np.ndarray:
+    """HF stores q/k in interleaved rotary order; GGUF uses the 'norm'
+    (adjacent-pair) order — the same permutation convert_hf_to_gguf applies
+    for LlamaForCausalLM."""
+    rows, k = w.shape
+    hd = rows // n_heads
+    return (w.reshape(n_heads, 2, hd // 2, k)
+            .transpose(0, 2, 1, 3)
+            .reshape(rows, k))
+
+
+def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
+                       logfile=sys.stderr) -> int:
+    with open(os.path.join(src_dir, "config.json")) as f:
+        hf = json.load(f)
+    archs = hf.get("architectures") or []
+    if "LlamaForCausalLM" in archs or "MistralForCausalLM" in archs:
+        arch = "llama"
+    elif "Qwen2ForCausalLM" in archs:
+        arch = "qwen2"
+    else:
+        raise NotImplementedError(f"architectures {archs}")
+
+    n_heads = hf["num_attention_heads"]
+    n_kv = hf.get("num_key_value_heads", n_heads)
+    w = GGUFWriter(dst_path, arch=arch)
+    w.add_kv("general.name", os.path.basename(os.path.normpath(src_dir)))
+    w.add_kv(f"{arch}.block_count", hf["num_hidden_layers"])
+    w.add_kv(f"{arch}.embedding_length", hf["hidden_size"])
+    w.add_kv(f"{arch}.feed_forward_length", hf["intermediate_size"])
+    w.add_kv(f"{arch}.attention.head_count", n_heads)
+    w.add_kv(f"{arch}.attention.head_count_kv", n_kv)
+    w.add_kv(f"{arch}.context_length", hf.get("max_position_embeddings", 4096))
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", hf.get("rms_norm_eps", 1e-5))
+    w.add_kv(f"{arch}.rope.freq_base", float(hf.get("rope_theta", 10000.0)))
+    w.add_kv(f"{arch}.rope.dimension_count", hf["hidden_size"] // n_heads)
+    w.add_kv(f"{arch}.vocab_size", hf["vocab_size"])
+    rs = hf.get("rope_scaling") or {}
+    if rs.get("type") in ("linear", "yarn"):
+        w.add_kv(f"{arch}.rope.scaling.type", rs["type"])
+        w.add_kv(f"{arch}.rope.scaling.factor", float(rs.get("factor", 1.0)))
+        if rs.get("original_max_position_embeddings"):
+            w.add_kv(f"{arch}.rope.scaling.original_context_length",
+                     rs["original_max_position_embeddings"])
+
+    _write_tokenizer(w, src_dir, hf)
+
+    default_t, out_t = FTYPES[ftype.upper()]
+    n = 0
+    for hf_name, data in _iter_hf_tensors(src_dir):
+        name = _gguf_name(hf_name)
+        if name is None:
+            continue
+        if arch == "llama" and name.endswith(("attn_q.weight",)):
+            data = _permute_qk(data, n_heads)
+        elif arch == "llama" and name.endswith(("attn_k.weight",)):
+            data = _permute_qk(data, n_kv)
+        t = _target_type(name, tuple(reversed(data.shape)), default_t, out_t)
+        enc, t = _encode(data, t)
+        if t in (GGMLType.F32, GGMLType.F16):
+            w.add_tensor(name, enc)
+        else:
+            w.add_tensor(name, enc, ne=tuple(reversed(data.shape)), ggml_type=t)
+        n += 1
+        print(f"[{n:4d}] {hf_name} -> {name} ({t.name})", file=logfile)
+    w.write()
+    return n
+
+
+def _write_tokenizer(w: GGUFWriter, src_dir: str, hf: dict) -> None:
+    """Tokenizer metadata from tokenizer.json (BPE) or tokenizer.model (SPM)."""
+    tok_json = os.path.join(src_dir, "tokenizer.json")
+    if os.path.exists(tok_json):
+        with open(tok_json, encoding="utf-8") as f:
+            tj = json.load(f)
+        model = tj.get("model", {})
+        vocab = model.get("vocab", {})
+        merges = model.get("merges", [])
+        tokens = [""] * len(vocab)
+        for text, idx in vocab.items():
+            tokens[idx] = text
+        types = [1] * len(tokens)
+        for added in tj.get("added_tokens", []):
+            i = added["id"]
+            if i >= len(tokens):
+                tokens.extend([""] * (i + 1 - len(tokens)))
+                types.extend([1] * (i + 1 - len(types)))
+            tokens[i] = added["content"]
+            types[i] = 3 if added.get("special") else 4
+        w.add_kv("tokenizer.ggml.model", "gpt2")
+        w.add_kv("tokenizer.ggml.pre", _detect_pre(hf))
+        w.add_kv("tokenizer.ggml.tokens", tokens)
+        w.add_kv("tokenizer.ggml.token_type", types)
+        w.add_kv("tokenizer.ggml.merges",
+                 [m if isinstance(m, str) else " ".join(m) for m in merges])
+        w.add_kv("tokenizer.ggml.bos_token_id", hf.get("bos_token_id", 1) or 0)
+        w.add_kv("tokenizer.ggml.eos_token_id", hf.get("eos_token_id", 2) or 0)
+        w.add_kv("tokenizer.ggml.add_bos_token", "llama" in str(hf.get("architectures")).lower())
+        cfg_tmpl = os.path.join(src_dir, "tokenizer_config.json")
+        if os.path.exists(cfg_tmpl):
+            with open(cfg_tmpl, encoding="utf-8") as f:
+                tc = json.load(f)
+            if tc.get("chat_template"):
+                w.add_kv("tokenizer.chat_template", tc["chat_template"])
+        return
+    raise NotImplementedError("no tokenizer.json found (SPM .model conversion "
+                              "requires sentencepiece, not available)")
+
+
+def _detect_pre(hf: dict) -> str:
+    archs = str(hf.get("architectures", "")).lower()
+    if "qwen2" in archs:
+        return "qwen2"
+    return "llama3" if hf.get("vocab_size", 0) >= 100000 else "gpt-2"
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="prima-convert", description=__doc__)
+    ap.add_argument("src", help="HF checkpoint directory")
+    ap.add_argument("dst", help="output .gguf")
+    ap.add_argument("--outtype", default="F16", choices=sorted(FTYPES))
+    args = ap.parse_args(argv)
+    n = convert_hf_to_gguf(args.src, args.dst, args.outtype)
+    print(f"wrote {n} tensors -> {args.dst}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
