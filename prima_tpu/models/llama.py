@@ -371,6 +371,7 @@ def _synth_uq(rng, rows, k, t: GGMLType):
 @dataclass(frozen=True)
 class ForwardOptions:
     matmul_impl: str = "xla"
+    attn_impl: str = "xla"  # "pallas" = flash attention (ops/attention_pallas)
     dtype: Any = jnp.bfloat16
     logits_dtype: Any = jnp.float32
     # Megatron-style tensor parallelism inside shard_map: wq/wk/wv/gate/up
@@ -413,7 +414,14 @@ def attention_block(
     v_cache = update_kv(v_cache, v, cache_pos)
 
     scale = 1.0 / np.sqrt(hd)
-    out = gqa_attention(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype), mask, scale)
+    if opts.attn_impl == "pallas":
+        from ..ops.attention_pallas import flash_attention
+
+        out = flash_attention(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
+                              positions, scale)
+    else:
+        out = gqa_attention(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
+                            mask, scale)
     out = out.reshape(b, s, h * hd)
     out = linear_l(layer, "wo", out, opts.matmul_impl)
     if opts.tp_axis is not None:
