@@ -72,6 +72,8 @@ class Engine:
         opts: ForwardOptions | None = None,
         kv_dtype=jnp.bfloat16,
         eog_ids: set[int] | None = None,
+        ctx_shift: bool = False,
+        n_keep: int = 0,
     ):
         self.cfg = cfg
         self.params = params
@@ -83,6 +85,11 @@ class Engine:
         self.slots = [Slot(i) for i in range(n_slots)]
         self.eog_ids = eog_ids or set()
         self.n_decode_calls = 0  # /metrics counter parity (server.cpp:2928)
+        # context-shift on full context (main.cpp:584-617) vs hard stop
+        self.ctx_shift = ctx_shift
+        self.n_keep = n_keep
+        # perf counters (llama_perf_context analogue)
+        self.perf = {"n_prompt": 0, "n_decode": 0, "t_prompt_s": 0.0, "t_decode_s": 0.0}
 
         cfg_ = cfg
         opts_ = self.opts
@@ -179,14 +186,32 @@ class Engine:
 
     def step(self) -> list[StepEvent]:
         """One scheduler tick: advance prefills, then one batched decode."""
+        import time as _time
+
         events: list[StepEvent] = []
+        t0 = _time.perf_counter()
+        did_prefill = False
         for slot in self.slots:
             if slot.state == SlotState.PREFILL:
+                n_before = slot.n_prompt_done
                 self._advance_prefill(slot)
+                self.perf["n_prompt"] += slot.n_prompt_done - n_before
+                did_prefill = True
+        if did_prefill:
+            self.perf["t_prompt_s"] += _time.perf_counter() - t0
 
         active = [s for s in self.slots if s.state == SlotState.DECODE]
         if not active:
             return events
+
+        # context-shift instead of stopping when a slot's cache fills
+        if self.ctx_shift:
+            for slot in active:
+                if self.kv.used(slot.id) >= self.max_seq - 1:
+                    used = self.kv.used(slot.id)
+                    n_discard = max((used - self.n_keep) // 2, 1)
+                    self.kv.context_shift(slot.id, self.n_keep, n_discard)
+        t0 = _time.perf_counter()
 
         B = self.n_slots
         tokens = np.zeros((B, 1), dtype=np.int32)
@@ -198,7 +223,9 @@ class Engine:
             self.params, self.kv.caches, jnp.asarray(tokens), jnp.asarray(cache_pos)
         )
         self.n_decode_calls += 1
-        logits_all = np.asarray(logits_j, dtype=np.float32)
+        logits_all = np.asarray(logits_j, dtype=np.float32)  # sync point
+        self.perf["t_decode_s"] += _time.perf_counter() - t0
+        self.perf["n_decode"] += len(active)
         for slot in active:
             self.kv.cache_pos[slot.id] += 1
 
@@ -217,9 +244,19 @@ class Engine:
             return True, "eog"
         if slot.n_predict >= 0 and len(slot.generated) >= slot.n_predict:
             return True, "length"
-        if self.kv.used(slot.id) >= self.max_seq:
+        if not self.ctx_shift and self.kv.used(slot.id) >= self.max_seq:
             return True, "context_full"
         return False, None
+
+    def perf_summary(self) -> str:
+        """llama_perf_context_print analogue."""
+        p = self.perf
+        pp = p["n_prompt"] / p["t_prompt_s"] if p["t_prompt_s"] > 0 else 0.0
+        tg = p["n_decode"] / p["t_decode_s"] if p["t_decode_s"] > 0 else 0.0
+        return (f"prompt eval: {p['n_prompt']} tokens in {p['t_prompt_s']:.2f}s "
+                f"({pp:.1f} tok/s) | decode: {p['n_decode']} tokens in "
+                f"{p['t_decode_s']:.2f}s ({tg:.1f} tok/s) | "
+                f"{self.n_decode_calls} decode calls")
 
     def embed(self, prompt_tokens: list[int], pooling: str = "mean") -> np.ndarray:
         """Sequence embedding (the /v1/embeddings path, pooling per

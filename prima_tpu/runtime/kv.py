@@ -117,20 +117,13 @@ class KVCache:
         self.cache_pos[:] = 0
         self.cache_pos[slot] = keep
 
-    def context_shift(self, slot: int, n_keep: int, n_discard: int) -> None:
-        """Drop tokens [n_keep, n_keep + n_discard), shift the rest down and
-        re-rotate K by -n_discard (context-shift, main.cpp:584-617)."""
-        used = int(self.cache_pos[slot])
-        assert n_keep + n_discard <= used
-        move = used - n_keep - n_discard
-        T = self.max_seq
-        # per-destination-position source index and rope delta
-        idx = np.arange(T, dtype=np.int32)
-        src = np.where(idx < n_keep, idx, idx + n_discard)
-        src = np.minimum(src, T - 1)
-        delta = np.where((idx >= n_keep) & (idx < n_keep + move), -n_discard, 0).astype(np.int32)
-        src_j = jnp.asarray(src)
-        delta_j = jnp.asarray(delta)
+    def remap(self, slot: int, src: np.ndarray, delta: np.ndarray,
+              new_used: int) -> None:
+        """General cell remap: dest position i takes the entry from index
+        src[i], with K re-rotated by delta[i] extra positions. The primitive
+        underlying context-shift, seq_add and Self-Extend."""
+        src_j = jnp.asarray(np.minimum(src, self.max_seq - 1))
+        delta_j = jnp.asarray(delta.astype(np.int32))
         for i, kvp in enumerate(self.caches):
             if kvp is None:
                 continue
@@ -141,7 +134,40 @@ class KVCache:
                 _set_row(k, slot, k_row),
                 jax.tree.map(lambda a: a.at[slot].set(a[slot][src_j]), v),
             )
-        self.cache_pos[slot] = n_keep + move
+        self.cache_pos[slot] = new_used
+
+    def context_shift(self, slot: int, n_keep: int, n_discard: int) -> None:
+        """Drop tokens [n_keep, n_keep + n_discard), shift the rest down and
+        re-rotate K by -n_discard (context-shift, main.cpp:584-617)."""
+        used = int(self.cache_pos[slot])
+        assert n_keep + n_discard <= used
+        move = used - n_keep - n_discard
+        idx = np.arange(self.max_seq, dtype=np.int32)
+        src = np.where(idx < n_keep, idx, idx + n_discard)
+        delta = np.where((idx >= n_keep) & (idx < n_keep + move), -n_discard, 0)
+        self.remap(slot, src, delta, n_keep + move)
+
+    def seq_add(self, slot: int, p0: int, p1: int, delta: int,
+                move: bool = True) -> None:
+        """Shift positions of cells in [p0, p1) by delta (llama_kv_cache_
+        seq_add). move=True: cells physically move (the dense layout's
+        position == index invariant holds — context-shift style). move=False:
+        rotation-only — cells stay put but their RoPE phase shifts; used by
+        Self-Extend where causality-by-index stays valid and the engine
+        tracks the query-position offset."""
+        if delta == 0:
+            return
+        used = int(self.cache_pos[slot])
+        p1 = min(p1, used)
+        idx = np.arange(self.max_seq, dtype=np.int32)
+        if move:
+            inrange = (idx >= p0 + delta) & (idx < p1 + delta)
+            src = np.where(inrange, idx - delta, idx)
+            d = np.where(inrange, delta, 0)
+            self.remap(slot, src, d, max(used + (delta if p1 == used else 0), 0))
+        else:
+            d = np.where((idx >= p0) & (idx < p1), delta, 0)
+            self.remap(slot, idx, d, used)
 
     def seq_div(self, slot: int, p0: int, p1: int, divisor: int) -> None:
         """Self-Extend grouped attention: divide positions in [p0, p1) by

@@ -196,6 +196,10 @@ def make_handler(ctx: ServerContext):
                     self._completion(body)
                 elif path in ("/v1/embeddings", "/embedding", "/embeddings"):
                     self._embeddings(body)
+                elif path in ("/v1/rerank", "/rerank", "/v1/reranking"):
+                    self._rerank(body)
+                elif path == "/infill":
+                    self._infill(body)
                 elif path == "/v1/cancel":
                     rid = body.get("task_id")
                     ok = ctx.worker.cancel(int(rid)) if rid is not None else False
@@ -320,6 +324,44 @@ def make_handler(ctx: ServerContext):
             self._json(200, {"object": "list", "data": data, "model": ctx.alias,
                              "usage": {"prompt_tokens": sum(len(tok.encode(t)) for t in inputs),
                                        "total_tokens": 0}})
+
+        def _rerank(self, body: dict):
+            """Query-document relevance (the /v1/rerank endpoint,
+            server.cpp). Without a rank-head model, scores are cosine
+            similarities of pooled embeddings."""
+            query = body.get("query", "")
+            docs = body.get("documents") or []
+            qv = ctx.engine.embed(tok.encode(query, add_special=True))
+            qv = qv / (np.linalg.norm(qv) + 1e-8)
+            results = []
+            for i, d in enumerate(docs):
+                dv = ctx.engine.embed(tok.encode(d, add_special=True))
+                dv = dv / (np.linalg.norm(dv) + 1e-8)
+                results.append({"index": i, "relevance_score": float(qv @ dv)})
+            results.sort(key=lambda r: -r["relevance_score"])
+            self._json(200, {"model": ctx.alias, "object": "list", "results": results})
+
+        def _infill(self, body: dict):
+            """Fill-in-the-middle completion (server.cpp /infill): requires
+            FIM special tokens in the vocab."""
+            v = tok.vocab
+            names = [("<|fim_prefix|>", "<|fim_suffix|>", "<|fim_middle|>"),
+                     ("<fim_prefix>", "<fim_suffix>", "<fim_middle>"),
+                     ("<|fim▁begin|>", "<|fim▁hole|>", "<|fim▁end|>"),
+                     ("<PRE>", "<SUF>", "<MID>")]
+            fim = next((t for t in names if all(n in v.token_to_id for n in t)), None)
+            if fim is None:
+                return self._error(501, "model has no FIM tokens")
+            pre, suf, mid = (v.token_to_id[n] for n in fim)
+            toks = ([pre] + tok.encode(body.get("input_prefix", ""), add_special=False)
+                    + [suf] + tok.encode(body.get("input_suffix", ""), add_special=False)
+                    + [mid])
+            req = self._prep(body, None, prompt_tokens=toks)
+            for ev in ctx.worker.generate(req):
+                last = ev
+            self._json(200, {"content": req.text,
+                             "stop_type": _finish(last.reason),
+                             "tokens_predicted": len(req.text.split())})
 
         def _slot_action(self, slot_id: int, body: dict):
             from urllib.parse import parse_qs, urlparse

@@ -36,6 +36,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--matmul", default="pallas", choices=["pallas", "xla"])
     ap.add_argument("-ctk", "--cache-type-k", default="bf16",
                     choices=["f32", "bf16", "q8_0"], dest="cache_type")
+    ap.add_argument("--n-keep", type=int, default=0,
+                    help="tokens kept through a context shift")
+    ap.add_argument("--no-context-shift", action="store_true",
+                    help="stop at context end instead of shifting")
     ap.add_argument("--verbose", "-v", action="count", default=0)
     # sampling (common/arg.cpp flag names)
     ap.add_argument("-s", "--seed", type=int, default=-1)
@@ -141,7 +145,8 @@ def main(argv=None) -> int:
     kv_dtype = {"f32": _jnp.float32, "bf16": _jnp.bfloat16, "q8_0": "q8_0"}[args.cache_type]
     eng = Engine(model.cfg, model.params, n_slots=1, max_seq=args.ctx_size,
                  n_batch=args.batch_size, opts=opts, eog_ids=model.eog_ids,
-                 kv_dtype=kv_dtype)
+                 kv_dtype=kv_dtype, ctx_shift=not args.no_context_shift,
+                 n_keep=args.n_keep)
 
     prompt = args.prompt
     if args.file:
@@ -161,6 +166,8 @@ def main(argv=None) -> int:
         sampler = make_sampler(args, model, v.n_tokens)
         _stream_generate(eng, model, sampler, toks, args.n_predict, args.reverse_prompt)
         sys.stdout.write("\n")
+        if args.verbose:
+            print(eng.perf_summary(), file=sys.stderr)
         return 0
 
     # interactive chat loop

@@ -218,6 +218,26 @@ def test_slot_save_restore(server, tmp_path):
     assert json.loads(data)["n_restored"] == json.loads(_req(port, "GET", "/slots")[1])[0]["n_past"]
 
 
+def test_rerank(server):
+    port, _ = server
+    st, data = _req(port, "POST", "/v1/rerank",
+                    {"query": "hello world", "documents": ["hello world", "xyzzy"]})
+    assert st == 200
+    out = json.loads(data)
+    assert len(out["results"]) == 2
+    # identical text should rank first
+    assert out["results"][0]["index"] == 0
+    assert out["results"][0]["relevance_score"] >= out["results"][1]["relevance_score"]
+
+
+def test_infill_without_fim_tokens(server):
+    port, _ = server
+    st, data = _req(port, "POST", "/infill",
+                    {"input_prefix": "def f(", "input_suffix": "): pass"})
+    assert st == 501  # tiny model's vocab has no FIM tokens
+    assert "FIM" in json.loads(data)["error"]["message"]
+
+
 def test_unknown_endpoint_404(server):
     port, _ = server
     st, _ = _req(port, "GET", "/nope")
