@@ -136,10 +136,10 @@ class RingNode:
             return obj or {}
         if self.rank == 0:
             self.send_next({"tag": "bcast", "body": obj})
-            back = self.recv_prev(timeout=60)
+            back = self.recv_prev(timeout=600)
             assert back["tag"] == "bcast"
             return obj
-        msg = self.recv_prev(timeout=60)
+        msg = self.recv_prev(timeout=600)
         assert msg["tag"] == "bcast"
         self.send_next(msg)
         return msg["body"]
@@ -151,9 +151,9 @@ class RingNode:
             return [item]
         if self.rank == 0:
             self.send_next({"tag": "gather", "items": [item]})
-            msg = self.recv_prev(timeout=120)
+            msg = self.recv_prev(timeout=600)
             return msg["items"]
-        msg = self.recv_prev(timeout=120)
+        msg = self.recv_prev(timeout=600)
         msg["items"].append(item)
         self.send_next(msg)
         return None

@@ -38,6 +38,16 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["f32", "bf16", "q8_0"], dest="cache_type")
     ap.add_argument("--n-keep", type=int, default=0,
                     help="tokens kept through a context shift")
+    # distributed ring (the reference's -w/-r/-lw/-k/--master/--next flags)
+    ap.add_argument("-w", "--world", type=int, default=int(env("WORLD", 1)))
+    ap.add_argument("--rank", type=int, default=int(env("RANK", 0)))
+    ap.add_argument("-mip", "--master-ip", default=env("MASTER_IP", "127.0.0.1"))
+    ap.add_argument("-nip", "--next-ip", default=env("NEXT_IP", "127.0.0.1"))
+    ap.add_argument("--data-port", type=int, default=int(env("DATA_PORT", 9000)))
+    ap.add_argument("-lw", "--n-layer-window", default=env("LAYER_WINDOW"),
+                    help="manual CSV windows, e.g. 16,8,8 (skips the solver)")
+    ap.add_argument("-k", "--n-cycles", type=int, default=0)
+    ap.add_argument("--master-priority", type=float, default=1.01)
     ap.add_argument("--no-context-shift", action="store_true",
                     help="stop at context end instead of shifting")
     ap.add_argument("--verbose", "-v", action="count", default=0)
@@ -131,6 +141,16 @@ def _stream_generate(eng, model, sampler, prompt_tokens, n_predict, reverse: lis
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.world > 1:
+        from .cli_distributed import run_distributed
+
+        prompt = args.prompt
+        if args.file:
+            prompt = open(args.file).read()
+        if args.escape:
+            prompt = prompt.encode().decode("unicode_escape")
+        return run_distributed(args, prompt)
 
     from ..models.loader import load_model
     from ..models.llama import ForwardOptions
