@@ -1,0 +1,41 @@
+#!/usr/bin/env bash
+# CI pipeline (the reference's ci/run.sh analogue): build native, run the
+# full suite on the virtual CPU mesh, then end-to-end smoke jobs — synth
+# model build, quantize, perplexity, CLI decode, 2-process distributed ring.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== native build =="
+make native
+
+echo "== test suite (virtual 8-device CPU mesh) =="
+python -m pytest tests/ -q
+
+echo "== e2e smoke: model build + quantize + ppl + cli =="
+TMP=$(mktemp -d)
+trap 'rm -rf "$TMP"' EXIT
+python -m prima_tpu.tools.make_tiny_gguf "$TMP/tiny.gguf"
+python -m prima_tpu.tools.quantize "$TMP/tiny.gguf" "$TMP/q8.gguf" Q8_0 2>/dev/null | tail -1
+python - <<PYEOF
+with open("$TMP/corpus.txt", "w") as f:
+    f.write("the quick brown fox jumps over the lazy dog. " * 40)
+PYEOF
+JAX_PLATFORMS=cpu PRIMA_PALLAS_INTERPRET=1 python -m prima_tpu.tools.perplexity \
+    -m "$TMP/q8.gguf" -f "$TMP/corpus.txt" -c 64 --chunks 1 --matmul xla 2>/dev/null | tail -1
+JAX_PLATFORMS=cpu PRIMA_PALLAS_INTERPRET=1 python -m prima_tpu.tools.cli \
+    -m "$TMP/tiny.gguf" -p "Hello" -n 6 --temp 0 --matmul xla --no-display-prompt
+
+echo "== e2e smoke: 2-process distributed ring =="
+PORT=$(( (RANDOM % 2000) + 20000 ))
+JAX_PLATFORMS=cpu PRIMA_PALLAS_INTERPRET=1 python -m prima_tpu.tools.cli \
+    -m "$TMP/tiny.gguf" -c 64 --matmul xla -w 2 -lw "1,1" --rank 1 --data-port "$PORT" &
+WORKER=$!
+JAX_PLATFORMS=cpu PRIMA_PALLAS_INTERPRET=1 python -m prima_tpu.tools.cli \
+    -m "$TMP/tiny.gguf" -c 64 --matmul xla -w 2 -lw "1,1" --rank 0 --data-port "$PORT" \
+    -p "Hello" -n 6 --temp 0 --no-display-prompt
+wait $WORKER
+
+echo "== driver entry points =="
+python __graft_entry__.py
+
+echo "CI OK"

@@ -46,6 +46,7 @@ class Slot:
     n_predict: int = -1
     request_id: Any = None
     stop_reason: str | None = None
+    n_probs: int = 0  # top-N logprobs per sampled token (OpenAI logprobs)
 
     @property
     def n_past(self) -> int:
@@ -59,6 +60,7 @@ class StepEvent:
     token: int | None
     done: bool
     reason: str | None = None
+    logprobs: list | None = None  # [(token_id, logprob)] top-N + sampled
 
 
 class Engine:
@@ -127,7 +129,7 @@ class Engine:
 
     def submit(self, prompt_tokens: list[int], sampler: Sampler | None = None,
                n_predict: int = -1, request_id: Any = None,
-               reuse_prefix: bool = True) -> Slot:
+               reuse_prefix: bool = True, n_probs: int = 0) -> Slot:
         if not prompt_tokens:
             raise ValueError("empty prompt")
         slot = self.find_idle_slot()
@@ -151,6 +153,7 @@ class Engine:
         slot.n_predict = n_predict
         slot.request_id = request_id
         slot.stop_reason = None
+        slot.n_probs = n_probs
         for t in prompt_tokens:
             slot.sampler.accept(t, accept_grammar=False)
         if slot.n_prompt_done >= len(slot.prompt) - 1:
@@ -230,13 +233,23 @@ class Engine:
             self.kv.cache_pos[slot.id] += 1
 
         for slot in active:
-            tok = slot.sampler.sample_and_accept(logits_all[slot.id])
+            row = logits_all[slot.id]
+            tok = slot.sampler.sample_and_accept(row)
             slot.generated.append(tok)
+            lp = None
+            if slot.n_probs > 0:
+                from ..sampling import softmax as _softmax
+
+                probs = np.log(np.maximum(_softmax(row), 1e-30))
+                top = np.argsort(-row)[: slot.n_probs]
+                ids = list(dict.fromkeys([int(t) for t in top] + [tok]))
+                lp = [(int(t), float(probs[t])) for t in ids]
             done, reason = self._check_stop(slot, tok)
             if done:
                 slot.state = SlotState.IDLE
                 slot.stop_reason = reason
-            events.append(StepEvent(slot.id, slot.request_id, tok, done, reason))
+            events.append(StepEvent(slot.id, slot.request_id, tok, done, reason,
+                                    logprobs=lp))
         return events
 
     def _check_stop(self, slot: Slot, tok: int) -> tuple[bool, str | None]:

@@ -39,6 +39,12 @@ def main(argv=None) -> int:
                     max_seq=args.ctx_size, n_batch=args.batch_size,
                     opts=ForwardOptions(matmul_impl=args.matmul),
                     eog_ids=model.eog_ids, kv_dtype=kv_dtype)
+    # warmup decode so the first request doesn't pay jit compilation
+    # (the reference's BOS/EOS warmup, common.cpp:1959-1997)
+    bos = model.tokenizer.vocab.bos_id
+    engine.run_to_completion([bos if bos >= 0 else 0], n_predict=1)
+    print("warmup done", file=sys.stderr)
+
     httpd, _ctx = serve(model, engine, args.host, args.port, args.alias)
     print(f"listening on http://{args.host}:{args.port}", file=sys.stderr)
     try:

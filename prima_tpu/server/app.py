@@ -235,6 +235,7 @@ def make_handler(ctx: ServerContext):
                 sampler=ctx.make_sampler(body),
                 n_predict=n_predict,
                 stop=list(stop),
+                n_probs=int(body.get("logprobs") or body.get("n_probs") or 0),
             )
 
         def _completion(self, body: dict):
@@ -264,11 +265,14 @@ def make_handler(ctx: ServerContext):
             else:
                 for ev in ctx.worker.generate(req):
                     last = ev
+                choice = {"index": 0, "text": req.text,
+                          "finish_reason": _finish(last.reason)}
+                if req.n_probs and req.logprobs_out:
+                    choice["logprobs"] = _logprobs_obj(req, tok)
                 self._json(200, {
                     "id": rid, "object": "text_completion", "created": created,
                     "model": ctx.alias, "task_id": req.request_id,
-                    "choices": [{"index": 0, "text": req.text,
-                                 "finish_reason": _finish(last.reason)}],
+                    "choices": [choice],
                     "usage": _usage(req)})
 
         def _chat(self, body: dict):
@@ -389,6 +393,17 @@ def make_handler(ctx: ServerContext):
                 self._error(400, f"unknown slot action {action!r}")
 
     return Handler
+
+
+def _logprobs_obj(req, tok) -> dict:
+    """OpenAI legacy completions logprobs block."""
+    toks, tlp, top = [], [], []
+    for t, lps in zip(req.tokens_out, req.logprobs_out):
+        d = {repr(tok.decode_token_bytes(i))[2:-1]: lp for i, lp in lps}
+        toks.append(repr(tok.decode_token_bytes(t))[2:-1])
+        tlp.append(next((lp for i, lp in lps if i == t), None))
+        top.append(d)
+    return {"tokens": toks, "token_logprobs": tlp, "top_logprobs": top}
 
 
 def _finish(reason: str | None) -> str:

@@ -26,12 +26,15 @@ class GenerationRequest:
     sampler: Sampler
     n_predict: int = -1
     stop: list[str] = field(default_factory=list)
+    n_probs: int = 0
     request_id: int = 0
     events: queue.Queue = field(default_factory=queue.Queue)
     # filled by the worker
     text: str = ""
     n_prompt: int = 0
     done_reason: str | None = None
+    tokens_out: list = field(default_factory=list)
+    logprobs_out: list = field(default_factory=list)  # per token [(id, lp)]
 
 
 @dataclass
@@ -102,7 +105,8 @@ class EngineWorker:
             except queue.Empty:
                 return
             self.engine.submit(req.prompt_tokens, sampler=req.sampler,
-                               n_predict=req.n_predict, request_id=req.request_id)
+                               n_predict=req.n_predict, request_id=req.request_id,
+                               n_probs=req.n_probs)
             with self._lock:
                 self.active[req.request_id] = req
             self._buffers[req.request_id] = b""
@@ -169,6 +173,9 @@ class EngineWorker:
                     continue
                 if ev.token is not None:
                     self.metrics["tokens_predicted_total"] += 1
+                    req.tokens_out.append(ev.token)
+                    if ev.logprobs is not None:
+                        req.logprobs_out.append(ev.logprobs)
                     self._emit(req, ev.token)
                 with self._lock:
                     still = ev.request_id in self.active

@@ -1,0 +1,171 @@
+"""Backend-ops harness: every compute op vs a float64 numpy reference.
+
+The analogue of the reference's tests/test-backend-ops.cpp (its most
+important harness): each op runs on the available backend(s) and is
+compared against an independent high-precision implementation with an NMSE
+tolerance. Pallas kernels run in interpret mode on the CPU mesh; on real
+TPU the same tests bound the hardware kernels.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from prima_tpu.gguf.constants import GGMLType
+from prima_tpu.models.config import RopeType, tiny_config
+from prima_tpu.ops.layers import apply_rope, causal_mask, gqa_attention, rms_norm, rope_freqs, swiglu
+
+
+def nmse(got: np.ndarray, want: np.ndarray) -> float:
+    got = np.asarray(got, dtype=np.float64)
+    want = np.asarray(want, dtype=np.float64)
+    denom = np.mean(want * want) + 1e-30
+    return float(np.mean((got - want) ** 2) / denom)
+
+
+RNG = np.random.default_rng(0)
+
+
+def test_rms_norm_nmse():
+    x = RNG.standard_normal((2, 5, 64)).astype(np.float32)
+    w = RNG.standard_normal(64).astype(np.float32)
+    eps = 1e-5
+    xf = x.astype(np.float64)
+    want = xf / np.sqrt((xf ** 2).mean(-1, keepdims=True) + eps) * w.astype(np.float64)
+    got = rms_norm(jnp.asarray(x), jnp.asarray(w), eps)
+    assert nmse(got, want) < 1e-12
+
+
+@pytest.mark.parametrize("rope_type", [RopeType.NORM, RopeType.NEOX])
+def test_rope_nmse(rope_type):
+    b, s, h, d = 1, 4, 2, 16
+    x = RNG.standard_normal((b, s, h, d)).astype(np.float32)
+    pos = np.arange(7, 7 + s, dtype=np.int32)[None]
+    inv = (1.0 / 10000.0 ** (np.arange(0, d // 2) * 2.0 / d)).astype(np.float32)
+    got = apply_rope(jnp.asarray(x), jnp.asarray(pos), jnp.asarray(inv), rope_type)
+
+    xf = x.astype(np.float64)
+    theta = pos[0][:, None].astype(np.float64) * inv.astype(np.float64)  # (s, d/2)
+    cos, sin = np.cos(theta), np.sin(theta)
+    want = np.empty_like(xf)
+    for si in range(s):
+        for hi in range(h):
+            v = xf[0, si, hi]
+            if rope_type == RopeType.NORM:
+                for i in range(d // 2):
+                    x0, x1 = v[2 * i], v[2 * i + 1]
+                    want[0, si, hi, 2 * i] = x0 * cos[si, i] - x1 * sin[si, i]
+                    want[0, si, hi, 2 * i + 1] = x0 * sin[si, i] + x1 * cos[si, i]
+            else:
+                half = d // 2
+                for i in range(half):
+                    x0, x1 = v[i], v[i + half]
+                    want[0, si, hi, i] = x0 * cos[si, i] - x1 * sin[si, i]
+                    want[0, si, hi, i + half] = x0 * sin[si, i] + x1 * cos[si, i]
+    assert nmse(got, want) < 1e-12
+
+
+def test_swiglu_nmse():
+    g = RNG.standard_normal((3, 32)).astype(np.float32)
+    u = RNG.standard_normal((3, 32)).astype(np.float32)
+    gf = g.astype(np.float64)
+    want = gf / (1 + np.exp(-gf)) * u.astype(np.float64)
+    got = swiglu(jnp.asarray(g), jnp.asarray(u))
+    assert nmse(got, want) < 1e-12
+
+
+def _attn_ref(q, k, v, pos, scale):
+    """float64 attention reference with causal masking by position."""
+    b, s, h, d = q.shape
+    t, kvh = k.shape[1], k.shape[2]
+    g = h // kvh
+    out = np.zeros((b, s, h, d))
+    for bi in range(b):
+        for hi in range(h):
+            kh = hi // g
+            sc = (q[bi, :, hi].astype(np.float64) @
+                  k[bi, :, kh].astype(np.float64).T) * scale  # (s, t)
+            mask = np.arange(t)[None, :] > pos[bi][:, None]
+            sc[mask] = -np.inf
+            sc -= sc.max(-1, keepdims=True)
+            p = np.exp(sc)
+            p /= p.sum(-1, keepdims=True)
+            out[bi, :, hi] = p @ v[bi, :, kh].astype(np.float64)
+    return out
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_attention_nmse(impl):
+    b, s, t, h, kvh, d = 1, 3, 32, 4, 2, 16
+    q = RNG.standard_normal((b, s, h, d)).astype(np.float32)
+    k = RNG.standard_normal((b, t, kvh, d)).astype(np.float32)
+    v = RNG.standard_normal((b, t, kvh, d)).astype(np.float32)
+    pos = np.arange(10, 10 + s, dtype=np.int32)[None]
+    scale = 1.0 / np.sqrt(d)
+    want = _attn_ref(q, k, v, pos, scale)
+    if impl == "xla":
+        got = gqa_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                            causal_mask(jnp.asarray(pos), t), scale)
+    else:
+        from prima_tpu.ops.attention_pallas import flash_attention
+
+        got = flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                              jnp.asarray(pos), scale)
+    assert nmse(got, want) < 1e-10
+
+
+@pytest.mark.parametrize("t", [GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0,
+                               GGMLType.Q5_1, GGMLType.Q8_0, GGMLType.Q2_K,
+                               GGMLType.Q3_K, GGMLType.Q4_K, GGMLType.Q5_K,
+                               GGMLType.Q6_K, GGMLType.IQ4_NL],
+                         ids=lambda t: t.name)
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_qmatmul_nmse(t, impl):
+    """Fused dequant-matmul vs f64 matmul on f64-dequantized weights.
+    Tolerance mirrors test-quantize-fns' dot-product budget (<=0.02 rms)."""
+    from prima_tpu.quant.device_format import to_device_format
+    from prima_tpu.quant.dequant_jax import QTensor, qmatmul_xla
+    from prima_tpu.quant.dequant_np import dequantize
+    from prima_tpu.quant.pallas.qmatmul import qmatmul_pallas
+    from prima_tpu.quant.quantize_np import quantize
+
+    n, k = 32, 512
+    w = (RNG.standard_normal((n, k)) * 0.05).astype(np.float32)
+    try:
+        raw = quantize(w, t)
+    except NotImplementedError:
+        pytest.skip(f"no quantizer for {t.name}")
+    qt = QTensor.from_host(to_device_format(raw, t, k))
+    x = RNG.standard_normal((2, k)).astype(np.float32)
+
+    w_deq = dequantize(raw, t, k).astype(np.float64)
+    want = x.astype(np.float64) @ w_deq.T
+    fn = qmatmul_xla if impl == "xla" else qmatmul_pallas
+    got = fn(jnp.asarray(x), qt)
+    assert nmse(got, want) < 1e-9  # dequant is exact; only fp32 accum noise
+
+
+def test_kv_quant_nmse():
+    from prima_tpu.ops.kvquant import quantize_kv
+
+    x = RNG.standard_normal((2, 16, 4, 64)).astype(np.float32)
+    q, s = quantize_kv(jnp.asarray(x))
+    got = np.asarray(q, dtype=np.float64) * np.asarray(s, dtype=np.float64)
+    assert nmse(got, x.astype(np.float64)) < 1e-4  # int8 quantization noise
+
+
+def test_embed_rows_nmse():
+    from prima_tpu.quant.device_format import to_device_format
+    from prima_tpu.quant.dequant_jax import QTensor, dequant_rows
+    from prima_tpu.quant.dequant_np import dequantize
+    from prima_tpu.quant.quantize_np import quantize
+
+    n, k = 64, 256
+    w = (RNG.standard_normal((n, k)) * 0.02).astype(np.float32)
+    raw = quantize(w, GGMLType.Q4_K)
+    qt = QTensor.from_host(to_device_format(raw, GGMLType.Q4_K, k))
+    ids = np.asarray([[3, 60, 0], [7, 7, 63]], np.int32)
+    got = dequant_rows(qt, jnp.asarray(ids), jnp.float32)
+    want = dequantize(raw, GGMLType.Q4_K, k)[ids]
+    assert nmse(got, want) < 1e-12

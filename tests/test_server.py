@@ -244,3 +244,17 @@ def test_unknown_endpoint_404(server):
     assert st == 404
     st, _ = _req(port, "POST", "/nope", {})
     assert st == 404
+
+
+def test_completion_logprobs(server):
+    port, _ = server
+    st, data = _req(port, "POST", "/v1/completions",
+                    {"prompt": "ab", "max_tokens": 3, "temperature": 0,
+                     "logprobs": 3})
+    assert st == 200
+    lp = json.loads(data)["choices"][0].get("logprobs")
+    assert lp is not None
+    assert len(lp["tokens"]) == len(lp["token_logprobs"]) == len(lp["top_logprobs"])
+    assert len(lp["tokens"]) >= 1
+    assert all(isinstance(v, float) and v <= 0 for v in lp["token_logprobs"])
+    assert all(len(d) >= 3 for d in lp["top_logprobs"])
