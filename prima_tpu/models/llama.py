@@ -152,17 +152,17 @@ def synth_qtensor_device(key: jax.Array, rows: int, k: int,
     are permutation-invariant so kperm layout is free."""
     from ..quant.pallas.qmatmul import pallas_eligible
 
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     if t == GGMLType.Q4_K:
-        sub, layout, off, qmax, has_mins = 32, "nib4", 0, 15, True
+        sub, layout, off, qmax, has_mins, gsub = 32, "nib4", 0, 15, True, 8
     elif t == GGMLType.Q4_0:
-        sub, layout, off, qmax, has_mins = 32, "nib4", -8, 8, False
+        sub, layout, off, qmax, has_mins, gsub = 32, "nib4", -8, 8, False, 1
     elif t == GGMLType.Q8_0:
-        sub, layout, off, qmax, has_mins = 32, "int8", 0, 127, False
+        sub, layout, off, qmax, has_mins, gsub = 32, "int8", 0, 127, False, 1
     elif t == GGMLType.Q6_K:
-        sub, layout, off, qmax, has_mins = 16, "int8", 0, 31, False
+        sub, layout, off, qmax, has_mins, gsub = 16, "int8", 0, 31, False, 16
     elif t == GGMLType.Q5_K:
-        sub, layout, off, qmax, has_mins = 32, "int8", 0, 31, True
+        sub, layout, off, qmax, has_mins, gsub = 32, "int8", 0, 31, True, 8
     else:
         raise NotImplementedError(f"device synth for {t.name}")
     if layout == "nib4":
@@ -170,6 +170,22 @@ def synth_qtensor_device(key: jax.Array, rows: int, k: int,
     else:
         qs = jax.random.randint(k1, (rows, k), -qmax, qmax + 1, dtype=jnp.int32).astype(jnp.int8)
     s = k // sub
+    if s % gsub:
+        gsub = 1  # synthetic sub-superblock shapes: flat scales
+    if gsub > 1:
+        # compact grouped layout: int8 codes + per-superblock f32 bases
+        # (exactly the byte footprint of real K-quant weights)
+        g = s // gsub
+        scales = jax.random.randint(k2, (rows, s), 1, 64, dtype=jnp.int32).astype(jnp.int8)
+        mins = (jax.random.randint(k3, (rows, s), 0, 32, dtype=jnp.int32).astype(jnp.int8)
+                if has_mins else None)
+        d = jnp.abs(jax.random.normal(k4, (rows, g), jnp.float32)) * (0.02 / qmax / 32) + 1e-6
+        dmin = (jnp.abs(jax.random.normal(k5, (rows, g), jnp.float32)) * (0.01 / qmax / 32)
+                if has_mins else None)
+        return QTensor(qs=qs, scales=scales, mins=mins, sub=sub, layout=layout,
+                       q_offset=off, shape=(rows, k),
+                       kperm=pallas_eligible((rows, k), sub, layout, gsub),
+                       d=d, dmin=dmin, gsub=gsub)
     scales = jnp.abs(jax.random.normal(k2, (rows, s), jnp.float32)) * (0.02 / qmax) + 1e-4
     mins = scales * jax.random.uniform(k3, (rows, s), jnp.float32, 0, qmax / 2) if has_mins else None
     return QTensor(qs=qs, scales=scales, mins=mins, sub=sub, layout=layout,
@@ -356,7 +372,22 @@ def _synth_uq(rng, rows, k, t: GGMLType):
     else:
         raise NotImplementedError(f"synth for {t.name}")
     qmax = {GGMLType.Q4_K: 15, GGMLType.Q4_0: 8, GGMLType.Q8_0: 127, GGMLType.Q6_K: 31, GGMLType.Q5_K: 31}[t]
-    scales = (np.abs(rng.standard_normal((rows, k // sub))) * 0.02 / qmax + 1e-4).astype(np.float32)
+    s = k // sub
+    gsub = {GGMLType.Q4_K: 8, GGMLType.Q5_K: 8, GGMLType.Q6_K: 16}.get(t, 1)
+    if s % gsub:
+        gsub = 1  # synthetic sub-superblock shapes: flat scales
+    if gsub > 1:
+        has_mins = t in (GGMLType.Q4_K, GGMLType.Q5_K)
+        codes = rng.integers(1, 64, size=(rows, s), dtype=np.int16).astype(np.int8)
+        mcodes = (rng.integers(0, 32, size=(rows, s), dtype=np.int16).astype(np.int8)
+                  if has_mins else None)
+        d = (np.abs(rng.standard_normal((rows, s // gsub))) * (0.02 / qmax / 32)
+             + 1e-6).astype(np.float32)
+        dmin = (np.abs(rng.standard_normal((rows, s // gsub))) * (0.01 / qmax / 32)
+                ).astype(np.float32) if has_mins else None
+        return UQTensor(qs, codes, mcodes, sub, layout, off, t, (rows, k),
+                        d=d, dmin=dmin, gsub=gsub)
+    scales = (np.abs(rng.standard_normal((rows, s))) * 0.02 / qmax + 1e-4).astype(np.float32)
     mins = None
     if t in (GGMLType.Q4_K, GGMLType.Q5_K):
         mins = (scales * rng.uniform(0, qmax / 2, size=scales.shape)).astype(np.float32)

@@ -54,9 +54,9 @@ def get_lib():
         i64, u8p, i8p, f32p, ci = (ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
                                    ctypes.POINTER(ctypes.c_int8),
                                    ctypes.POINTER(ctypes.c_float), ctypes.c_int)
-        lib.prima_conv_q4k.argtypes = [u8p, i64, i64, u8p, f32p, f32p, ci]
+        lib.prima_conv_q4k.argtypes = [u8p, i64, i64, u8p, i8p, i8p, f32p, f32p, ci]
         lib.prima_conv_q4_0.argtypes = [u8p, i64, i64, u8p, f32p, ci]
-        lib.prima_conv_q6k.argtypes = [u8p, i64, i64, i8p, f32p, ci]
+        lib.prima_conv_q6k.argtypes = [u8p, i64, i64, i8p, i8p, f32p, ci]
         lib.prima_conv_q8_0.argtypes = [u8p, i64, i64, i8p, f32p, ci]
         _lib = lib
         return _lib
@@ -67,8 +67,9 @@ def _ptr(a: np.ndarray, ct):
 
 
 def native_convert(raw: np.ndarray, ggml_type, k: int, kperm: bool):
-    """raw (rows, row_bytes) -> (qs, scales, mins|None) in uniform layout,
-    optionally kernel-permuted. Returns None if this type has no native path.
+    """raw (rows, row_bytes) -> (qs, scales, mins|None, d|None, dmin|None)
+    in uniform layout (compact grouped codes for K-quants), optionally
+    kernel-permuted. Returns None if this type has no native path.
     """
     from ..gguf.constants import GGMLType
 
@@ -82,28 +83,33 @@ def native_convert(raw: np.ndarray, ggml_type, k: int, kperm: bool):
     kp = 1 if kperm else 0
     if ggml_type == GGMLType.Q4_K:
         qs = np.empty((rows, k // 2), np.uint8)
-        sc = np.empty((rows, k // 32), np.float32)
-        mn = np.empty((rows, k // 32), np.float32)
+        sc = np.empty((rows, k // 32), np.int8)
+        mn = np.empty((rows, k // 32), np.int8)
+        d = np.empty((rows, k // 256), np.float32)
+        dmin = np.empty((rows, k // 256), np.float32)
         lib.prima_conv_q4k(_ptr(raw, ctypes.c_uint8), rows, k,
-                           _ptr(qs, ctypes.c_uint8), _ptr(sc, ctypes.c_float),
-                           _ptr(mn, ctypes.c_float), kp)
-        return qs, sc, mn
+                           _ptr(qs, ctypes.c_uint8), _ptr(sc, ctypes.c_int8),
+                           _ptr(mn, ctypes.c_int8), _ptr(d, ctypes.c_float),
+                           _ptr(dmin, ctypes.c_float), kp)
+        return qs, sc, mn, d, dmin
     if ggml_type == GGMLType.Q4_0:
         qs = np.empty((rows, k // 2), np.uint8)
         sc = np.empty((rows, k // 32), np.float32)
         lib.prima_conv_q4_0(_ptr(raw, ctypes.c_uint8), rows, k,
                             _ptr(qs, ctypes.c_uint8), _ptr(sc, ctypes.c_float), kp)
-        return qs, sc, None
+        return qs, sc, None, None, None
     if ggml_type == GGMLType.Q6_K:
         qs = np.empty((rows, k), np.int8)
-        sc = np.empty((rows, k // 16), np.float32)
+        sc = np.empty((rows, k // 16), np.int8)
+        d = np.empty((rows, k // 256), np.float32)
         lib.prima_conv_q6k(_ptr(raw, ctypes.c_uint8), rows, k,
-                           _ptr(qs, ctypes.c_int8), _ptr(sc, ctypes.c_float), kp)
-        return qs, sc, None
+                           _ptr(qs, ctypes.c_int8), _ptr(sc, ctypes.c_int8),
+                           _ptr(d, ctypes.c_float), kp)
+        return qs, sc, None, d, None
     if ggml_type == GGMLType.Q8_0:
         qs = np.empty((rows, k), np.int8)
         sc = np.empty((rows, k // 32), np.float32)
         lib.prima_conv_q8_0(_ptr(raw, ctypes.c_uint8), rows, k,
                             _ptr(qs, ctypes.c_int8), _ptr(sc, ctypes.c_float), kp)
-        return qs, sc, None
+        return qs, sc, None, None, None
     return None

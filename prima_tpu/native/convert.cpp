@@ -114,36 +114,44 @@ inline int q6k_val(const uint8_t* raw, int64_t c) {
 
 extern "C" {
 
-// Q4_K: raw (rows, k/256*144) -> qs nib4 (rows, k/2), scales/mins (rows, k/32)
-// kperm: 0 = natural column order, 1 = kernel order p = t*S + s (sub=32)
+// Q4_K: raw (rows, k/256*144) -> compact grouped layout: qs nib4 (rows, k/2),
+// 6-bit scale/min CODES int8 (rows, k/32), superblock bases d/dmin f32
+// (rows, k/256). The effective scale d*code is multiplied on device (f32,
+// the reference's rounding).
+// kperm: 0 = natural order; 1 = kernel order p = t*S + sigma(s) with
+// sigma(s) = (s % 8)*G + s/8 (G = k/256), codes stored in sigma order.
 void prima_conv_q4k(const uint8_t* raw, int64_t rows, int64_t k,
-                    uint8_t* qs, float* scales, float* mins, int kperm) {
+                    uint8_t* qs, int8_t* scales, int8_t* mins,
+                    float* d_out, float* dmin_out, int kperm) {
     const int64_t row_bytes = (k / 256) * 144;
     const int64_t S = k / 32;
+    const int64_t G = k / 256;
     const int64_t half = k / 2;
     parallel_rows(rows, [&](int64_t r0, int64_t r1) {
         for (int64_t r = r0; r < r1; r++) {
             const uint8_t* rb = raw + r * row_bytes;
-            float* sc_out = scales + r * S;
-            float* mn_out = mins + r * S;
-            for (int64_t blk = 0; blk < k / 256; blk++) {
+            int8_t* sc_out = scales + r * S;
+            int8_t* mn_out = mins + r * S;
+            for (int64_t blk = 0; blk < G; blk++) {
                 const uint8_t* b = rb + blk * 144;
-                float d = f16_to_f32(rd16(b));
-                float dmin = f16_to_f32(rd16(b + 2));
+                d_out[r * G + blk] = f16_to_f32(rd16(b));
+                dmin_out[r * G + blk] = f16_to_f32(rd16(b + 2));
                 for (int j = 0; j < 8; j++) {
                     uint8_t s8, m8;
                     scale_min_k4(b + 4, j, &s8, &m8);
-                    sc_out[blk * 8 + j] = d * (float)s8;
-                    mn_out[blk * 8 + j] = dmin * (float)m8;
+                    int64_t pos = kperm ? (int64_t)j * G + blk : blk * 8 + j;
+                    sc_out[pos] = (int8_t)s8;
+                    mn_out[pos] = (int8_t)m8;
                 }
             }
             uint8_t* q_out = qs + r * half;
             for (int64_t j = 0; j < half; j++) {
                 int64_t p1 = j, p2 = j + half;
                 int64_t c1, c2;
-                if (kperm) {  // p = t*S + s  ->  c = s*32 + t
-                    c1 = (p1 % S) * 32 + (p1 / S);
-                    c2 = (p2 % S) * 32 + (p2 / S);
+                if (kperm) {  // p = t*S + (s%8)*G + s/8  ->  c = s*32 + t
+                    int64_t r1p = p1 % S, r2p = p2 % S;
+                    c1 = ((r1p % G) * 8 + r1p / G) * 32 + (p1 / S);
+                    c2 = ((r2p % G) * 8 + r2p / G) * 32 + (p2 / S);
                 } else {
                     c1 = p1; c2 = p2;
                 }
@@ -181,25 +189,34 @@ void prima_conv_q4_0(const uint8_t* raw, int64_t rows, int64_t k,
     });
 }
 
-// Q6_K: raw (rows, k/256*210) -> qs int8 (rows, k), scales (rows, k/16)
+// Q6_K: raw (rows, k/256*210) -> compact grouped layout: qs int8 (rows, k),
+// int8 scale codes (rows, k/16) and superblock base d f32 (rows, k/256);
+// sigma(s) = (s % 16)*G + s/16 when kperm.
 void prima_conv_q6k(const uint8_t* raw, int64_t rows, int64_t k,
-                    int8_t* qs, float* scales, int kperm) {
+                    int8_t* qs, int8_t* scales, float* d_out, int kperm) {
     const int64_t row_bytes = (k / 256) * 210;
     const int64_t S = k / 16;
+    const int64_t G = k / 256;
     parallel_rows(rows, [&](int64_t r0, int64_t r1) {
         for (int64_t r = r0; r < r1; r++) {
             const uint8_t* rb = raw + r * row_bytes;
-            float* sc_out = scales + r * S;
-            for (int64_t blk = 0; blk < k / 256; blk++) {
+            int8_t* sc_out = scales + r * S;
+            for (int64_t blk = 0; blk < G; blk++) {
                 const uint8_t* b = rb + blk * 210;
-                float d = f16_to_f32(rd16(b + 208));
+                d_out[r * G + blk] = f16_to_f32(rd16(b + 208));
                 const int8_t* s8 = (const int8_t*)(b + 192);
-                for (int j = 0; j < 16; j++)
-                    sc_out[blk * 16 + j] = d * (float)s8[j];
+                for (int j = 0; j < 16; j++) {
+                    int64_t pos = kperm ? (int64_t)j * G + blk : blk * 16 + j;
+                    sc_out[pos] = s8[j];
+                }
             }
             int8_t* q_out = qs + r * k;
             for (int64_t p = 0; p < k; p++) {
-                int64_t c = kperm ? (p % S) * 16 + (p / S) : p;
+                int64_t c = p;
+                if (kperm) {
+                    int64_t rp = p % S;
+                    c = ((rp % G) * 16 + rp / G) * 16 + (p / S);
+                }
                 q_out[p] = (int8_t)q6k_val(rb, c);
             }
         }

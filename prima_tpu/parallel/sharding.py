@@ -46,6 +46,9 @@ def shard_uq_rows(uq: UQTensor, n: int) -> list[UQTensor]:
                 q_offset=uq.q_offset,
                 ggml_type=uq.ggml_type,
                 shape=(r, k),
+                d=uq.d[sl] if uq.d is not None else None,
+                dmin=uq.dmin[sl] if uq.dmin is not None else None,
+                gsub=uq.gsub,
             )
         )
     return out
@@ -60,8 +63,10 @@ def shard_uq_cols(uq: UQTensor, n: int) -> list[UQTensor]:
     """
     rows, k = uq.shape
     kc = k // n
-    assert k % n == 0 and kc % uq.sub == 0, f"K {k} not shardable by {n} (sub={uq.sub})"
+    assert k % n == 0 and kc % (uq.sub * uq.gsub) == 0, (
+        f"K {k} not shardable by {n} (sub={uq.sub}, gsub={uq.gsub})")
     sc = kc // uq.sub
+    gc = sc // uq.gsub
     if uq.layout == "nib4":
         raw = unpack_nib4(uq.qs, 0).astype(np.uint8)  # (rows, k) natural order
     out = []
@@ -71,18 +76,24 @@ def shard_uq_cols(uq: UQTensor, n: int) -> list[UQTensor]:
             qs = _pack_nib4(np.ascontiguousarray(raw[:, cols]))
         else:
             qs = np.ascontiguousarray(uq.qs[:, cols])
+
+        def _cut(a, w):
+            return (np.ascontiguousarray(a[:, i * w : (i + 1) * w])
+                    if a is not None else None)
+
         out.append(
             UQTensor(
                 qs=qs,
-                scales=np.ascontiguousarray(uq.scales[:, i * sc : (i + 1) * sc]),
-                mins=np.ascontiguousarray(uq.mins[:, i * sc : (i + 1) * sc])
-                if uq.mins is not None
-                else None,
+                scales=_cut(uq.scales, sc),
+                mins=_cut(uq.mins, sc),
                 sub=uq.sub,
                 layout=uq.layout,
                 q_offset=uq.q_offset,
                 ggml_type=uq.ggml_type,
                 shape=(rows, kc),
+                d=_cut(uq.d, gc),
+                dmin=_cut(uq.dmin, gc),
+                gsub=uq.gsub,
             )
         )
     return out
@@ -124,16 +135,27 @@ def put_stacked_qtensor(
         spec = P(*axes, *([None] * (arr.ndim - depth)))
         return jax.device_put(arr, NamedSharding(mesh, spec))
 
-    kperm = host_pack(u0, pallas)[1]
+    _pk_cache: dict = {}
+
+    def _pk(s):
+        r = _pk_cache.get(id(s))
+        if r is None:
+            r = _pk_cache[id(s)] = host_pack(s, pallas)
+        return r
+
+    kperm = _pk(u0)[3]
     return QTensor(
-        qs=stack(lambda s: host_pack(s, pallas)[0]),
-        scales=stack(lambda s: s.scales),
-        mins=stack(lambda s: s.mins) if u0.mins is not None else None,
+        qs=stack(lambda s: _pk(s)[0]),
+        scales=stack(lambda s: _pk(s)[1]),
+        mins=stack(lambda s: _pk(s)[2]) if u0.mins is not None else None,
         sub=u0.sub,
         layout=u0.layout,
         q_offset=u0.q_offset,
         shape=u0.shape,  # per-shard logical shape
         kperm=kperm,
+        d=stack(lambda s: s.d) if u0.d is not None else None,
+        dmin=stack(lambda s: s.dmin) if u0.dmin is not None else None,
+        gsub=u0.gsub,
     )
 
 

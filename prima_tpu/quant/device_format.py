@@ -33,22 +33,38 @@ F32 = np.float32
 
 @dataclass
 class UQTensor:
-    """Uniform quantized tensor (host numpy arrays, ready for device_put)."""
+    """Uniform quantized tensor (host numpy arrays, ready for device_put).
+
+    Two scale representations:
+      * flat (gsub == 1): `scales`/`mins` are f32 (rows, S) premultiplied
+        per-sub-block values; `d`/`dmin` are None.
+      * grouped (gsub > 1, the K-quant superblock structure): `scales`/`mins`
+        are int8 codes (rows, S) and `d`/`dmin` are f32 (rows, S // gsub)
+        per-superblock bases. The effective scale of sub-block s is
+        d[s // gsub] * scales[s], multiplied in f32 ON DEVICE — the same
+        single f32 rounding the reference applies (ggml-quants.c:2555
+        `d * sc`), so dequant stays bit-exact while a Q4_K row streams
+        4.75 bits/weight from HBM instead of 6.
+    """
 
     qs: np.ndarray  # int8 (rows, K) | uint8 (rows, K/2)
-    scales: np.ndarray  # f32 (rows, K // sub)
-    mins: np.ndarray | None  # f32 (rows, K // sub) or None
+    scales: np.ndarray  # f32 (rows, S) | int8 codes (rows, S); S = K // sub
+    mins: np.ndarray | None  # same representation as scales, or None
     sub: int  # sub-block size (16 or 32)
     layout: str  # 'int8' | 'nib4'
     q_offset: int  # added to unpacked nibbles before scaling (nib4 only)
     ggml_type: GGMLType
     shape: tuple[int, int]  # (rows, K)
+    d: np.ndarray | None = None  # f32 (rows, S // gsub) when gsub > 1
+    dmin: np.ndarray | None = None  # f32 (rows, S // gsub) when mins grouped
+    gsub: int = 1  # sub-blocks per scale group (QK_K // sub for K-quants)
 
     @property
     def nbytes(self) -> int:
         n = self.qs.nbytes + self.scales.nbytes
-        if self.mins is not None:
-            n += self.mins.nbytes
+        for a in (self.mins, self.d, self.dmin):
+            if a is not None:
+                n += a.nbytes
         return n
 
 
@@ -133,25 +149,25 @@ def _conv_q4_k(raw: np.ndarray, k: int) -> UQTensor:
     rows = raw.shape[0]
     b = _blocks(raw, 144)
     nb = b.shape[0]
-    d = _f16(b[:, 0:2])
-    dmin = _f16(b[:, 2:4])
-    sc, mn = _get_scale_min_k4(b[:, 4:16])
-    scales = (d * sc.astype(F32)).reshape(rows, -1)
-    mins = (dmin * mn.astype(F32)).reshape(rows, -1)
+    d = _f16(b[:, 0:2]).reshape(rows, -1)
+    dmin = _f16(b[:, 2:4]).reshape(rows, -1)
+    sc, mn = _get_scale_min_k4(b[:, 4:16])  # (nb, 8) 6-bit codes
     qs4 = b[:, 16:144].reshape(nb, 4, 32)
     q = np.stack([qs4 & 0x0F, qs4 >> 4], axis=2).reshape(nb, 256).reshape(rows, k)
-    return UQTensor(_pack_nib4(q.astype(np.uint8)), scales, mins, 32, "nib4", 0, GGMLType.Q4_K, (rows, k))
+    return UQTensor(_pack_nib4(q.astype(np.uint8)),
+                    sc.astype(np.int8).reshape(rows, -1),
+                    mn.astype(np.int8).reshape(rows, -1),
+                    32, "nib4", 0, GGMLType.Q4_K, (rows, k),
+                    d=d, dmin=dmin, gsub=8)
 
 
 def _conv_q5_k(raw: np.ndarray, k: int) -> UQTensor:
     rows = raw.shape[0]
     b = _blocks(raw, 176)
     nb = b.shape[0]
-    d = _f16(b[:, 0:2])
-    dmin = _f16(b[:, 2:4])
+    d = _f16(b[:, 0:2]).reshape(rows, -1)
+    dmin = _f16(b[:, 2:4]).reshape(rows, -1)
     sc, mn = _get_scale_min_k4(b[:, 4:16])
-    scales = (d * sc.astype(F32)).reshape(rows, -1)
-    mins = (dmin * mn.astype(F32)).reshape(rows, -1)
     qh = b[:, 16:48]
     qs4 = b[:, 48:176].reshape(nb, 4, 32)
     lo = (qs4 & 0x0F).astype(np.int16)
@@ -162,7 +178,11 @@ def _conv_q5_k(raw: np.ndarray, k: int) -> UQTensor:
     hb1 = np.where((qh[:, None, :] & u1) != 0, 16, 0)
     hb2 = np.where((qh[:, None, :] & u2) != 0, 16, 0)
     q = np.stack([lo + hb1, hi + hb2], axis=2).reshape(nb, 256).reshape(rows, k)
-    return UQTensor(q.astype(np.int8), scales, mins, 32, "int8", 0, GGMLType.Q5_K, (rows, k))
+    return UQTensor(q.astype(np.int8),
+                    sc.astype(np.int8).reshape(rows, -1),
+                    mn.astype(np.int8).reshape(rows, -1),
+                    32, "int8", 0, GGMLType.Q5_K, (rows, k),
+                    d=d, dmin=dmin, gsub=8)
 
 
 def _conv_q6_k(raw: np.ndarray, k: int) -> UQTensor:
@@ -171,32 +191,34 @@ def _conv_q6_k(raw: np.ndarray, k: int) -> UQTensor:
     nb = b.shape[0]
     ql = b[:, 0:128].reshape(nb, 2, 64)
     qh = b[:, 128:192].reshape(nb, 2, 32)
-    sc = b[:, 192:208].copy().view(np.int8).astype(np.int32)
-    d = _f16(b[:, 208:210])
-    scales = (d * sc.astype(F32)).reshape(rows, -1)  # sub=16, order matches scale idx
+    sc = b[:, 192:208].copy().view(np.int8)  # (nb, 16) codes, order = scale idx
+    d = _f16(b[:, 208:210]).reshape(rows, -1)
     q = np.empty((nb, 2, 128), dtype=np.int8)
     q1 = ((ql[:, :, 0:32] & 0x0F) | (((qh >> 0) & 3) << 4)).astype(np.int8) - 32
     q2 = ((ql[:, :, 32:64] & 0x0F) | (((qh >> 2) & 3) << 4)).astype(np.int8) - 32
     q3 = ((ql[:, :, 0:32] >> 4) | (((qh >> 4) & 3) << 4)).astype(np.int8) - 32
     q4 = ((ql[:, :, 32:64] >> 4) | (((qh >> 6) & 3) << 4)).astype(np.int8) - 32
     q[:, :, 0:32], q[:, :, 32:64], q[:, :, 64:96], q[:, :, 96:128] = q1, q2, q3, q4
-    return UQTensor(q.reshape(rows, k), scales, None, 16, "int8", 0, GGMLType.Q6_K, (rows, k))
+    return UQTensor(q.reshape(rows, k), sc.reshape(rows, -1), None,
+                    16, "int8", 0, GGMLType.Q6_K, (rows, k), d=d, gsub=16)
 
 
 def _conv_q2_k(raw: np.ndarray, k: int) -> UQTensor:
     rows = raw.shape[0]
     b = _blocks(raw, 84)
     nb = b.shape[0]
-    sc8 = b[:, 0:16].astype(np.int32)
-    d = _f16(b[:, 80:82])
-    dmin = _f16(b[:, 82:84])
-    scales = (d * (sc8 & 0x0F).astype(F32)).reshape(rows, -1)
-    mins = (dmin * (sc8 >> 4).astype(F32)).reshape(rows, -1)
+    sc8 = b[:, 0:16]
+    d = _f16(b[:, 80:82]).reshape(rows, -1)
+    dmin = _f16(b[:, 82:84]).reshape(rows, -1)
     qs = b[:, 16:80].reshape(nb, 2, 32)
     q = np.empty((nb, 2, 128), dtype=np.int8)
     for j in range(4):
         q[:, :, 32 * j : 32 * j + 32] = ((qs >> (2 * j)) & 3).astype(np.int8)
-    return UQTensor(q.reshape(rows, k), scales, mins, 16, "int8", 0, GGMLType.Q2_K, (rows, k))
+    return UQTensor(q.reshape(rows, k),
+                    (sc8 & 0x0F).astype(np.int8).reshape(rows, -1),
+                    (sc8 >> 4).astype(np.int8).reshape(rows, -1),
+                    16, "int8", 0, GGMLType.Q2_K, (rows, k),
+                    d=d, dmin=dmin, gsub=16)
 
 
 def _conv_q3_k(raw: np.ndarray, k: int) -> UQTensor:
@@ -206,8 +228,7 @@ def _conv_q3_k(raw: np.ndarray, k: int) -> UQTensor:
     hmask = b[:, 0:32]
     qs = b[:, 32:96].reshape(nb, 2, 32)
     s16 = _q3k_scales(b[:, 96:108])
-    d = _f16(b[:, 108:110])
-    scales = (d * (s16 - 32).astype(F32)).reshape(rows, -1)
+    d = _f16(b[:, 108:110]).reshape(rows, -1)
     q = np.empty((nb, 2, 128), dtype=np.int8)
     for h in range(2):
         for j in range(4):
@@ -215,7 +236,9 @@ def _conv_q3_k(raw: np.ndarray, k: int) -> UQTensor:
             lo = ((qs[:, h, :] >> (2 * j)) & 3).astype(np.int8)
             sub4 = np.where((hmask & mbit) != 0, 0, 4).astype(np.int8)
             q[:, h, 32 * j : 32 * j + 32] = lo - sub4
-    return UQTensor(q.reshape(rows, k), scales, None, 16, "int8", 0, GGMLType.Q3_K, (rows, k))
+    return UQTensor(q.reshape(rows, k),
+                    (s16 - 32).astype(np.int8).reshape(rows, -1), None,
+                    16, "int8", 0, GGMLType.Q3_K, (rows, k), d=d, gsub=16)
 
 
 def _conv_iq4_nl(raw: np.ndarray, k: int) -> UQTensor:
@@ -233,15 +256,16 @@ def _conv_iq4_xs(raw: np.ndarray, k: int) -> UQTensor:
     rows = raw.shape[0]
     b = _blocks(raw, 136)
     nb = b.shape[0]
-    d = _f16(b[:, 0:2])
+    d = _f16(b[:, 0:2]).reshape(rows, -1)
     scales_h = b[:, 2:4].copy().view(np.uint16).astype(np.int32)
     scales_l = b[:, 4:8].astype(np.int32)
     ib = np.arange(8)
     ls = ((scales_l[:, ib // 2] >> (4 * (ib % 2))) & 0x0F) | (((scales_h >> (2 * ib)) & 3) << 4)
-    scales = (d * (ls - 32).astype(F32)).reshape(rows, -1)
     qs = b[:, 8:136].reshape(nb, 8, 16)
     q = np.concatenate([kvalues[qs & 0x0F], kvalues[qs >> 4]], axis=2).reshape(nb, 256)
-    return UQTensor(q.reshape(rows, k).astype(np.int8), scales, None, 32, "int8", 0, GGMLType.IQ4_XS, (rows, k))
+    return UQTensor(q.reshape(rows, k).astype(np.int8),
+                    (ls - 32).astype(np.int8).reshape(rows, -1), None,
+                    32, "int8", 0, GGMLType.IQ4_XS, (rows, k), d=d, gsub=8)
 
 
 def _conv_iq2_xxs(raw: np.ndarray, k: int) -> UQTensor:
@@ -250,10 +274,13 @@ def _conv_iq2_xxs(raw: np.ndarray, k: int) -> UQTensor:
     rows = raw.shape[0]
     b = _blocks(raw, 66)
     nb = b.shape[0]
-    d = _f16(b[:, 0:2])
+    d = _f16(b[:, 0:2]).reshape(rows, -1)
     qs = b[:, 2:66].copy().view(np.uint32).reshape(nb, 8, 2)
     aux0, aux1 = qs[:, :, 0], qs[:, :, 1]
-    db = (d * (np.float32(0.5) + (aux1 >> 28).astype(F32))) * np.float32(0.25)
+    # reference: db = d*(0.5 + aux)*0.25. Equals (d*0.125)*(1 + 2*aux) with a
+    # single identically-placed f32 rounding (power-of-two factors are exact),
+    # so the grouped form stays bit-exact: d' = d/8, code = 1 + 2*aux <= 31.
+    code = (1 + 2 * (aux1 >> 28)).astype(np.int8)
     idx = np.stack([(aux0 >> (8 * l)) & 0xFF for l in range(4)], axis=2)
     sbits = np.stack([(aux1 >> (7 * l)) & 127 for l in range(4)], axis=2)
     mag = grid[idx]  # (nb,8,4,8)
@@ -262,29 +289,35 @@ def _conv_iq2_xxs(raw: np.ndarray, k: int) -> UQTensor:
     sgn = np.where((signs[..., None] & (1 << j)) != 0, -1, 1).astype(np.int16)
     q = (mag * sgn).reshape(nb, 256)
     assert np.abs(q).max() <= 127
-    return UQTensor(q.reshape(rows, k).astype(np.int8), db.reshape(rows, -1), None, 32, "int8", 0, GGMLType.IQ2_XXS, (rows, k))
+    return UQTensor(q.reshape(rows, k).astype(np.int8),
+                    code.reshape(rows, -1), None,
+                    32, "int8", 0, GGMLType.IQ2_XXS, (rows, k),
+                    d=d * np.float32(0.125), gsub=8)
 
 
 def _conv_iq1_s(raw: np.ndarray, k: int) -> UQTensor:
-    """IQ1_S: y = dl*(g + delta). We store q = 8g + 8delta (integer, |q|<=9)
-    and scale' = dl * 0.125 (exact power-of-two product), so the device's
-    single multiply reproduces the reference's rounding exactly."""
+    """IQ1_S: y = dl*(g + delta), dl = d*(2*sh+1). We store q = 8g + 8delta
+    (integer, |q|<=9), grouped base d' = d*0.125 (exact power-of-two product)
+    and code 2*sh+1, so the device's single f32 multiply d'*code reproduces
+    the reference's rounding exactly."""
     grid = _codebook("iq1s_grid").view(np.uint8).reshape(2048, 8).view(np.int8).astype(np.int16)
     rows = raw.shape[0]
     b = _blocks(raw, 50)
     nb = b.shape[0]
-    d = _f16(b[:, 0:2])
+    d = _f16(b[:, 0:2]).reshape(rows, -1)
     qs = b[:, 2:34].reshape(nb, 8, 4).astype(np.int32)
     qh = b[:, 34:50].copy().view(np.uint16).astype(np.int32)
-    dl = d * (2 * ((qh >> 12) & 7) + 1).astype(F32)
-    scales = (dl * np.float32(0.125)).reshape(rows, -1)
+    code = (2 * ((qh >> 12) & 7) + 1).astype(np.int8)  # <= 15
     delta8 = np.where((qh & 0x8000) != 0, -1, 1).astype(np.int16)  # 8*(+-0.125)
     l = np.arange(4)
     idx = qs | (((qh[:, :, None] >> (3 * l)) & 7) << 8)
     g = grid[idx]  # (nb,8,4,8)
     q = (8 * g + delta8[:, :, None, None]).reshape(nb, 256)
     assert np.abs(q).max() <= 127
-    return UQTensor(q.reshape(rows, k).astype(np.int8), scales, None, 32, "int8", 0, GGMLType.IQ1_S, (rows, k))
+    return UQTensor(q.reshape(rows, k).astype(np.int8),
+                    code.reshape(rows, -1), None,
+                    32, "int8", 0, GGMLType.IQ1_S, (rows, k),
+                    d=d * np.float32(0.125), gsub=8)
 
 
 def _conv_iq1_m(raw: np.ndarray, k: int) -> UQTensor:
@@ -301,11 +334,11 @@ def _conv_iq1_m(raw: np.ndarray, k: int) -> UQTensor:
     d = scale_u16.view(np.float16).astype(F32)[:, None]
     ib = np.arange(8)
     sc32 = sc.astype(np.int32)
-    dl1 = d * (2 * ((sc32[:, ib // 2] >> (6 * (ib % 2) + 0)) & 0x7) + 1).astype(F32)
-    dl2 = d * (2 * ((sc32[:, ib // 2] >> (6 * (ib % 2) + 3)) & 0x7) + 1).astype(F32)
+    c1 = (2 * ((sc32[:, ib // 2] >> (6 * (ib % 2) + 0)) & 0x7) + 1).astype(np.int8)
+    c2 = (2 * ((sc32[:, ib // 2] >> (6 * (ib % 2) + 3)) & 0x7) + 1).astype(np.int8)
     # per half-sub-block (16 elems) scale: [dl1, dl1, dl2, dl2] quarters of 8
     # -> sub must be 16: quarters 0,1 (elems 0..15) use dl1; 2,3 (16..31) dl2
-    scales16 = np.stack([dl1, dl2], axis=2).reshape(nb, 16) * np.float32(0.125)
+    codes16 = np.stack([c1, c2], axis=2).reshape(nb, 16)
     idx = np.empty((nb, 8, 4), dtype=np.int32)
     idx[:, :, 0] = qs[:, :, 0] | ((qh[:, :, 0] << 8) & 0x700)
     idx[:, :, 1] = qs[:, :, 1] | ((qh[:, :, 0] << 4) & 0x700)
@@ -318,7 +351,10 @@ def _conv_iq1_m(raw: np.ndarray, k: int) -> UQTensor:
     delta8[:, :, 3] = np.where((qh[:, :, 1] & 0x80) != 0, -1, 1)
     g = grid[idx]
     q = (8 * g + delta8[:, :, :, None]).reshape(nb, 256)
-    return UQTensor(q.reshape(rows, k).astype(np.int8), scales16.reshape(rows, -1), None, 16, "int8", 0, GGMLType.IQ1_M, (rows, k))
+    return UQTensor(q.reshape(rows, k).astype(np.int8),
+                    codes16.reshape(rows, -1), None,
+                    16, "int8", 0, GGMLType.IQ1_M, (rows, k),
+                    d=(d * np.float32(0.125)).reshape(rows, -1), gsub=16)
 
 
 _CONVERTERS = {
@@ -352,6 +388,18 @@ def to_device_format(raw: np.ndarray, ggml_type: GGMLType, k: int) -> UQTensor:
     return fn(np.ascontiguousarray(raw), k)
 
 
+def uq_full_scales(uq: UQTensor) -> tuple[np.ndarray, np.ndarray | None]:
+    """Effective per-sub-block f32 (scales, mins) — expands grouped codes
+    with the same single f32 multiply the device performs."""
+    if uq.gsub == 1:
+        return uq.scales, uq.mins
+    sc = np.repeat(uq.d, uq.gsub, axis=1) * uq.scales.astype(F32)
+    mn = None
+    if uq.mins is not None:
+        mn = np.repeat(uq.dmin, uq.gsub, axis=1) * uq.mins.astype(F32)
+    return sc, mn
+
+
 def dequant_uq_np(uq: UQTensor) -> np.ndarray:
     """Host reference dequant of the uniform layout (for tests)."""
     if uq.layout == "nib4":
@@ -359,8 +407,8 @@ def dequant_uq_np(uq: UQTensor) -> np.ndarray:
     else:
         q = uq.qs.astype(F32)
     rows, k = uq.shape
-    scales = np.repeat(uq.scales, uq.sub, axis=1)
-    y = scales * q.reshape(rows, k)
-    if uq.mins is not None:
-        y = y - np.repeat(uq.mins, uq.sub, axis=1)
+    sc, mn = uq_full_scales(uq)
+    y = np.repeat(sc, uq.sub, axis=1) * q.reshape(rows, k)
+    if mn is not None:
+        y = y - np.repeat(mn, uq.sub, axis=1)
     return y

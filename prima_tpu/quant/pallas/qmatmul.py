@@ -6,7 +6,7 @@ packed in HBM (nib4: 4 bits/w + f32 sub-block scales; int8: 8 bits/w) and
 are widened tile-by-tile in VMEM; the decode GEMV is HBM-bandwidth-bound,
 so bytes-from-HBM per weight is the whole ballgame for tokens/s.
 
-Design notes (v2):
+Design notes (v3):
   * Every qs byte is fetched from HBM exactly once: a nib4 byte tile yields
     BOTH its low-nibble and high-nibble column groups in the same grid step
     (two MXU dots against two x slices), instead of re-reading the tile.
@@ -14,12 +14,20 @@ Design notes (v2):
     y += Σ_c x_c·(sc·off − min) = xs @ (off·sc − mins)ᵀ with xs the per-sub-
     block sums of x (B, S) — one tiny dot at kt == 0 replaces a full-width
     second dot and the per-weight offset add.
-  * Layout trick: weight columns are host-permuted to p = t*S + s (s =
-    sub-block index, S = K/sub). In permuted space the scale for column p is
-    scales[p mod S], so in-kernel scale expansion is one lane-aligned
-    pltpu.repeat. The activation picks up the same permutation with one
-    cheap XLA reshape-transpose per call; the result is permutation-
-    invariant.
+  * Layout trick: weight columns are host-permuted to p = t*S + sigma(s)
+    (s = sub-block index, S = K/sub; sigma(s) = (s % gsub)*G + s//gsub puts
+    the K-quant superblock index minor). In permuted space the scale CODE
+    for column p is codes[p mod S] and its superblock base is d[p mod G],
+    so both in-kernel expansions are lane-aligned tile repeats. The
+    activation picks up the same permutation with one cheap XLA reshape-
+    transpose per call; the result is permutation-invariant.
+  * Compact grouped scales (K-quants): int8 codes + per-superblock f32
+    d/dmin stream from HBM (Q4_K: 4.75 bits/weight vs 6 with premultiplied
+    f32 scales); the effective scale d*code is ONE f32 multiply in-kernel —
+    bit-identical to the host premultiply, ~25% less HBM traffic.
+  * Whole-row k-tiles when kb <= 8192: the activation block's index map is
+    then constant across the grid, so Pallas streams x once instead of once
+    per n-tile.
 
 Precision: `fast=False` dequantizes in f32 (reference-exact weights, matches
 qmatmul_xla); `fast=True` uses bf16 weights on the MXU — still *more*
@@ -52,27 +60,59 @@ def _tile_repeat(sc: jax.Array, reps: int) -> jax.Array:
     return pltpu.repeat(sc, reps, axis=1) if not _interpret() else jnp.tile(sc, (1, reps))
 
 
-def permute_cols_np(a: np.ndarray, sub: int) -> np.ndarray:
-    """(..., K) natural order -> kernel order p = t*S + s (host, load time)."""
+def permute_cols_np(a: np.ndarray, sub: int, gsub: int = 1) -> np.ndarray:
+    """(..., K) natural order -> kernel order p = t*S + sigma(s), where
+    sigma(s) = (s % gsub)*G + s // gsub puts the scale GROUP index in the
+    minor position so the in-kernel group-base (d) expansion is a lane tile
+    (host, load time)."""
     k = a.shape[-1]
     s = k // sub
+    g = s // gsub
+    nd = a.ndim
+    # natural axes (..., G, gsub, sub) = (g, w, t) -> stored (t, w, g)
     return np.ascontiguousarray(
-        a.reshape(a.shape[:-1] + (s, sub)).swapaxes(-1, -2).reshape(a.shape)
+        a.reshape(a.shape[:-1] + (g, gsub, sub))
+        .transpose(tuple(range(nd - 1)) + (nd + 1, nd, nd - 1))
+        .reshape(a.shape)
     )
 
 
-def permute_x(x: jax.Array, sub: int) -> jax.Array:
+def permute_subs_np(codes: np.ndarray, gsub: int) -> np.ndarray:
+    """Per-sub-block rows (..., S) natural -> sigma order (host, load time)."""
+    if gsub == 1:
+        return codes
+    s = codes.shape[-1]
+    return np.ascontiguousarray(
+        codes.reshape(codes.shape[:-1] + (s // gsub, gsub))
+        .swapaxes(-1, -2)
+        .reshape(codes.shape)
+    )
+
+
+def permute_x(x: jax.Array, sub: int, gsub: int = 1) -> jax.Array:
     """Apply the same column permutation to the activation (XLA, per call)."""
     k = x.shape[-1]
     s = k // sub
-    return x.reshape(x.shape[:-1] + (s, sub)).swapaxes(-1, -2).reshape(x.shape)
+    g = s // gsub
+    nd = x.ndim
+    return (
+        x.reshape(x.shape[:-1] + (g, gsub, sub))
+        .transpose(tuple(range(nd - 1)) + (nd + 1, nd, nd - 1))
+        .reshape(x.shape)
+    )
 
 
-def unpermute_w(w: jax.Array, sub: int) -> jax.Array:
+def unpermute_w(w: jax.Array, sub: int, gsub: int = 1) -> jax.Array:
     """Inverse permutation for materialized weights (XLA fallback paths)."""
     k = w.shape[-1]
     s = k // sub
-    return w.reshape(w.shape[:-1] + (sub, s)).swapaxes(-1, -2).reshape(w.shape)
+    g = s // gsub
+    nd = w.ndim
+    return (
+        w.reshape(w.shape[:-1] + (sub, gsub, g))
+        .transpose(tuple(range(nd - 1)) + (nd + 1, nd, nd - 1))
+        .reshape(w.shape)
+    )
 
 
 def _dot_nt(x, w):
@@ -82,24 +122,53 @@ def _dot_nt(x, w):
     )
 
 
+def _group_expand(base: jax.Array, s: int) -> jax.Array:
+    """(N_T, G) group bases -> (N_T, S) per-sub-block, sigma order (group
+    index = s' mod G). An exact 0/1 expansion matmul: every output is one
+    product, so no rounding is introduced."""
+    g = base.shape[-1]
+    e = (
+        jax.lax.broadcasted_iota(jnp.int32, (g, s), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (g, s), 1) % g
+    ).astype(jnp.float32)
+    return jax.lax.dot_general(
+        base, e, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
 def _qmm_kernel(
     x_lo_ref,  # (B, C_T) — permuted activation, low-nibble columns
     x_hi_ref,  # (B, C_T) — high-nibble columns (nib4 only; else absent)
     xs_ref,  # (B, S) per-sub-block x sums (affine formats only; else absent)
     qs_ref,  # (N_T, C_T) uint8 nib4 bytes | int8
-    sc_ref,  # (N_T, S) f32 — full scale row, tile-repeated in kernel
-    mn_ref,  # (N_T, S) f32 mins, or absent
+    sc_ref,  # (N_T, S) f32 | int8 codes (grouped) — sigma order
+    mn_ref,  # (N_T, S) f32 | int8 codes, or absent
+    d_ref,  # (N_T, G) f32 group scale bases (grouped only; else absent)
+    dm_ref,  # (N_T, G) f32 group min bases (grouped w/ mins; else absent)
     o_ref,  # (B, N_T) f32
     *,
     layout: str,
     q_offset: int,
     t_chunk: int,
     has_mins: bool,
+    grouped: bool,
     fast: bool,
 ):
     kt = pl.program_id(1)
     cdtype = jnp.bfloat16 if fast else jnp.float32
-    scales = _tile_repeat(sc_ref[:], t_chunk).astype(cdtype)
+    if grouped:
+        # effective scale = d[group] * code, multiplied here in f32 — the
+        # same single rounding as the reference host premultiply.
+        s = sc_ref.shape[-1]
+        sc_full = _group_expand(d_ref[:], s) * sc_ref[:].astype(jnp.float32)
+        mn_full = (
+            _group_expand(dm_ref[:], s) * mn_ref[:].astype(jnp.float32)
+            if has_mins else None
+        )
+    else:
+        sc_full = sc_ref[:]
+        mn_full = mn_ref[:] if has_mins else None
+    scales = _tile_repeat(sc_full, t_chunk).astype(cdtype)
 
     if layout == "nib4":
         b = qs_ref[:].astype(jnp.int32)  # Mosaic: no direct u8->float cast
@@ -115,9 +184,9 @@ def _qmm_kernel(
             o_ref[:] = acc
         else:
             # affine term over the FULL row: y += xs @ (off*sc - mins)^T
-            corr = sc_ref[:] * np.float32(q_offset) if q_offset else None
+            corr = sc_full * np.float32(q_offset) if q_offset else None
             if has_mins:
-                corr = -mn_ref[:] if corr is None else corr - mn_ref[:]
+                corr = -mn_full if corr is None else corr - mn_full
             o_ref[:] = acc + _dot_nt(xs_ref[:], corr)
 
     @pl.when(kt != 0)
@@ -126,26 +195,35 @@ def _qmm_kernel(
 
 
 def _pick_tiles(n: int, kb: int, s: int) -> tuple[int, int]:
-    """(n_tile, kb_tile): qs byte-tile is (n_tile, kb_tile), kb_tile = tc*S."""
+    """(n_tile, kb_tile): qs byte-tile is (n_tile, kb_tile), kb_tile = tc*S.
+
+    Prefer covering the whole byte row in ONE k-tile (kb_tile == kb): then the
+    activation block's index map is constant across the grid and Pallas
+    fetches x exactly once — with multiple k-tiles, x re-streams once per
+    n-tile (a ~20% HBM tax at K=14336)."""
     tb = kb // s  # byte-columns per t-position
     t_chunk = 1
     for cand in (16, 8, 4, 2, 1):
-        if tb % cand == 0 and cand * s <= 4096:
+        if tb % cand == 0 and cand * s <= 8192:
             t_chunk = cand
             break
     kb_tile = t_chunk * s
-    n_tile = min(n, 256)
-    while n % n_tile:
+    # VMEM budget: the f32 dequant intermediate (n_tile, kb_tile) plus the
+    # double-buffered byte tile must fit scoped VMEM (~16 MB) — cap the tile
+    # byte area at 2M (~12 MB live).
+    n_tile = min(n, 512)
+    while n % n_tile or (n_tile > 8 and n_tile * kb_tile > 2 * 1024 * 1024):
         n_tile //= 2
     return max(n_tile, 8), kb_tile
 
 
-def pallas_eligible(shape: tuple[int, int], sub: int, layout: str) -> bool:
+def pallas_eligible(shape: tuple[int, int], sub: int, layout: str,
+                    gsub: int = 1) -> bool:
     n, k = shape
     if k % 256 or n % 8:
         return False
     s = k // sub
-    if s % 8:
+    if s % 8 or s % gsub:
         return False  # scale row must be loadable as (n_tile, S) tiles
     kb = k // 2 if layout == "nib4" else k
     if kb % s:
@@ -155,7 +233,7 @@ def pallas_eligible(shape: tuple[int, int], sub: int, layout: str) -> bool:
 
 @functools.lru_cache(maxsize=None)
 def _build_qmm(b: int, n: int, k: int, layout: str, q_offset: int, sub: int,
-               has_mins: bool, fast: bool):
+               has_mins: bool, fast: bool, gsub: int):
     s = k // sub
     kb = k // 2 if layout == "nib4" else k  # qs bytes per row
     n_tile, kb_tile = _pick_tiles(n, kb, s)
@@ -163,6 +241,8 @@ def _build_qmm(b: int, n: int, k: int, layout: str, q_offset: int, sub: int,
     n_kb_tiles = kb // kb_tile
     nib4 = layout == "nib4"
     affine = has_mins or q_offset != 0
+    grouped = gsub > 1
+    g = s // gsub
 
     grid = (n // n_tile, n_kb_tiles)
     kernel = functools.partial(
@@ -171,10 +251,12 @@ def _build_qmm(b: int, n: int, k: int, layout: str, q_offset: int, sub: int,
         q_offset=q_offset,
         t_chunk=t_chunk,
         has_mins=has_mins,
+        grouped=grouped,
         fast=fast,
     )
 
     sc_spec = pl.BlockSpec((n_tile, s), lambda nt, kt: (nt, 0), memory_space=pltpu.VMEM)
+    d_spec = pl.BlockSpec((n_tile, g), lambda nt, kt: (nt, 0), memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((b, kb_tile), lambda nt, kt: (0, kt), memory_space=pltpu.VMEM),
     ]
@@ -190,6 +272,10 @@ def _build_qmm(b: int, n: int, k: int, layout: str, q_offset: int, sub: int,
     in_specs.append(sc_spec)
     if has_mins:
         in_specs.append(sc_spec)
+    if grouped:
+        in_specs.append(d_spec)
+        if has_mins:
+            in_specs.append(d_spec)
 
     # drop unused refs so the kernel signature matches in_specs
     def kernel_wrap(*refs):
@@ -203,13 +289,20 @@ def _build_qmm(b: int, n: int, k: int, layout: str, q_offset: int, sub: int,
         sc = refs[i]; i += 1
         mn = refs[i] if has_mins else None
         i += 1 if has_mins else 0
+        d = refs[i] if grouped else None
+        i += 1 if grouped else 0
+        dm = refs[i] if grouped and has_mins else None
+        i += 1 if grouped and has_mins else 0
         o = refs[i]
-        kernel(x_lo, x_hi, xs, qs, sc, mn, o)
+        kernel(x_lo, x_hi, xs, qs, sc, mn, d, dm, o)
 
     flops = 2 * b * n * k
-    bytes_accessed = n * kb + n * s * 4 * (2 if has_mins else 1) + b * k * 4
+    sc_bytes = 1 if grouped else 4
+    bytes_accessed = (n * kb + n * s * sc_bytes * (2 if has_mins else 1)
+                      + (n * g * 4 * (2 if has_mins else 1) if grouped else 0)
+                      + b * k * 4)
 
-    def _fn(x, xs, qs, scales, mins):
+    def _fn(x, xs, qs, scales, mins, d, dmin):
         args = [x]
         if nib4:
             args.append(x)  # same buffer, two block views
@@ -219,6 +312,10 @@ def _build_qmm(b: int, n: int, k: int, layout: str, q_offset: int, sub: int,
         args.append(scales)
         if has_mins:
             args.append(mins)
+        if grouped:
+            args.append(d)
+            if has_mins:
+                args.append(dmin)
         return pl.pallas_call(
             kernel_wrap,
             grid=grid,
@@ -248,7 +345,7 @@ def qmatmul_pallas(x: jax.Array, qt: QTensor, out_dtype=None, fast: bool | None 
 
     lead = x.shape[:-1]
     b = int(np.prod(lead)) if lead else 1
-    x2 = permute_x(x.reshape(b, k).astype(jnp.float32), qt.sub)
+    x2 = permute_x(x.reshape(b, k).astype(jnp.float32), qt.sub, qt.gsub)
     b_pad = max(8, -(-b // 8) * 8)
     if b_pad != b:
         x2 = jnp.pad(x2, ((0, b_pad - b), (0, 0)))
@@ -259,8 +356,9 @@ def qmatmul_pallas(x: jax.Array, qt: QTensor, out_dtype=None, fast: bool | None 
 
     if fast is None:
         fast = os.environ.get("PRIMA_QMM_FAST", "0") == "1"
-    fn = _build_qmm(b_pad, n, k, qt.layout, qt.q_offset, qt.sub, has_mins, fast)
-    out = fn(x2, xs, qt.qs, qt.scales, qt.mins)
+    fn = _build_qmm(b_pad, n, k, qt.layout, qt.q_offset, qt.sub, has_mins,
+                    fast, qt.gsub)
+    out = fn(x2, xs, qt.qs, qt.scales, qt.mins, qt.d, qt.dmin)
     out = out[:b].reshape(lead + (n,))
     return out.astype(out_dtype or x.dtype)
 

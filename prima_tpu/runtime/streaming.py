@@ -35,10 +35,11 @@ def pack_host_layer(layer: dict, pallas: bool = True) -> dict:
     out = {}
     for name, t in layer.items():
         if isinstance(t, UQTensor):
-            qs, kperm = host_pack(t, pallas)
+            qs, scales, mins, kperm = host_pack(t, pallas)
             out[name] = {
-                "qs": qs, "scales": t.scales, "mins": t.mins,
-                "meta": (t.sub, t.layout, t.q_offset, t.shape, kperm),
+                "qs": qs, "scales": scales, "mins": mins,
+                "d": t.d, "dmin": t.dmin,
+                "meta": (t.sub, t.layout, t.q_offset, t.shape, kperm, t.gsub),
             }
         else:
             out[name] = {"dense": np.asarray(t, dtype=np.float32)}
@@ -51,12 +52,14 @@ def _to_device(packed: dict, device=None) -> dict:
         if "dense" in rec:
             layer[name] = jax.device_put(rec["dense"], device)
         else:
-            sub, layout, q_offset, shape, kperm = rec["meta"]
+            sub, layout, q_offset, shape, kperm, gsub = rec["meta"]
+            put = lambda a: jax.device_put(a, device) if a is not None else None
             layer[name] = QTensor(
-                qs=jax.device_put(rec["qs"], device),
-                scales=jax.device_put(rec["scales"], device),
-                mins=jax.device_put(rec["mins"], device) if rec["mins"] is not None else None,
-                sub=sub, layout=layout, q_offset=q_offset, shape=shape, kperm=kperm,
+                qs=put(rec["qs"]),
+                scales=put(rec["scales"]),
+                mins=put(rec["mins"]),
+                sub=sub, layout=layout, q_offset=q_offset, shape=shape,
+                kperm=kperm, d=put(rec["d"]), dmin=put(rec["dmin"]), gsub=gsub,
             )
     return layer
 

@@ -27,20 +27,29 @@ def test_native_matches_numpy(t, kperm):
     raw = _raw(t)
     got = native_convert(raw, t, K, kperm)
     assert got is not None
-    qs_n, sc_n, mn_n = got
+    qs_n, sc_n, mn_n, d_n, dmin_n = got
 
     uq = to_device_format(raw, t, K)
     if kperm:
-        qs_ref, did = host_pack(uq, pallas=True)
+        qs_ref, sc_ref, mn_ref, did = host_pack(uq, pallas=True)
         assert did
     else:
-        qs_ref = uq.qs
+        qs_ref, sc_ref, mn_ref = uq.qs, uq.scales, uq.mins
     np.testing.assert_array_equal(qs_n, qs_ref)
-    np.testing.assert_array_equal(sc_n, uq.scales)
+    np.testing.assert_array_equal(sc_n, sc_ref)
     if mn_n is not None:
-        np.testing.assert_array_equal(mn_n, uq.mins)
+        np.testing.assert_array_equal(mn_n, mn_ref)
     else:
         assert uq.mins is None
+    if d_n is not None:
+        np.testing.assert_array_equal(d_n, uq.d)
+        assert uq.gsub > 1
+    else:
+        assert uq.d is None
+    if dmin_n is not None:
+        np.testing.assert_array_equal(dmin_n, uq.dmin)
+    else:
+        assert uq.dmin is None
 
 
 def test_native_faster_than_numpy():
