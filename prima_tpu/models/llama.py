@@ -422,9 +422,16 @@ def attention_block(
     inv_freq: jax.Array,
     mscale: float,
     opts: ForwardOptions,
+    *,
+    taps: dict | None = None,
+    tap_prefix: str = "",
 ):
     b, s, _ = x.shape
     h, kvh, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    if taps is not None:  # imatrix activation statistics (examples/imatrix)
+        _tap(taps, tap_prefix + "attn_q.weight", x)
+        _tap(taps, tap_prefix + "attn_k.weight", x)
+        _tap(taps, tap_prefix + "attn_v.weight", x)
     q = linear_l(layer, "wq", x, opts.matmul_impl)
     k = linear_l(layer, "wk", x, opts.matmul_impl)
     v = linear_l(layer, "wv", x, opts.matmul_impl)
@@ -454,16 +461,38 @@ def attention_block(
         out = gqa_attention(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
                             mask, scale)
     out = out.reshape(b, s, h * hd)
+    if taps is not None:
+        _tap(taps, tap_prefix + "attn_output.weight", out)
     out = linear_l(layer, "wo", out, opts.matmul_impl)
     if opts.tp_axis is not None:
         out = jax.lax.psum(out, opts.tp_axis)  # column-parallel wo
     return out, (k_cache, v_cache)
 
 
-def ffn_block(layer: dict, x: jax.Array, opts: ForwardOptions) -> jax.Array:
+def _tap(taps: dict, name: str, x: jax.Array) -> None:
+    """Accumulate per-input-column sum(x^2) and token count for `name` —
+    the statistics examples/imatrix/imatrix.cpp:171-196 collects per
+    mul_mat input."""
+    ssq = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=tuple(range(x.ndim - 1)))
+    cnt = jnp.asarray(np.prod(x.shape[:-1]), jnp.int64 if False else jnp.int32)
+    prev = taps.get(name)
+    if prev is not None:
+        ssq = ssq + prev[0]
+        cnt = cnt + prev[1]
+    taps[name] = (ssq, cnt)
+
+
+def ffn_block(layer: dict, x: jax.Array, opts: ForwardOptions, *,
+              taps: dict | None = None, tap_prefix: str = "") -> jax.Array:
     gate = linear_l(layer, "w_gate", x, opts.matmul_impl)
+    if taps is not None:
+        _tap(taps, tap_prefix + "ffn_gate.weight", x)
+        _tap(taps, tap_prefix + "ffn_up.weight", x)
     up = linear_l(layer, "w_up", x, opts.matmul_impl)
-    out = linear_l(layer, "w_down", swiglu(gate, up), opts.matmul_impl)
+    act = swiglu(gate, up)
+    if taps is not None:
+        _tap(taps, tap_prefix + "ffn_down.weight", act)
+    out = linear_l(layer, "w_down", act, opts.matmul_impl)
     if opts.tp_axis is not None:
         out = jax.lax.psum(out, opts.tp_axis)  # column-parallel w_down
     return out
@@ -480,14 +509,18 @@ def decode_layer(
     inv_freq,
     mscale,
     opts: ForwardOptions,
+    *,
+    taps: dict | None = None,
+    tap_prefix: str = "",
 ):
     attn_in = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
     attn_out, kv = attention_block(
-        layer, cfg, attn_in, positions, kv, cache_pos, mask, inv_freq, mscale, opts
+        layer, cfg, attn_in, positions, kv, cache_pos, mask, inv_freq, mscale, opts,
+        taps=taps, tap_prefix=tap_prefix,
     )
     x = x + attn_out
     ffn_in = rms_norm(x, layer["ffn_norm"], cfg.rms_eps)
-    x = x + ffn_block(layer, ffn_in, opts)
+    x = x + ffn_block(layer, ffn_in, opts, taps=taps, tap_prefix=tap_prefix)
     if layer.get("cvec") is not None:  # control vector (llama_control_vector_apply)
         x = x + layer["cvec"].astype(x.dtype)
     return x, kv
@@ -504,6 +537,7 @@ def forward(
     layer_range: tuple[int, int] | None = None,
     hidden_in: jax.Array | None = None,
     return_hidden: bool = False,
+    taps: dict | None = None,
 ):
     """Full or partial (layer-window) forward.
 
@@ -527,7 +561,8 @@ def forward(
         layer = params["layers"][i]
         assert layer is not None, f"layer {i} not loaded on this rank"
         x, new_kv[i] = decode_layer(
-            layer, cfg, x, positions, new_kv[i], cache_pos, mask, inv_freq, mscale, opts
+            layer, cfg, x, positions, new_kv[i], cache_pos, mask, inv_freq,
+            mscale, opts, taps=taps, tap_prefix=f"blk.{i}.",
         )
 
     if hi < cfg.n_layers or return_hidden:
@@ -535,6 +570,8 @@ def forward(
 
     x = rms_norm(x, params["output_norm"], cfg.rms_eps)
     w_out = params["output"] if params.get("output") is not None else params["tok_embd"]
+    if taps is not None:
+        _tap(taps, "output.weight", x)
     logits = linear(x, w_out, opts.matmul_impl).astype(opts.logits_dtype)
     return logits, new_kv
 

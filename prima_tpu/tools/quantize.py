@@ -51,12 +51,17 @@ def _target_type(name: str, ne, default: GGMLType, out_type: GGMLType) -> GGMLTy
     return default
 
 
-def _encode(x: np.ndarray, t: GGMLType) -> tuple[np.ndarray | bytes, GGMLType]:
+def _encode(x: np.ndarray, t: GGMLType,
+            qw: np.ndarray | None = None) -> tuple[np.ndarray | bytes, GGMLType]:
     if t == GGMLType.F32:
         return x.astype(np.float32), t
     if t == GGMLType.F16:
         return x.astype(np.float16), t
     try:
+        if qw is not None:
+            from ..quant.quantize_imatrix import quantize_weighted
+
+            return quantize_weighted(x, t, qw), t
         return quantize(x, t), t
     except (NotImplementedError, ValueError):
         # row size incompatible with the block format: keep f16
@@ -64,7 +69,10 @@ def _encode(x: np.ndarray, t: GGMLType) -> tuple[np.ndarray | bytes, GGMLType]:
 
 
 def quantize_gguf(src_path: str, dst_path: str, ftype: str,
-                  logfile=sys.stderr) -> dict:
+                  imatrix: dict | None = None, logfile=sys.stderr) -> dict:
+    """imatrix: name -> per-column importance (from quantize_imatrix.
+    load_imatrix) — enables activation-weighted encoding for K-quants, the
+    analogue of llama-quantize --imatrix."""
     default_t, out_t = FTYPES[ftype.upper()]
     src = GGUFModel.open(src_path)
     w = GGUFWriter(dst_path)
@@ -79,7 +87,10 @@ def quantize_gguf(src_path: str, dst_path: str, ftype: str,
     for name, ti in src.tensors.items():
         x = dequantize_tensor(ti).astype(np.float32)
         t = _target_type(name, ti.ne, default_t, out_t)
-        data, t = _encode(x, t)
+        qw = imatrix.get(name) if imatrix else None
+        if qw is not None and len(qw) != ti.ne[0]:
+            qw = None  # shape mismatch (e.g. different model): ignore
+        data, t = _encode(x, t, qw)
         if isinstance(data, np.ndarray) and t in (GGMLType.F32, GGMLType.F16):
             w.add_tensor(name, data)
         else:
@@ -100,8 +111,16 @@ def main(argv=None) -> int:
     ap.add_argument("src")
     ap.add_argument("dst")
     ap.add_argument("ftype", choices=sorted(FTYPES), help="target ftype")
+    ap.add_argument("--imatrix", help="importance matrix file (prima-imatrix)")
     args = ap.parse_args(argv)
-    stats = quantize_gguf(args.src, args.dst, args.ftype)
+    imatrix = None
+    if args.imatrix:
+        from ..quant.quantize_imatrix import load_imatrix
+
+        imatrix = load_imatrix(args.imatrix)
+        print(f"loaded {len(imatrix)} imatrix entries from {args.imatrix}",
+              file=sys.stderr)
+    stats = quantize_gguf(args.src, args.dst, args.ftype, imatrix=imatrix)
     print(f"quantized {stats['n_tensors']} tensors: "
           f"{stats['in_bytes'] / 2**20:.1f} MiB -> {stats['out_bytes'] / 2**20:.1f} MiB "
           f"in {stats['seconds']:.1f}s")
