@@ -29,7 +29,7 @@ class TokenType(IntEnum):
 
 @dataclass
 class Vocab:
-    model: str  # "llama" (SPM) | "gpt2" (BPE) | "no_vocab"
+    model: str  # "llama" (SPM) | "gpt2" (BPE) | "bert" (WPM) | "t5" (UGM) | "rwkv" | "no_vocab"
     pre: str  # pre-tokenizer variant ("default", "llama3", "qwen2", ...)
     tokens: list[str]
     scores: list[float]
@@ -41,10 +41,14 @@ class Vocab:
     eom_id: int = -1
     unk_id: int = -1
     pad_id: int = -1
+    sep_id: int = -1  # BERT/WPM [SEP]
+    cls_id: int = -1  # BERT/WPM [CLS] (used as bos)
     add_bos: bool = False
     add_eos: bool = False
     add_space_prefix: bool = True
     ignore_merges: bool = False
+    remove_extra_whitespaces: bool = False  # UGM normalization option
+    precompiled_charsmap: bytes = b""  # UGM XCDA normalization table
 
     token_to_id: dict[str, int] = field(default_factory=dict)
 
@@ -95,10 +99,16 @@ class Vocab:
             eos_id=int(g("tokenizer.ggml.eos_token_id", 2 if spm else 11)),
             unk_id=int(g("tokenizer.ggml.unknown_token_id", 0 if spm else -1)),
             pad_id=int(g("tokenizer.ggml.padding_token_id", -1)),
+            sep_id=int(g("tokenizer.ggml.seperator_token_id", -1)),
+            cls_id=int(g("tokenizer.ggml.cls_token_id", -1)),
             add_bos=bool(g("tokenizer.ggml.add_bos_token", spm)),
             add_eos=bool(g("tokenizer.ggml.add_eos_token", False)),
             add_space_prefix=bool(g("tokenizer.ggml.add_space_prefix", spm)),
             ignore_merges=False,
+            remove_extra_whitespaces=bool(
+                g("tokenizer.ggml.remove_extra_whitespaces", False)),
+            precompiled_charsmap=bytes(
+                bytearray(g("tokenizer.ggml.precompiled_charsmap", b"") or b"")),
         )
         # llama3-style end-of-turn markers double as end-of-generation
         for name in ("<|eot_id|>", "<|im_end|>", "<|end|>", "<end_of_turn>"):
