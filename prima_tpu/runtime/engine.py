@@ -47,6 +47,10 @@ class Slot:
     request_id: Any = None
     stop_reason: str | None = None
     n_probs: int = 0  # top-N logprobs per sampled token (OpenAI logprobs)
+    # Self-Extend grouped attention state (main.cpp:618-640)
+    ga_i: int = 0
+    pos_delta: int = 0  # logical (RoPE) position - physical write index
+    pos_map: Any = None  # per-cell logical positions (lazy)
 
     @property
     def n_past(self) -> int:
@@ -76,6 +80,8 @@ class Engine:
         eog_ids: set[int] | None = None,
         ctx_shift: bool = False,
         n_keep: int = 0,
+        grp_attn_n: int = 1,
+        grp_attn_w: int = 512,
     ):
         self.cfg = cfg
         self.params = params
@@ -90,6 +96,12 @@ class Engine:
         # context-shift on full context (main.cpp:584-617) vs hard stop
         self.ctx_shift = ctx_shift
         self.n_keep = n_keep
+        # Self-Extend grouped attention (--grp-attn-n/--grp-attn-w)
+        assert grp_attn_n >= 1
+        assert grp_attn_n == 1 or grp_attn_w % grp_attn_n == 0, \
+            "grp_attn_w must be a multiple of grp_attn_n (main.cpp:221)"
+        self.grp_attn_n = grp_attn_n
+        self.grp_attn_w = grp_attn_w
         # perf counters (llama_perf_context analogue)
         self.perf = {"n_prompt": 0, "n_decode": 0, "t_prompt_s": 0.0, "t_decode_s": 0.0}
 
@@ -97,10 +109,12 @@ class Engine:
         opts_ = self.opts
 
         @functools.partial(jax.jit, static_argnames=("s_len",))
-        def _prefill(params, caches, tokens, pos0, slot, s_len):
+        def _prefill(params, caches, tokens, pos0, rope0, slot, s_len):
             # tokens: (s_len,) — single-slot chunked prefill on a kv row slice
+            # pos0 = physical write index; rope0 = logical (RoPE) position
+            # (they differ only under Self-Extend grouped attention)
             row = jax.tree.map(lambda a: a[slot][None], caches)
-            positions = pos0 + jnp.arange(s_len, dtype=jnp.int32)[None]
+            positions = rope0 + jnp.arange(s_len, dtype=jnp.int32)[None]
             _logits, row = forward(
                 params, cfg_, tokens[None], positions, row, pos0[None], opts_
             )
@@ -108,9 +122,9 @@ class Engine:
             return caches
 
         @jax.jit
-        def _decode(params, caches, tokens, cache_pos):
+        def _decode(params, caches, tokens, cache_pos, rope_pos):
             # tokens: (B, 1); cache_pos: (B,) — batched one-token step
-            positions = cache_pos[:, None]
+            positions = rope_pos[:, None]
             logits, caches = forward(
                 params, cfg_, tokens, positions, caches, cache_pos, opts_
             )
@@ -154,6 +168,9 @@ class Engine:
         slot.request_id = request_id
         slot.stop_reason = None
         slot.n_probs = n_probs
+        slot.ga_i = 0
+        slot.pos_delta = 0
+        slot.pos_map = None
         for t in prompt_tokens:
             slot.sampler.accept(t, accept_grammar=False)
         if slot.n_prompt_done >= len(slot.prompt) - 1:
@@ -171,17 +188,63 @@ class Engine:
 
     # -- the decode loop --------------------------------------------------------
 
+    def _apply_self_extend(self, slot: Slot) -> None:
+        """Self-Extend grouped attention (main.cpp:618-640): once the logical
+        position passes ga_i + ga_w, compress the window's positions by ga_n.
+        Cells never move (causality-by-index holds); cached K is re-rotated
+        to the compressed positions and future tokens carry a negative
+        logical-position offset (slot.pos_delta)."""
+        ga_n, ga_w = self.grp_attn_n, self.grp_attn_w
+        if ga_n <= 1:
+            return
+        used = self.kv.used(slot.id)
+        n_past = used + slot.pos_delta  # logical
+        while n_past >= slot.ga_i + ga_w:
+            ib = (ga_n * slot.ga_i) // ga_w
+            bd = (ga_w // ga_n) * (ga_n - 1)
+            dd = (ga_w // ga_n) - ib * bd - ga_w
+            L = slot.pos_map
+            base = slot.ga_i + ib * bd
+            # the reference's seq_add / seq_div / seq_add triple, composed
+            # in logical-position space over the live cells
+            L1 = np.where((L >= slot.ga_i) & (L < n_past), L + ib * bd, L)
+            L2 = np.where((L1 >= base) & (L1 < base + ga_w), L1 // ga_n, L1)
+            L3 = np.where((L2 >= base + ga_w) & (L2 < n_past + ib * bd),
+                          L2 + dd, L2)
+            live = np.arange(self.kv.max_seq) < used
+            L3 = np.where(live, L3, L)
+            self.kv.rope_shift(slot.id, (L3 - L).astype(np.int32))
+            slot.pos_map = L3
+            n_past -= bd
+            slot.ga_i += ga_w // ga_n
+        slot.pos_delta = n_past - used
+
+    def _record_positions(self, slot: Slot, pos0: int, n: int) -> None:
+        """Track the logical position of newly written cells (Self-Extend)."""
+        if self.grp_attn_n <= 1:
+            return
+        if slot.pos_map is None:
+            slot.pos_map = np.arange(self.kv.max_seq, dtype=np.int64)
+        slot.pos_map[pos0:pos0 + n] = (
+            pos0 + slot.pos_delta + np.arange(n, dtype=np.int64))
+
     def _advance_prefill(self, slot: Slot) -> None:
         """Ingest one chunk of prompt[:-1] into the KV cache."""
+        if self.grp_attn_n > 1 and slot.pos_map is None:
+            slot.pos_map = np.arange(self.kv.max_seq, dtype=np.int64)
+        self._apply_self_extend(slot)
         target = len(slot.prompt) - 1
         chunk = slot.prompt[slot.n_prompt_done : min(slot.n_prompt_done + self.n_batch, target)]
         s_len = _bucket(len(chunk), self.n_batch)
         padded = np.zeros(s_len, dtype=np.int32)
         padded[: len(chunk)] = chunk
         pos0 = np.int32(self.kv.used(slot.id))
+        rope0 = np.int32(int(pos0) + slot.pos_delta)
         self.kv.caches = self._prefill(
-            self.params, self.kv.caches, jnp.asarray(padded), pos0, slot.id, s_len
+            self.params, self.kv.caches, jnp.asarray(padded), pos0, rope0,
+            slot.id, s_len
         )
+        self._record_positions(slot, int(pos0), len(chunk))
         self.kv.cache_pos[slot.id] += len(chunk)
         slot.n_prompt_done += len(chunk)
         if slot.n_prompt_done >= target:
@@ -214,16 +277,25 @@ class Engine:
                     used = self.kv.used(slot.id)
                     n_discard = max((used - self.n_keep) // 2, 1)
                     self.kv.context_shift(slot.id, self.n_keep, n_discard)
+        if self.grp_attn_n > 1:
+            for slot in active:
+                if slot.pos_map is None:
+                    slot.pos_map = np.arange(self.kv.max_seq, dtype=np.int64)
+                self._apply_self_extend(slot)
+                self._record_positions(slot, self.kv.used(slot.id), 1)
         t0 = _time.perf_counter()
 
         B = self.n_slots
         tokens = np.zeros((B, 1), dtype=np.int32)
+        rope_delta = np.zeros(B, dtype=np.int32)
         for slot in active:
             tokens[slot.id, 0] = slot.generated[-1] if slot.generated else slot.prompt[-1]
+            rope_delta[slot.id] = slot.pos_delta
         cache_pos = self.kv.cache_pos.copy()  # inactive rows park in place
 
         logits_j, self.kv.caches = self._decode(
-            self.params, self.kv.caches, jnp.asarray(tokens), jnp.asarray(cache_pos)
+            self.params, self.kv.caches, jnp.asarray(tokens), jnp.asarray(cache_pos),
+            jnp.asarray(cache_pos + rope_delta)
         )
         self.n_decode_calls += 1
         logits_all = np.asarray(logits_j, dtype=np.float32)  # sync point

@@ -169,6 +169,22 @@ class KVCache:
             d = np.where((idx >= p0) & (idx < p1), delta, 0)
             self.remap(slot, idx, d, used)
 
+    def rope_shift(self, slot: int, delta: np.ndarray) -> None:
+        """Re-rotate cached K of every cell i by per-index position delta[i]
+        WITHOUT moving cells — the building block for Self-Extend grouped
+        attention, where logical positions compress but storage order (and
+        causality-by-index) is unchanged."""
+        if not np.any(delta):
+            return
+        delta_j = jnp.asarray(delta.astype(np.int32))
+        for i, kvp in enumerate(self.caches):
+            if kvp is None:
+                continue
+            k, v = kvp
+            k_row = _rope_delta(_materialize_row(k, slot), delta_j,
+                                self._inv_freq, self.cfg.rope_type)
+            self.caches[i] = (_set_row(k, slot, k_row), v)
+
     def seq_div(self, slot: int, p0: int, p1: int, divisor: int) -> None:
         """Self-Extend grouped attention: divide positions in [p0, p1) by
         `divisor` (main.cpp:618-640). Re-rotates cached K accordingly."""
@@ -177,7 +193,7 @@ class KVCache:
         T = self.max_seq
         idx = np.arange(T, dtype=np.int32)
         inrange = (idx >= p0) & (idx < p1)
-        newpos = np.where(inrange, p0 + (idx - p0) // divisor, idx)
+        newpos = np.where(inrange, idx // divisor, idx)  # pos /= d, absolute
         delta = (newpos - idx).astype(np.int32)
         delta_j = jnp.asarray(delta)
         for i, kvp in enumerate(self.caches):

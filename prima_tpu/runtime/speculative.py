@@ -74,7 +74,8 @@ class SpeculativeDecoder:
             tokens[0, 0] = cur
             cache_pos = d.kv.cache_pos.copy()
             logits_j, d.kv.caches = d._decode(
-                d.params, d.kv.caches, jnp.asarray(tokens), jnp.asarray(cache_pos)
+                d.params, d.kv.caches, jnp.asarray(tokens), jnp.asarray(cache_pos),
+                jnp.asarray(cache_pos)
             )
             stats.n_draft_calls += 1
             d.kv.cache_pos[0] += 1

@@ -50,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--master-priority", type=float, default=1.01)
     ap.add_argument("--no-context-shift", action="store_true",
                     help="stop at context end instead of shifting")
+    ap.add_argument("-gan", "--grp-attn-n", type=int, default=1,
+                    help="Self-Extend group attention factor (main.cpp:618)")
+    ap.add_argument("-gaw", "--grp-attn-w", type=int, default=512,
+                    help="Self-Extend group attention width")
     ap.add_argument("--verbose", "-v", action="count", default=0)
     # sampling (common/arg.cpp flag names)
     ap.add_argument("-s", "--seed", type=int, default=-1)
@@ -166,7 +170,8 @@ def main(argv=None) -> int:
     eng = Engine(model.cfg, model.params, n_slots=1, max_seq=args.ctx_size,
                  n_batch=args.batch_size, opts=opts, eog_ids=model.eog_ids,
                  kv_dtype=kv_dtype, ctx_shift=not args.no_context_shift,
-                 n_keep=args.n_keep)
+                 n_keep=args.n_keep, grp_attn_n=args.grp_attn_n,
+                 grp_attn_w=args.grp_attn_w)
 
     prompt = args.prompt
     if args.file:

@@ -69,3 +69,40 @@ def test_perf_counters():
     assert eng.perf["n_decode"] == 5
     assert eng.perf["t_decode_s"] > 0
     assert "decode: 5 tokens" in eng.perf_summary()
+
+
+def test_self_extend_grouped_attention():
+    """Self-Extend (--grp-attn-n/-w): decoding runs past the group window,
+    logical positions compress (pos_delta < 0) while cells keep streaming."""
+    cfg = tiny_config(n_layers=2)
+    params = synth_params(cfg, GGMLType.Q4_K, seed=5)
+    eng = Engine(cfg, params, n_slots=1, max_seq=64, n_batch=8, opts=OPTS,
+                 kv_dtype=jnp.float32, grp_attn_n=2, grp_attn_w=8)
+    prompt = [3, 17, 42, 7, 99, 5]
+    out = eng.run_to_completion(prompt, n_predict=24)
+    assert len(out) == 24
+    slot = eng.slots[0]
+    # the window was compressed at least once
+    assert slot.ga_i > 0
+    assert slot.pos_delta < 0
+    # logical positions stay bounded well below the physical write index
+    used = eng.kv.used(0)
+    assert used == len(prompt) + 24 - 1
+    assert used + slot.pos_delta < used
+    # pos_map is monotically non-decreasing over live cells (order preserved)
+    live = slot.pos_map[:used]
+    assert np.all(np.diff(live) >= 0)
+
+
+def test_self_extend_prefix_matches_plain():
+    """Before the first compression triggers, output is identical to the
+    plain engine (the ops are no-ops until n_past >= ga_w)."""
+    cfg = tiny_config(n_layers=2)
+    params = synth_params(cfg, GGMLType.Q4_K, seed=5)
+    prompt = [3, 17, 42, 7]
+    plain = Engine(cfg, params, n_slots=1, max_seq=64, n_batch=8, opts=OPTS,
+                   kv_dtype=jnp.float32).run_to_completion(prompt, n_predict=6)
+    se = Engine(cfg, params, n_slots=1, max_seq=64, n_batch=8, opts=OPTS,
+                kv_dtype=jnp.float32, grp_attn_n=4,
+                grp_attn_w=32).run_to_completion(prompt, n_predict=6)
+    assert se == plain
