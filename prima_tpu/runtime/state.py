@@ -44,12 +44,13 @@ def slot_save(engine, slot_id: int, path: str) -> int:
         k, v = kv
         arrays[f"k{li}"] = np.asarray(_materialize_row(k, slot_id)[:used], dtype=np.float32)
         arrays[f"v{li}"] = np.asarray(_materialize_row(v, slot_id)[:used], dtype=np.float32)
-    np.savez_compressed(
-        path,
-        meta=json.dumps(_meta(engine, used)),
-        tokens=np.asarray(tokens, dtype=np.int32),
-        **arrays,
-    )
+    with open(path, "wb") as f:  # exact path (np.savez would append .npz)
+        np.savez_compressed(
+            f,
+            meta=json.dumps(_meta(engine, used)),
+            tokens=np.asarray(tokens, dtype=np.int32),
+            **arrays,
+        )
     return used
 
 

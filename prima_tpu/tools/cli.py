@@ -38,6 +38,10 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["f32", "bf16", "q8_0"], dest="cache_type")
     ap.add_argument("--n-keep", type=int, default=0,
                     help="tokens kept through a context shift")
+    ap.add_argument("--prompt-cache", help="session file: restore the KV "
+                    "cache from it on start, save on exit (main.cpp:268-288)")
+    ap.add_argument("--prompt-cache-ro", action="store_true",
+                    help="use the prompt cache read-only (no save on exit)")
     # distributed ring (the reference's -w/-r/-lw/-k/--master/--next flags)
     ap.add_argument("-w", "--world", type=int, default=int(env("WORLD", 1)))
     ap.add_argument("--rank", type=int, default=int(env("RANK", 0)))
@@ -184,13 +188,34 @@ def main(argv=None) -> int:
         print(f"model: {model.cfg.name or model.cfg.arch}, {model.cfg.n_layers} layers, "
               f"vocab {v.n_tokens}", file=sys.stderr)
 
+    # session restore: reuse the longest common prefix of the cached tokens
+    # (the reference's --prompt-cache path, main.cpp:268-288)
+    if args.prompt_cache:
+        import os as _os
+
+        from ..runtime.state import session_load
+
+        if _os.path.exists(args.prompt_cache):
+            cached = session_load(eng, 0, args.prompt_cache)
+            if args.verbose:
+                print(f"session: restored {len(cached)} tokens from "
+                      f"{args.prompt_cache}", file=sys.stderr)
+
     if not args.interactive:
         toks = model.tokenizer.encode(prompt, add_special=True, parse_special=True)
         if not args.no_display_prompt:
             sys.stdout.write(prompt)
         sampler = make_sampler(args, model, v.n_tokens)
-        _stream_generate(eng, model, sampler, toks, args.n_predict, args.reverse_prompt)
+        out = _stream_generate(eng, model, sampler, toks, args.n_predict, args.reverse_prompt)
         sys.stdout.write("\n")
+        if args.prompt_cache and not args.prompt_cache_ro:
+            from ..runtime.state import session_save
+
+            slot = eng.slots[0]
+            slot.prompt = toks + eng.slots[0].generated
+            session_save(eng, 0, args.prompt_cache)
+            if args.verbose:
+                print(f"session: saved to {args.prompt_cache}", file=sys.stderr)
         if args.verbose:
             print(eng.perf_summary(), file=sys.stderr)
         return 0

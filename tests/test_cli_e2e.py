@@ -61,3 +61,21 @@ def test_loader_roundtrip(tiny_model):
     assert m.cfg.n_vocab == m.tokenizer.vocab.n_tokens
     ids = m.tokenizer.encode("hello world")
     assert m.tokenizer.decode(ids) == "hello world"
+
+
+def test_cli_prompt_cache_roundtrip(tiny_model, tmp_path):
+    """--prompt-cache: first run saves the session; the second restores it
+    and produces identical greedy output (main.cpp:268-288 behavior)."""
+    cache = str(tmp_path / "session.bin")
+    args = ["-m", tiny_model, "-p", "Hello world", "-n", "6", "--temp", "0",
+            "--matmul", "xla", "--no-display-prompt", "--prompt-cache", cache]
+    out1 = _run_cli(args)
+    import os
+
+    assert os.path.exists(cache) and os.path.getsize(cache) > 0
+    out2 = _run_cli(args)
+    assert out2 == out1
+    # read-only mode leaves the file untouched
+    mtime = os.path.getmtime(cache)
+    _run_cli(args + ["--prompt-cache-ro"])
+    assert os.path.getmtime(cache) == mtime
