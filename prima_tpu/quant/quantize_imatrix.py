@@ -345,10 +345,17 @@ def quantize_q6_k(x: np.ndarray, qw: np.ndarray) -> np.ndarray:
     return out.reshape(n_rows, -1)
 
 
+def _q_iq4_xs(x: np.ndarray, qw: np.ndarray) -> np.ndarray:
+    from .quantize_np import quantize_iq4_xs
+
+    return quantize_iq4_xs(x, qw)
+
+
 _WEIGHTED = {
     GGMLType.Q4_K: quantize_q4_k,
     GGMLType.Q5_K: quantize_q5_k,
     GGMLType.Q6_K: quantize_q6_k,
+    GGMLType.IQ4_XS: _q_iq4_xs,
 }
 
 

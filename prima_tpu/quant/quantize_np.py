@@ -356,6 +356,88 @@ def quantize_iq4_nl(x: np.ndarray) -> np.ndarray:
     return out.reshape(n_rows, -1)
 
 
+def quantize_iq4_xs(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
+    """IQ4_XS: 256-element superblocks of 32-element sub-blocks indexing the
+    nonlinear kvalues_iq4nl LUT, with 6-bit block scales (port of
+    quantize_row_iq4_nl_impl with super_block_size=256, ntry=7)."""
+    from .dequant_np import _codebook
+
+    values = _codebook("kvalues_iq4nl").astype(np.float64)  # (16,) ascending
+    x = _rows(x, QK_K)
+    n_rows, n = x.shape
+    xb = x.reshape(-1, QK_K).astype(np.float64)
+    nb = xb.shape[0]
+    sub = xb.reshape(nb, 8, 32)
+
+    sigma2 = 2.0 * np.sum(xb * xb, axis=1, keepdims=True) / QK_K  # (nb, 1)
+    if qw is not None:
+        qw_b = np.broadcast_to(qw.astype(np.float64), (n_rows, n)).reshape(nb, 8, 32)
+        w = qw_b * np.sqrt(sigma2[:, :, None] + sub * sub)
+    else:
+        w = sub * sub
+
+    flat = sub.reshape(nb * 8, 32)
+    wf = w.reshape(nb * 8, 32)
+    amax_i = np.argmax(np.abs(flat), axis=1)
+    mx = flat[np.arange(nb * 8), amax_i]
+    dead = np.abs(mx) < 1e-15
+    mx_safe = np.where(dead, 1.0, mx)
+
+    # nearest-LUT index for scaled values: (m, 32)
+    def nearest(id_):
+        scaled = id_[:, None] * flat
+        return np.abs(scaled[:, :, None] - values[None, None, :]).argmin(axis=2)
+
+    def ls(idx):
+        q = values[idx]
+        sumqx = np.sum(wf * q * flat, axis=1)
+        sumq2 = np.sum(wf * q * q, axis=1)
+        return sumqx, sumq2
+
+    d0 = -mx_safe / values[0]
+    idx = nearest(1.0 / d0)
+    sumqx, sumq2 = ls(idx)
+    d = np.where(sumq2 > 0, sumqx / np.where(sumq2 > 0, sumq2, 1), 0.0)
+    best = d * sumqx
+    for itry in range(-7, 8):
+        id_try = (itry + values[0]) / mx_safe
+        i2 = nearest(id_try)
+        sqx, sq2 = ls(i2)
+        better = (sq2 > 0) & (sqx * sqx > best * sq2)
+        nd = sqx / np.where(sq2 > 0, sq2, 1)
+        d = np.where(better, nd, d)
+        best = np.where(better, nd * sqx, best)
+    scales = np.where(dead, 0.0, d).reshape(nb, 8)
+
+    # 6-bit superblock scale quantization
+    amax_s = np.argmax(np.abs(scales), axis=1)
+    max_scale = scales[np.arange(nb), amax_s]
+    d_super = np.where(max_scale != 0, -max_scale / 32.0, 0.0)
+    d16 = d_super.astype(np.float32).astype(np.float16)
+    d_superf = d16.astype(np.float64)
+    id_s = np.where(d_superf != 0, 1.0 / np.where(d_superf != 0, d_superf, 1), 0.0)
+    lsc = np.clip(_nearest_int(id_s[:, None] * scales), -32, 31)  # (nb, 8)
+    dl = d_superf[:, None] * lsc
+    idl = np.where(dl != 0, 1.0 / np.where(dl != 0, dl, 1), 0.0)
+    scaled = idl.reshape(nb * 8)[:, None] * flat
+    L = np.abs(scaled[:, :, None] - values[None, None, :]).argmin(axis=2)
+    L = L.reshape(nb, 8, 32).astype(np.uint8)
+
+    l6 = (lsc + 32).astype(np.uint8)  # (nb, 8)
+    scales_l = ((l6[:, 0::2] & 0xF) | ((l6[:, 1::2] & 0xF) << 4)).astype(np.uint8)
+    sh = np.zeros(nb, np.uint32)
+    for ib in range(8):
+        sh |= (l6[:, ib].astype(np.uint32) >> 4) << (2 * ib)
+    qs = (L[:, :, 0:16] | (L[:, :, 16:32] << 4)).reshape(nb, 128)
+
+    out = np.empty((nb, 136), dtype=np.uint8)
+    out[:, 0:2] = np.ascontiguousarray(d16).view(np.uint8).reshape(nb, 2)
+    out[:, 2:4] = np.ascontiguousarray(sh.astype(np.uint16)).view(np.uint8).reshape(nb, 2)
+    out[:, 4:8] = scales_l
+    out[:, 8:] = qs
+    return out.reshape(n_rows, -1)
+
+
 QUANTIZE_FNS = {
     GGMLType.Q8_0: quantize_q8_0,
     GGMLType.Q4_0: quantize_q4_0,
@@ -368,6 +450,7 @@ QUANTIZE_FNS = {
     GGMLType.Q5_K: quantize_q5_k,
     GGMLType.Q6_K: quantize_q6_k,
     GGMLType.IQ4_NL: quantize_iq4_nl,
+    GGMLType.IQ4_XS: quantize_iq4_xs,
 }
 
 

@@ -35,6 +35,8 @@ FTYPES: dict[str, tuple[GGMLType, GGMLType]] = {
     "Q5_K": (GGMLType.Q5_K, GGMLType.Q6_K),
     "Q5_K_M": (GGMLType.Q5_K, GGMLType.Q6_K),
     "Q6_K": (GGMLType.Q6_K, GGMLType.Q6_K),
+    "IQ4_NL": (GGMLType.IQ4_NL, GGMLType.Q6_K),
+    "IQ4_XS": (GGMLType.IQ4_XS, GGMLType.Q6_K),
     "F16": (GGMLType.F16, GGMLType.F16),
     "F32": (GGMLType.F32, GGMLType.F32),
 }

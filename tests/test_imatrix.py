@@ -90,3 +90,12 @@ def test_collect_and_quantize_end_to_end(tmp_path):
     # the result loads and decodes
     m2 = load_model(dst)
     assert m2.cfg.n_layers == n_layers
+
+
+def test_iq4_xs_weighted(xw):
+    x, qw = xw
+    t = GGMLType.IQ4_XS
+    yw = _dequant(qi.quantize_weighted(x, t, qw), t, K)
+    yu = _dequant(qi.quantize_weighted(x, t, None), t, K)
+    assert np.sqrt(np.mean((x - yu) ** 2)) / np.sqrt(np.mean(x * x)) < 0.1
+    assert np.sum(qw * (x - yw) ** 2) <= np.sum(qw * (x - yu) ** 2) * 1.001
