@@ -1,8 +1,10 @@
 """Model configuration from GGUF metadata.
 
 Covers the architectures the reference's distributed path supports —
-LLM_ARCH_LLAMA and LLM_ARCH_QWEN2 (assert at src/llama.cpp:17003) — plus
-their derivatives (DeepSeek-R1 distills ship as llama/qwen2 GGUFs).
+LLM_ARCH_LLAMA and LLM_ARCH_QWEN2 (assert at src/llama.cpp:17003) including
+MoE llama (Mixtral: llama.expert_count > 0) — plus the single-node families
+gemma / gemma2 (llm_load_hparams src/llama.cpp:6242-6263, build_gemma2
+@14333) and phi3 (fused qkv + fused gate/up, build_phi3 @13185).
 Hparam keys mirror llm_load_hparams (src/llama.cpp:5823).
 """
 
@@ -49,6 +51,16 @@ class ModelConfig:
     qkv_bias: bool = False  # qwen2: bias on q/k/v projections
     tie_embeddings: bool = False
     name: str = ""
+    # arch-specific behavior (defaults = llama)
+    act: str = "silu"  # FFN gate activation: silu | gelu (gemma)
+    embd_scale: float = 1.0  # gemma: sqrt(n_embd) on the embedding
+    attn_scale: float = 0.0  # 0 = default 1/sqrt(head_dim); gemma2-27b differs
+    attn_logit_softcap: float = 0.0  # gemma2: softcap * tanh(s / softcap)
+    final_logit_softcap: float = 0.0
+    post_norms: bool = False  # gemma2: post-attention / post-ffn RMSNorms
+    swa_window: int = 0  # gemma2: sliding-window attention on even layers
+    n_expert: int = 0  # MoE (Mixtral): expert count
+    n_expert_used: int = 0  # top-k experts per token
 
     @property
     def n_embd_k_gqa(self) -> int:
@@ -61,10 +73,10 @@ class ModelConfig:
     @classmethod
     def from_gguf(cls, m: GGUFModel) -> "ModelConfig":
         arch = m.arch
-        if arch not in ("llama", "qwen2"):
+        if arch not in ("llama", "qwen2", "gemma", "gemma2", "phi3"):
             raise NotImplementedError(
-                f"arch {arch!r}: the distributed runtime supports llama/qwen2 "
-                "(matching reference src/llama.cpp:17003)"
+                f"arch {arch!r}: supported archs are llama (incl. MoE/Mixtral),"
+                " qwen2, gemma, gemma2, phi3"
             )
         g = m.arch_key
         n_embd = int(g("{arch}.embedding_length"))
@@ -90,6 +102,26 @@ class ModelConfig:
 
         tie = "output.weight" not in m.tensors
 
+        extra = {}
+        if arch in ("gemma", "gemma2"):
+            extra["act"] = "gelu"
+            extra["embd_scale"] = float(n_embd) ** 0.5
+        if arch == "gemma2":
+            extra["attn_logit_softcap"] = float(
+                g("{arch}.attn_logit_softcapping", 50.0))
+            extra["final_logit_softcap"] = float(
+                g("{arch}.final_logit_softcapping", 30.0))
+            extra["post_norms"] = True
+            extra["swa_window"] = int(g("{arch}.attention.sliding_window", 4096))
+            if n_layers == 46:  # 27B: 1/sqrt(n_embd / n_head) (llama.cpp:14387)
+                extra["attn_scale"] = 1.0 / float(n_embd / n_heads) ** 0.5
+            else:
+                extra["attn_scale"] = 1.0 / float(head_dim) ** 0.5
+        n_expert = int(g("{arch}.expert_count", 0) or 0)
+        if n_expert:
+            extra["n_expert"] = n_expert
+            extra["n_expert_used"] = int(g("{arch}.expert_used_count", 2))
+
         return cls(
             arch=arch,
             n_layers=n_layers,
@@ -108,6 +140,7 @@ class ModelConfig:
             qkv_bias=(arch == "qwen2"),
             tie_embeddings=tie,
             name=str(m.get("general.name", "")),
+            **extra,
         )
 
     def flops_per_token(self) -> float:

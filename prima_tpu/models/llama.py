@@ -22,7 +22,8 @@ import numpy as np
 
 from ..gguf.constants import GGMLType, TYPE_TRAITS
 from ..gguf.reader import GGUFModel, TensorInfo
-from ..ops.layers import apply_rope, causal_mask, gqa_attention, rms_norm, rope_freqs, swiglu
+from ..ops.layers import (apply_rope, causal_mask, gated_act, gqa_attention,
+                          rms_norm, rope_freqs, swiglu)
 from ..quant.dequant_jax import QTensor, dequant, qmatmul_xla
 from ..quant.device_format import SUPPORTED_TYPES, UQTensor as _UQ, to_device_format
 from .config import ModelConfig
@@ -91,6 +92,49 @@ def _to_device_tensor(ti: TensorInfo, dtype, dense: bool = False):
     return jax.device_put(dequantize_tensor(ti).astype(np.dtype(dtype)))
 
 
+def _split_tensor_rows(ti: TensorInfo, dtype, bounds: Sequence[int]):
+    """Split a GGUF tensor along output rows (for fused qkv / gate_up):
+    raw quant blocks slice cleanly by row. Returns one tensor per range."""
+    from ..quant.dequant_jax import qtensor_from_raw
+
+    t = ti.ggml_type
+    tt = TYPE_TRAITS[t]
+    rows = ti.n_elements // ti.ne[0]
+    k = ti.ne[0]
+    if tt.is_quantized and t in SUPPORTED_TYPES:
+        raw = np.asarray(ti.data).reshape(rows, -1)
+        out = []
+        for r0, r1 in zip(bounds[:-1], bounds[1:]):
+            sl = np.ascontiguousarray(raw[r0:r1])
+            qt = qtensor_from_raw(sl, t, (r1 - r0, k))
+            if qt is None:
+                uq = to_device_format(sl, t, k)
+                qt = QTensor.from_host(uq)
+            out.append(qt)
+        return out
+    from ..quant.dequant_np import dequantize_tensor
+
+    full = dequantize_tensor(ti).astype(np.dtype(dtype))
+    return [jax.device_put(full[r0:r1]) for r0, r1 in zip(bounds[:-1], bounds[1:])]
+
+
+def _stack_expert_rows(qt, n_expert: int):
+    """Reshape a (n_expert*rows, ...) tensor into a leading expert axis so
+    experts index with [e] (dynamic-slice under jit)."""
+    if isinstance(qt, QTensor):
+        def r(a):
+            return (a.reshape((n_expert, a.shape[0] // n_expert) + a.shape[1:])
+                    if a is not None else None)
+
+        return QTensor(qs=r(qt.qs), scales=r(qt.scales), mins=r(qt.mins),
+                       sub=qt.sub, layout=qt.layout, q_offset=qt.q_offset,
+                       shape=(qt.shape[0] // n_expert, qt.shape[1]),
+                       kperm=qt.kperm, d=r(qt.d), dmin=r(qt.dmin), gsub=qt.gsub)
+    if qt.ndim == 3 and qt.shape[0] == n_expert:
+        return qt  # dense tensors keep their GGUF 3D shape
+    return qt.reshape((n_expert, qt.shape[0] // n_expert) + qt.shape[1:])
+
+
 def load_params(
     m: GGUFModel,
     cfg: ModelConfig,
@@ -103,6 +147,8 @@ def load_params(
 
     layer_filter(i) -> False skips layer i (rank-aware loading: the analogue
     of this_layer_is_mine, src/llama.cpp:3838 — unowned layers are None).
+    Per-arch tensor tables mirror llm_load_llama_tensors (src/llama.cpp:7356),
+    llm_load_qwen2_tensors (@7475), and the gemma/gemma2/phi3 loaders.
     """
     t = m.tensors
 
@@ -114,6 +160,7 @@ def load_params(
             return None
         return _to_device_tensor(ti, dtype, dense)
 
+    h, kvh, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     params: dict[str, Any] = {"layers": []}
     if with_embedding:
         params["tok_embd"] = get("token_embd.weight")
@@ -124,15 +171,41 @@ def load_params(
         p = f"blk.{i}."
         layer = {
             "attn_norm": get(p + "attn_norm.weight", dense=True),
-            "wq": get(p + "attn_q.weight"),
-            "wk": get(p + "attn_k.weight"),
-            "wv": get(p + "attn_v.weight"),
             "wo": get(p + "attn_output.weight"),
             "ffn_norm": get(p + "ffn_norm.weight", dense=True),
-            "w_gate": get(p + "ffn_gate.weight"),
-            "w_up": get(p + "ffn_up.weight"),
-            "w_down": get(p + "ffn_down.weight"),
         }
+        if (p + "attn_qkv.weight") in t:  # phi3: fused qkv, split by rows
+            ti = t[p + "attn_qkv.weight"]
+            nq = h * hd
+            nk = kvh * hd
+            layer["wq"], layer["wk"], layer["wv"] = _split_tensor_rows(
+                ti, dtype, [0, nq, nq + nk, nq + 2 * nk])
+        else:
+            layer["wq"] = get(p + "attn_q.weight")
+            layer["wk"] = get(p + "attn_k.weight")
+            layer["wv"] = get(p + "attn_v.weight")
+        if cfg.n_expert and (p + "ffn_gate_inp.weight") in t:
+            # MoE (Mixtral): router + stacked expert tensors
+            layer["ffn_gate_inp"] = get(p + "ffn_gate_inp.weight", dense=True)
+            for nm, key in (("ffn_gate_exps", "ffn_gate_exps"),
+                            ("ffn_up_exps", "ffn_up_exps"),
+                            ("ffn_down_exps", "ffn_down_exps")):
+                layer[key] = _stack_expert_rows(get(p + nm + ".weight"),
+                                                cfg.n_expert)
+            layer["w_gate"] = layer["w_up"] = layer["w_down"] = None
+        elif (p + "ffn_gate.weight") not in t and (p + "ffn_up.weight") in t:
+            # phi3: fused gate+up (rows [0, n_ff) = gate, [n_ff, 2n_ff) = up)
+            ti = t[p + "ffn_up.weight"]
+            layer["w_gate"], layer["w_up"] = _split_tensor_rows(
+                ti, dtype, [0, cfg.n_ff, 2 * cfg.n_ff])
+            layer["w_down"] = get(p + "ffn_down.weight")
+        else:
+            layer["w_gate"] = get(p + "ffn_gate.weight")
+            layer["w_up"] = get(p + "ffn_up.weight")
+            layer["w_down"] = get(p + "ffn_down.weight")
+        if cfg.post_norms:  # gemma2
+            layer["attn_post_norm"] = get(p + "post_attention_norm.weight", dense=True)
+            layer["ffn_post_norm"] = get(p + "post_ffw_norm.weight", dense=True)
         if cfg.qkv_bias:
             layer["bq"] = get(p + "attn_q.bias", dense=True)
             layer["bk"] = get(p + "attn_k.bias", dense=True)
@@ -451,15 +524,15 @@ def attention_block(
     k_cache = update_kv(k_cache, k, cache_pos)
     v_cache = update_kv(v_cache, v, cache_pos)
 
-    scale = 1.0 / np.sqrt(hd)
-    if opts.attn_impl == "pallas":
+    scale = cfg.attn_scale or 1.0 / np.sqrt(hd)
+    if opts.attn_impl == "pallas" and not cfg.attn_logit_softcap:
         from ..ops.attention_pallas import flash_attention
 
         out = flash_attention(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
                               positions, scale)
     else:
         out = gqa_attention(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
-                            mask, scale)
+                            mask, scale, cfg.attn_logit_softcap)
     out = out.reshape(b, s, h * hd)
     if taps is not None:
         _tap(taps, tap_prefix + "attn_output.weight", out)
@@ -482,19 +555,61 @@ def _tap(taps: dict, name: str, x: jax.Array) -> None:
     taps[name] = (ssq, cnt)
 
 
-def ffn_block(layer: dict, x: jax.Array, opts: ForwardOptions, *,
+def ffn_block(layer: dict, x: jax.Array, opts: ForwardOptions,
+              act_fn: str = "silu", *,
               taps: dict | None = None, tap_prefix: str = "") -> jax.Array:
     gate = linear_l(layer, "w_gate", x, opts.matmul_impl)
     if taps is not None:
         _tap(taps, tap_prefix + "ffn_gate.weight", x)
         _tap(taps, tap_prefix + "ffn_up.weight", x)
     up = linear_l(layer, "w_up", x, opts.matmul_impl)
-    act = swiglu(gate, up)
+    act = gated_act(gate, up, act_fn)
     if taps is not None:
         _tap(taps, tap_prefix + "ffn_down.weight", act)
     out = linear_l(layer, "w_down", act, opts.matmul_impl)
     if opts.tp_axis is not None:
         out = jax.lax.psum(out, opts.tp_axis)  # column-parallel w_down
+    return out
+
+
+def moe_ffn(layer: dict, cfg: ModelConfig, x: jax.Array,
+            opts: ForwardOptions) -> jax.Array:
+    """Mixture-of-experts FFN (Mixtral: llm_build_moe_ffn with normalized
+    top-k weights, src/llama.cpp llama arch with n_expert > 0).
+
+    Decode (one token): the top-k experts' weights are gathered with dynamic
+    indices — only the selected experts' bytes stream from HBM. Prefill:
+    dense loop over experts with zero weights for unselected ones."""
+    b, s, e = x.shape
+    k_used = cfg.n_expert_used
+    logits = linear(x, layer["ffn_gate_inp"], opts.matmul_impl).astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)  # (b, s, n_expert)
+    w, ids = jax.lax.top_k(probs, k_used)
+    w = w / jnp.sum(w, axis=-1, keepdims=True)  # norm_w=true for Mixtral
+
+    def expert(params_e, xx):
+        gate = linear(xx, params_e[0], opts.matmul_impl)
+        up = linear(xx, params_e[1], opts.matmul_impl)
+        return linear(gated_act(gate, up, cfg.act), params_e[2], opts.matmul_impl)
+
+    stacked = (layer["ffn_gate_exps"], layer["ffn_up_exps"], layer["ffn_down_exps"])
+    if b * s == 1:
+        out = jnp.zeros((b, s, e), x.dtype)
+        idv = ids.reshape(-1)
+        wv = w.reshape(-1)
+        for j in range(k_used):
+            params_e = tuple(t[idv[j]] for t in stacked)  # dynamic-slice
+            out = out + wv[j].astype(x.dtype) * expert(params_e, x)
+    else:
+        weight_per_expert = jnp.sum(
+            jnp.where(ids[..., None, :] == jnp.arange(cfg.n_expert)[None, None, :, None],
+                      w[..., None, :], 0.0), axis=-1)  # (b, s, n_expert)
+        out = jnp.zeros((b, s, e), x.dtype)
+        for eidx in range(cfg.n_expert):
+            params_e = tuple(t[eidx] for t in stacked)
+            out = out + weight_per_expert[..., eidx:eidx + 1].astype(x.dtype) * expert(params_e, x)
+    if opts.tp_axis is not None:
+        out = jax.lax.psum(out, opts.tp_axis)
     return out
 
 
@@ -518,9 +633,18 @@ def decode_layer(
         layer, cfg, attn_in, positions, kv, cache_pos, mask, inv_freq, mscale, opts,
         taps=taps, tap_prefix=tap_prefix,
     )
+    if cfg.post_norms:  # gemma2: norm the branch output before the residual
+        attn_out = rms_norm(attn_out, layer["attn_post_norm"], cfg.rms_eps)
     x = x + attn_out
     ffn_in = rms_norm(x, layer["ffn_norm"], cfg.rms_eps)
-    x = x + ffn_block(layer, ffn_in, opts, taps=taps, tap_prefix=tap_prefix)
+    if cfg.n_expert and layer.get("ffn_gate_inp") is not None:
+        ffn_out = moe_ffn(layer, cfg, ffn_in, opts)
+    else:
+        ffn_out = ffn_block(layer, ffn_in, opts, cfg.act,
+                            taps=taps, tap_prefix=tap_prefix)
+    if cfg.post_norms:
+        ffn_out = rms_norm(ffn_out, layer["ffn_post_norm"], cfg.rms_eps)
+    x = x + ffn_out
     if layer.get("cvec") is not None:  # control vector (llama_control_vector_apply)
         x = x + layer["cvec"].astype(x.dtype)
     return x, kv
@@ -548,6 +672,8 @@ def forward(
     lo, hi = layer_range or (0, cfg.n_layers)
     if lo == 0:
         x = embed(params["tok_embd"], tokens, opts.dtype)
+        if cfg.embd_scale != 1.0:  # gemma: sqrt(n_embd) input scaling
+            x = x * np.float32(cfg.embd_scale)
     else:
         assert hidden_in is not None
         x = hidden_in
@@ -555,13 +681,17 @@ def forward(
     inv_freq, mscale = rope_freqs(cfg)
     t_cache = kv_caches[lo][0].shape[1] if kv_caches else 0
     mask = causal_mask(positions, t_cache)
+    # gemma2: sliding-window attention on even layers (build_gemma2:14357)
+    mask_swa = (causal_mask(positions, t_cache, swa_window=cfg.swa_window)
+                if cfg.swa_window else None)
 
     new_kv = list(kv_caches)
     for i in range(lo, hi):
         layer = params["layers"][i]
         assert layer is not None, f"layer {i} not loaded on this rank"
+        m = mask_swa if (mask_swa is not None and i % 2 == 0) else mask
         x, new_kv[i] = decode_layer(
-            layer, cfg, x, positions, new_kv[i], cache_pos, mask, inv_freq,
+            layer, cfg, x, positions, new_kv[i], cache_pos, m, inv_freq,
             mscale, opts, taps=taps, tap_prefix=f"blk.{i}.",
         )
 
@@ -573,6 +703,9 @@ def forward(
     if taps is not None:
         _tap(taps, "output.weight", x)
     logits = linear(x, w_out, opts.matmul_impl).astype(opts.logits_dtype)
+    if cfg.final_logit_softcap:  # gemma2 (build_gemma2:14427)
+        cap = np.float32(cfg.final_logit_softcap)
+        logits = cap * jnp.tanh(logits / cap)
     return logits, new_kv
 
 

@@ -13,6 +13,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.config import ModelConfig, RopeScaling, RopeType
 
@@ -96,14 +97,18 @@ def gqa_attention(
     v: jax.Array,  # (b, t, n_kv, hd)
     mask: jax.Array | None,  # (b, 1, s, t) additive, or None
     scale: float,
+    logit_softcap: float = 0.0,
 ) -> jax.Array:
-    """Grouped-query attention, f32 softmax. Returns (b, s, n_heads, hd)."""
+    """Grouped-query attention, f32 softmax. Returns (b, s, n_heads, hd).
+    logit_softcap > 0 applies gemma2's cap*tanh(s/cap) (build_gemma2)."""
     b, s, n_heads, hd = q.shape
     n_kv = k.shape[2]
     group = n_heads // n_kv
     qg = q.reshape(b, s, n_kv, group, hd)
     scores = jnp.einsum("bsngh,btnh->bngst", qg, k, preferred_element_type=jnp.float32)
     scores = scores * scale
+    if logit_softcap:
+        scores = logit_softcap * jnp.tanh(scores / logit_softcap)
     if mask is not None:
         scores = scores + mask[:, None]  # mask (b,1,s,t) -> (b,1,1,s,t)
     probs = jax.nn.softmax(scores, axis=-1)
@@ -117,12 +122,29 @@ def swiglu(gate: jax.Array, up: jax.Array) -> jax.Array:
     return (jax.nn.silu(g) * up.astype(jnp.float32)).astype(gate.dtype)
 
 
-def causal_mask(pos_q: jax.Array, t: int, seq_lens: jax.Array | None = None) -> jax.Array:
+def geglu(gate: jax.Array, up: jax.Array) -> jax.Array:
+    """GELU(gate) * up — gemma's FFN activation (ggml_gelu, tanh approx)."""
+    g = gate.astype(jnp.float32)
+    gelu = 0.5 * g * (1.0 + jnp.tanh(
+        np.float32(0.7978845608028654) * (g + np.float32(0.044715) * g * g * g)))
+    return (gelu * up.astype(jnp.float32)).astype(gate.dtype)
+
+
+def gated_act(gate: jax.Array, up: jax.Array, act: str) -> jax.Array:
+    return geglu(gate, up) if act == "gelu" else swiglu(gate, up)
+
+
+def causal_mask(pos_q: jax.Array, t: int, seq_lens: jax.Array | None = None,
+                swa_window: int = 0) -> jax.Array:
     """Additive causal mask. pos_q: (b, s) absolute positions of queries;
-    keys occupy cache slots [0, t). Slot j is visible iff j <= pos_q."""
+    keys occupy cache slots [0, t). Slot j is visible iff j <= pos_q.
+    swa_window > 0 additionally hides slots older than the sliding window
+    (gemma2's KQ_mask_swa, build_inp_KQ_mask_swa)."""
     b, s = pos_q.shape
     cols = jnp.arange(t)[None, None, :]  # (1,1,t)
     visible = cols <= pos_q[:, :, None]  # (b, s, t)
+    if swa_window:
+        visible &= cols > pos_q[:, :, None] - swa_window
     if seq_lens is not None:
         visible &= cols < seq_lens[:, None, None]
     return jnp.where(visible, 0.0, -jnp.inf).astype(jnp.float32)[:, None]  # (b,1,s,t)

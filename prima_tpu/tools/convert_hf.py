@@ -5,8 +5,10 @@ HF checkpoint directory (safetensors or torch .bin), maps tensor names to
 GGUF convention, writes metadata + tokenizer, quantizing weights to the
 requested ftype with our own quantizer.
 
-Supported architectures: LlamaForCausalLM, Qwen2ForCausalLM (the two the
-distributed runtime serves, matching reference src/llama.cpp:17003).
+Supported architectures: LlamaForCausalLM, MistralForCausalLM,
+Qwen2ForCausalLM (the distributed runtime's families, reference
+src/llama.cpp:17003) plus GemmaForCausalLM, Gemma2ForCausalLM,
+Phi3ForCausalLM and MixtralForCausalLM (single-node families).
 """
 
 from __future__ import annotations
@@ -37,10 +39,20 @@ _LAYER_MAP = [
     ("self_attn.q_proj.bias", "attn_q.bias"),
     ("self_attn.k_proj.bias", "attn_k.bias"),
     ("self_attn.v_proj.bias", "attn_v.bias"),
+    ("self_attn.qkv_proj.weight", "attn_qkv.weight"),  # phi3 fused
     ("post_attention_layernorm.weight", "ffn_norm.weight"),
     ("mlp.gate_proj.weight", "ffn_gate.weight"),
     ("mlp.up_proj.weight", "ffn_up.weight"),
     ("mlp.down_proj.weight", "ffn_down.weight"),
+    ("mlp.gate_up_proj.weight", "ffn_up.weight"),  # phi3 fused gate+up
+    ("block_sparse_moe.gate.weight", "ffn_gate_inp.weight"),  # mixtral
+]
+# gemma2 has four norms per layer with different GGUF names
+_GEMMA2_LAYER_MAP = [
+    ("input_layernorm.weight", "attn_norm.weight"),
+    ("post_attention_layernorm.weight", "post_attention_norm.weight"),
+    ("pre_feedforward_layernorm.weight", "ffn_norm.weight"),
+    ("post_feedforward_layernorm.weight", "post_ffw_norm.weight"),
 ]
 
 
@@ -67,12 +79,16 @@ def _iter_hf_tensors(path: str):
             yield name, t.float().numpy()
 
 
-def _gguf_name(hf_name: str) -> str | None:
+def _gguf_name(hf_name: str, arch: str = "llama") -> str | None:
     for src, dst in _MAP:
         if hf_name == src:
             return dst
     if hf_name.startswith("model.layers."):
         _, _, idx, rest = hf_name.split(".", 3)
+        if arch == "gemma2":
+            for src, dst in _GEMMA2_LAYER_MAP:
+                if rest == src:
+                    return f"blk.{idx}.{dst}"
         for src, dst in _LAYER_MAP:
             if rest == src:
                 return f"blk.{idx}.{dst}"
@@ -95,10 +111,17 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
     with open(os.path.join(src_dir, "config.json")) as f:
         hf = json.load(f)
     archs = hf.get("architectures") or []
-    if "LlamaForCausalLM" in archs or "MistralForCausalLM" in archs:
-        arch = "llama"
+    if ("LlamaForCausalLM" in archs or "MistralForCausalLM" in archs
+            or "MixtralForCausalLM" in archs):
+        arch = "llama"  # Mixtral is llama with expert_count > 0
     elif "Qwen2ForCausalLM" in archs:
         arch = "qwen2"
+    elif "GemmaForCausalLM" in archs:
+        arch = "gemma"
+    elif "Gemma2ForCausalLM" in archs:
+        arch = "gemma2"
+    elif "Phi3ForCausalLM" in archs:
+        arch = "phi3"
     else:
         raise NotImplementedError(f"architectures {archs}")
 
@@ -114,8 +137,23 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
     w.add_kv(f"{arch}.context_length", hf.get("max_position_embeddings", 4096))
     w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", hf.get("rms_norm_eps", 1e-5))
     w.add_kv(f"{arch}.rope.freq_base", float(hf.get("rope_theta", 10000.0)))
-    w.add_kv(f"{arch}.rope.dimension_count", hf["hidden_size"] // n_heads)
+    w.add_kv(f"{arch}.rope.dimension_count",
+             int(hf.get("head_dim") or hf["hidden_size"] // n_heads))
     w.add_kv(f"{arch}.vocab_size", hf["vocab_size"])
+    if hf.get("head_dim"):
+        w.add_kv(f"{arch}.attention.key_length", hf["head_dim"])
+        w.add_kv(f"{arch}.attention.value_length", hf["head_dim"])
+    if arch == "gemma2":
+        w.add_kv("gemma2.attn_logit_softcapping",
+                 float(hf.get("attn_logit_softcapping", 50.0)))
+        w.add_kv("gemma2.final_logit_softcapping",
+                 float(hf.get("final_logit_softcapping", 30.0)))
+        w.add_kv("gemma2.attention.sliding_window",
+                 int(hf.get("sliding_window", 4096)))
+    if hf.get("num_local_experts"):  # mixtral
+        w.add_kv(f"{arch}.expert_count", int(hf["num_local_experts"]))
+        w.add_kv(f"{arch}.expert_used_count",
+                 int(hf.get("num_experts_per_tok", 2)))
     rs = hf.get("rope_scaling") or {}
     if rs.get("type") in ("linear", "yarn"):
         w.add_kv(f"{arch}.rope.scaling.type", rs["type"])
@@ -128,22 +166,46 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
 
     default_t, out_t = FTYPES[ftype.upper()]
     n = 0
+    # mixtral: buffer per-layer experts, emit stacked 3D tensors at the end
+    experts: dict = {}
+
+    def emit(name, data, ne=None):
+        nonlocal n
+        t = _target_type(name, ne or tuple(reversed(data.shape)), default_t, out_t)
+        flat = data.reshape(-1, data.shape[-1])
+        enc, t = _encode(flat, t)
+        if t in (GGMLType.F32, GGMLType.F16):
+            enc = enc.reshape(data.shape) if ne is None else enc
+            w.add_tensor(name, enc, ne=ne, ggml_type=t if ne else None)
+        else:
+            w.add_tensor(name, enc, ne=ne or tuple(reversed(data.shape)), ggml_type=t)
+        n += 1
+        print(f"[{n:4d}] {name} ({t.name})", file=logfile)
+
     for hf_name, data in _iter_hf_tensors(src_dir):
-        name = _gguf_name(hf_name)
+        if ".block_sparse_moe.experts." in hf_name:  # mixtral expert weights
+            parts = hf_name.split(".")
+            li, ei, wname = int(parts[2]), int(parts[5]), parts[6]
+            experts.setdefault(li, {}).setdefault(wname, {})[ei] = data
+            continue
+        name = _gguf_name(hf_name, arch)
         if name is None:
             continue
         if arch == "llama" and name.endswith(("attn_q.weight",)):
             data = _permute_qk(data, n_heads)
         elif arch == "llama" and name.endswith(("attn_k.weight",)):
             data = _permute_qk(data, n_kv)
-        t = _target_type(name, tuple(reversed(data.shape)), default_t, out_t)
-        enc, t = _encode(data, t)
-        if t in (GGMLType.F32, GGMLType.F16):
-            w.add_tensor(name, enc)
-        else:
-            w.add_tensor(name, enc, ne=tuple(reversed(data.shape)), ggml_type=t)
-        n += 1
-        print(f"[{n:4d}] {hf_name} -> {name} ({t.name})", file=logfile)
+        elif arch in ("gemma", "gemma2") and ("norm" in name):
+            data = data + 1.0  # HF gemma norms compute (1 + w) * x_hat
+        emit(name, data)
+
+    for li, ws in sorted(experts.items()):
+        for wname, gguf in (("w1", "ffn_gate_exps"), ("w3", "ffn_up_exps"),
+                            ("w2", "ffn_down_exps")):
+            exp = ws[wname]
+            stacked = np.stack([exp[e] for e in sorted(exp)])  # (E, rows, k)
+            ne = (stacked.shape[2], stacked.shape[1], stacked.shape[0])
+            emit(f"blk.{li}.{gguf}.weight", stacked, ne=ne)
     w.write()
     return n
 

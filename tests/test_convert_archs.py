@@ -1,0 +1,180 @@
+"""gemma / gemma2 / phi3 / mixtral: HF conversion + logit parity against
+transformers (the multi-arch analogue of test_convert_hf.py)."""
+
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from test_convert_hf import _write_tokenizer_json  # noqa: E402
+
+
+def _roundtrip(tmp_path, hf_cfg, model_cls, tokens, rtol=3e-4, atol=3e-4,
+               expect_arch=None):
+    import jax.numpy as jnp
+
+    from prima_tpu.models.llama import ForwardOptions, forward, init_kv_caches
+    from prima_tpu.models.loader import load_model
+    from prima_tpu.tools.convert_hf import convert_hf_to_gguf
+
+    d = str(tmp_path / "hf")
+    os.makedirs(d, exist_ok=True)
+    torch.manual_seed(0)
+    model = model_cls(hf_cfg)
+    model.eval()
+    model.save_pretrained(d, safe_serialization=True)
+    _write_tokenizer_json(d, hf_cfg.vocab_size)
+
+    dst = str(tmp_path / "m.gguf")
+    n = convert_hf_to_gguf(d, dst, "F32", logfile=open(os.devnull, "w"))
+    assert n > 0
+    lm = load_model(dst, dtype=jnp.float32)
+    if expect_arch:
+        assert lm.cfg.arch == expect_arch
+
+    with torch.no_grad():
+        want = model(torch.tensor([tokens])).logits[0].float().numpy()
+
+    kv = init_kv_caches(lm.cfg, 1, 32, jnp.float32)
+    pos = np.arange(len(tokens), dtype=np.int32)[None]
+    got, _ = forward(lm.params, lm.cfg, np.asarray([tokens], np.int32), pos, kv,
+                     np.zeros(1, np.int32),
+                     ForwardOptions(matmul_impl="xla", dtype=jnp.float32))
+    np.testing.assert_allclose(np.asarray(got[0]), want, rtol=rtol, atol=atol)
+    return lm
+
+
+def test_gemma_parity(tmp_path):
+    cfg = transformers.GemmaConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128, rms_norm_eps=1e-5,
+        hidden_activation="gelu_pytorch_tanh",
+    )
+    lm = _roundtrip(tmp_path, cfg, transformers.GemmaForCausalLM,
+                    [3, 77, 200, 5, 131], expect_arch="gemma")
+    assert lm.cfg.act == "gelu"
+    assert lm.cfg.embd_scale == pytest.approx(8.0)
+    assert lm.cfg.tie_embeddings
+
+
+def test_gemma2_parity(tmp_path):
+    cfg = transformers.Gemma2Config(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, max_position_embeddings=128, rms_norm_eps=1e-5,
+        attn_logit_softcapping=50.0, final_logit_softcapping=30.0,
+        sliding_window=8, query_pre_attn_scalar=16,
+    )
+    lm = _roundtrip(tmp_path, cfg, transformers.Gemma2ForCausalLM,
+                    [3, 77, 200, 5, 131, 44, 9, 250, 17, 61],
+                    expect_arch="gemma2")
+    assert lm.cfg.post_norms
+    assert lm.cfg.swa_window == 8
+    assert lm.cfg.attn_logit_softcap == 50.0
+
+
+def test_phi3_parity(tmp_path):
+    cfg = transformers.Phi3Config(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, rms_norm_eps=1e-5,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+    )
+    lm = _roundtrip(tmp_path, cfg, transformers.Phi3ForCausalLM,
+                    [3, 77, 200, 5, 131], expect_arch="phi3")
+    # fused qkv / gate_up were split at load time
+    layer = lm.params["layers"][0]
+    assert layer["wq"].shape[0] == 64 and layer["wk"].shape[0] == 32
+    assert layer["w_gate"].shape[0] == 128 and layer["w_up"].shape[0] == 128
+
+
+def test_mixtral_parity(tmp_path):
+    cfg = transformers.MixtralConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=128, rms_norm_eps=1e-5,
+    )
+    lm = _roundtrip(tmp_path, cfg, transformers.MixtralForCausalLM,
+                    [3, 77, 200, 5, 131], expect_arch="llama")
+    assert lm.cfg.n_expert == 4 and lm.cfg.n_expert_used == 2
+    layer = lm.params["layers"][0]
+    assert layer["ffn_gate_exps"].shape[0] == 4  # stacked expert axis
+
+
+def test_mixtral_decode_single_token(tmp_path):
+    """The decode path (b*s==1) uses dynamic expert gathers — its output
+    must match the dense prefill path."""
+    import jax.numpy as jnp
+
+    from prima_tpu.models.llama import ForwardOptions, forward, init_kv_caches
+    from prima_tpu.models.loader import load_model
+    from prima_tpu.tools.convert_hf import convert_hf_to_gguf
+
+    cfg = transformers.MixtralConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=128, rms_norm_eps=1e-5,
+    )
+    d = str(tmp_path / "hf")
+    os.makedirs(d, exist_ok=True)
+    torch.manual_seed(1)
+    model = transformers.MixtralForCausalLM(cfg)
+    model.eval()
+    model.save_pretrained(d, safe_serialization=True)
+    _write_tokenizer_json(d, cfg.vocab_size)
+    dst = str(tmp_path / "m.gguf")
+    convert_hf_to_gguf(d, dst, "F32", logfile=open(os.devnull, "w"))
+    lm = load_model(dst, dtype=jnp.float32)
+    opts = ForwardOptions(matmul_impl="xla", dtype=jnp.float32)
+
+    toks = [3, 77, 200]
+    # prefill all 3 (dense expert loop)
+    kv = init_kv_caches(lm.cfg, 1, 32, jnp.float32)
+    pos = np.arange(3, dtype=np.int32)[None]
+    dense, _ = forward(lm.params, lm.cfg, np.asarray([toks], np.int32), pos,
+                       kv, np.zeros(1, np.int32), opts)
+    # prefill 2 then decode 1 (gather path)
+    kv = init_kv_caches(lm.cfg, 1, 32, jnp.float32)
+    _, kv = forward(lm.params, lm.cfg, np.asarray([toks[:2]], np.int32),
+                    pos[:, :2], kv, np.zeros(1, np.int32), opts)
+    one, _ = forward(lm.params, lm.cfg, np.asarray([[toks[2]]], np.int32),
+                     np.asarray([[2]], np.int32), kv,
+                     np.asarray([2], np.int32), opts)
+    np.testing.assert_allclose(np.asarray(one[0, 0]), np.asarray(dense[0, 2]),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_mixtral_quantized_engine(tmp_path):
+    """Quantized MoE: dynamic expert gathers over stacked QTensors under jit."""
+    from prima_tpu.models.llama import ForwardOptions
+    from prima_tpu.models.loader import load_model
+    from prima_tpu.runtime.engine import Engine
+    from prima_tpu.tools.convert_hf import convert_hf_to_gguf
+
+    cfg = transformers.MixtralConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=128, rms_norm_eps=1e-5,
+    )
+    d = str(tmp_path / "hf")
+    os.makedirs(d, exist_ok=True)
+    torch.manual_seed(2)
+    transformers.MixtralForCausalLM(cfg).save_pretrained(d, safe_serialization=True)
+    _write_tokenizer_json(d, cfg.vocab_size)
+    dst = str(tmp_path / "q.gguf")
+    convert_hf_to_gguf(d, dst, "Q8_0", logfile=open(os.devnull, "w"))
+    lm = load_model(dst)
+    from prima_tpu.quant.dequant_jax import QTensor
+
+    assert isinstance(lm.params["layers"][0]["ffn_gate_exps"], QTensor)
+    eng = Engine(lm.cfg, lm.params, n_slots=1, max_seq=64,
+                 opts=ForwardOptions(matmul_impl="xla"))
+    out = eng.run_to_completion([3, 77, 200], n_predict=4)
+    assert len(out) == 4
