@@ -1,0 +1,202 @@
+"""BERT-family encoder models — true embedding-model support.
+
+The analogue of the reference's LLM_ARCH_BERT path (build_bert
+src/llama.cpp, served by llama-server --embeddings): token + type +
+position embeddings, post-norm transformer encoder with bidirectional
+attention, biased LayerNorms, plain GELU FFN, and CLS / mean / none
+pooling (llama_pooling_type). Weights may be any supported GGUF quant
+type; the WPM tokenizer (tokenizer/wpm.py) handles the vocabulary.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gguf.reader import GGUFModel
+from ..quant.dequant_jax import QTensor
+from .llama import _to_device_tensor, embed as embed_rows, linear
+
+
+class PoolingType:
+    NONE = 0
+    MEAN = 1
+    CLS = 2
+    LAST = 3
+
+
+@dataclass
+class BertConfig:
+    arch: str
+    n_layers: int
+    n_embd: int
+    n_heads: int
+    n_ff: int
+    n_vocab: int
+    n_ctx_train: int
+    ln_eps: float
+    pooling: int = PoolingType.MEAN
+    name: str = ""
+
+    @property
+    def head_dim(self) -> int:
+        return self.n_embd // self.n_heads
+
+    @classmethod
+    def from_gguf(cls, m: GGUFModel) -> "BertConfig":
+        arch = m.arch
+        assert arch in ("bert", "nomic-bert"), arch
+        g = m.arch_key
+        return cls(
+            arch=arch,
+            n_layers=int(g("{arch}.block_count")),
+            n_embd=int(g("{arch}.embedding_length")),
+            n_heads=int(g("{arch}.attention.head_count")),
+            n_ff=int(g("{arch}.feed_forward_length")),
+            n_vocab=int(g("{arch}.vocab_size", 0) or
+                        len(m.get("tokenizer.ggml.tokens"))),
+            n_ctx_train=int(g("{arch}.context_length", 512)),
+            ln_eps=float(g("{arch}.attention.layer_norm_epsilon", 1e-12)),
+            pooling=int(g("{arch}.pooling_type", PoolingType.MEAN) or PoolingType.MEAN),
+            name=str(m.get("general.name", "")),
+        )
+
+
+def layer_norm(x: jax.Array, w: jax.Array, b: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * w.astype(jnp.float32) + b.astype(jnp.float32)).astype(x.dtype)
+
+
+def load_bert_params(m: GGUFModel, cfg: BertConfig, dtype=jnp.float32) -> dict:
+    t = m.tensors
+
+    def get(name, dense=False, required=True):
+        ti = t.get(name)
+        if ti is None:
+            if required:
+                raise KeyError(f"missing tensor {name}")
+            return None
+        return _to_device_tensor(ti, dtype, dense)
+
+    params: dict[str, Any] = {
+        "tok_embd": get("token_embd.weight"),
+        "type_embd": get("token_types.weight", dense=True),
+        "pos_embd": get("position_embd.weight", dense=True),
+        "tok_norm": get("token_embd_norm.weight", dense=True),
+        "tok_norm_b": get("token_embd_norm.bias", dense=True),
+        "layers": [],
+    }
+    for i in range(cfg.n_layers):
+        p = f"blk.{i}."
+        params["layers"].append({
+            "wq": get(p + "attn_q.weight"), "bq": get(p + "attn_q.bias", dense=True),
+            "wk": get(p + "attn_k.weight"), "bk": get(p + "attn_k.bias", dense=True),
+            "wv": get(p + "attn_v.weight"), "bv": get(p + "attn_v.bias", dense=True),
+            "wo": get(p + "attn_output.weight"),
+            "bo": get(p + "attn_output.bias", dense=True),
+            "attn_norm": get(p + "attn_output_norm.weight", dense=True),
+            "attn_norm_b": get(p + "attn_output_norm.bias", dense=True),
+            "w_up": get(p + "ffn_up.weight"),
+            "b_up": get(p + "ffn_up.bias", dense=True),
+            "w_down": get(p + "ffn_down.weight"),
+            "b_down": get(p + "ffn_down.bias", dense=True),
+            "out_norm": get(p + "layer_output_norm.weight", dense=True),
+            "out_norm_b": get(p + "layer_output_norm.bias", dense=True),
+        })
+    return params
+
+
+def _gelu(x: jax.Array) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    y = 0.5 * xf * (1.0 + jnp.tanh(
+        np.float32(0.7978845608028654) * (xf + np.float32(0.044715) * xf ** 3)))
+    return y.astype(x.dtype)
+
+
+def bert_forward(params: dict, cfg: BertConfig, tokens: jax.Array,
+                 attn_mask: jax.Array | None = None,
+                 matmul_impl: str = "xla") -> jax.Array:
+    """tokens: (b, s) -> hidden states (b, s, e). attn_mask: (b, s) 1/0."""
+    b, s = tokens.shape
+    h, hd = cfg.n_heads, cfg.head_dim
+    x = embed_rows(params["tok_embd"], tokens, jnp.float32)
+    x = x + params["type_embd"][0].astype(x.dtype)  # token type 0 (build_bert)
+    x = x + params["pos_embd"][:s][None].astype(x.dtype)
+    x = layer_norm(x, params["tok_norm"], params["tok_norm_b"], cfg.ln_eps)
+
+    if attn_mask is None:
+        attn_mask = jnp.ones((b, s), jnp.float32)
+    bias = jnp.where(attn_mask[:, None, None, :] > 0, 0.0, -jnp.inf)
+
+    for layer in params["layers"]:
+        q = (linear(x, layer["wq"], matmul_impl) + layer["bq"]).reshape(b, s, h, hd)
+        k = (linear(x, layer["wk"], matmul_impl) + layer["bk"]).reshape(b, s, h, hd)
+        v = (linear(x, layer["wv"], matmul_impl) + layer["bv"]).reshape(b, s, h, hd)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) / np.sqrt(hd)
+        probs = jax.nn.softmax(scores + bias, axis=-1)
+        attn = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+        attn = linear(attn.reshape(b, s, h * hd), layer["wo"], matmul_impl) + layer["bo"]
+        x = layer_norm(x + attn, layer["attn_norm"], layer["attn_norm_b"], cfg.ln_eps)
+        ff = linear(x, layer["w_up"], matmul_impl) + layer["b_up"]
+        ff = linear(_gelu(ff), layer["w_down"], matmul_impl) + layer["b_down"]
+        x = layer_norm(x + ff, layer["out_norm"], layer["out_norm_b"], cfg.ln_eps)
+    return x
+
+
+def pool(hidden: jax.Array, attn_mask: jax.Array, pooling: int) -> jax.Array:
+    """(b, s, e) -> (b, e) per llama_pooling_type semantics."""
+    if pooling == PoolingType.CLS:
+        return hidden[:, 0]
+    if pooling == PoolingType.LAST:
+        last = jnp.sum(attn_mask, axis=1).astype(jnp.int32) - 1
+        return hidden[jnp.arange(hidden.shape[0]), last]
+    if pooling == PoolingType.MEAN:
+        m = attn_mask[:, :, None].astype(hidden.dtype)
+        return jnp.sum(hidden * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1)
+    return hidden.reshape(hidden.shape[0], -1)  # NONE: caller handles
+
+
+@dataclass
+class BertModelRuntime:
+    """Loaded encoder + tokenizer: the embedding-serving unit."""
+
+    cfg: BertConfig
+    params: dict
+    tokenizer: Any
+
+    @classmethod
+    def load(cls, path: str, dtype=jnp.float32) -> "BertModelRuntime":
+        from ..tokenizer import Tokenizer
+
+        m = GGUFModel.open(path)
+        cfg = BertConfig.from_gguf(m)
+        params = load_bert_params(m, cfg, dtype)
+        tok = Tokenizer.from_gguf(m)
+        m.close()
+        return cls(cfg, params, tok)
+
+    def embed(self, texts: list[str], normalize: bool = True,
+              matmul_impl: str = "xla") -> np.ndarray:
+        """-> (n, e) pooled (and L2-normalized, like the server's
+        embedding endpoint) sentence embeddings."""
+        out = []
+        for text in texts:
+            ids = self.tokenizer.encode(text, add_special=True)
+            toks = jnp.asarray(np.asarray(ids, np.int32)[None])
+            hidden = bert_forward(self.params, self.cfg, toks,
+                                  matmul_impl=matmul_impl)
+            vec = np.asarray(
+                pool(hidden, jnp.ones_like(toks, jnp.float32),
+                     self.cfg.pooling or PoolingType.MEAN)[0], np.float32)
+            if normalize:
+                vec = vec / (np.linalg.norm(vec) + 1e-8)
+            out.append(vec)
+        return np.stack(out)

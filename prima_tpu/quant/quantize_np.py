@@ -50,7 +50,7 @@ def quantize_q8_0(x: np.ndarray) -> np.ndarray:
     xb = x.reshape(-1, 32)
     amax = np.abs(xb).max(axis=1)
     d = (amax / 127.0).astype(F32)
-    id_ = np.where(d != 0, np.float32(1.0) / d, np.float32(0.0))
+    id_ = np.where(d != 0, np.float32(1.0) / np.where(d != 0, d, 1), np.float32(0.0))
     q = _nearest_int(xb * id_[:, None]).clip(-128, 127).astype(np.int8)
     out = np.empty((xb.shape[0], 34), dtype=np.uint8)
     out[:, 0:2] = _f16_bytes(d)

@@ -25,12 +25,29 @@ def main(argv=None) -> int:
     ap.add_argument("--alias", default="prima-tpu")
     args = ap.parse_args(argv)
 
+    from ..gguf.reader import GGUFModel
     from ..models.loader import load_model
     from ..models.llama import ForwardOptions
     from ..runtime.engine import Engine
     from .app import serve
 
     print(f"loading {args.model} ...", file=sys.stderr)
+    probe = GGUFModel.open(args.model)
+    arch = probe.arch
+    probe.close()
+    if arch in ("bert", "nomic-bert"):  # embedding model: /v1/embeddings only
+        from ..models.bert import BertModelRuntime
+        from .app import serve_embeddings
+
+        rt = BertModelRuntime.load(args.model)
+        rt.embed(["warmup"])
+        httpd = serve_embeddings(rt, args.host, args.port, args.alias)
+        print(f"embeddings server on http://{args.host}:{args.port}", file=sys.stderr)
+        try:
+            httpd.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        return 0
     model = load_model(args.model)
     import jax.numpy as jnp
 

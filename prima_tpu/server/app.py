@@ -423,3 +423,46 @@ def serve(model: LoadedModel, engine: Engine, host: str = "127.0.0.1", port: int
     ctx.start()
     httpd = ThreadingHTTPServer((host, port), make_handler(ctx))
     return httpd, ctx
+
+
+def serve_embeddings(rt, host: str = "127.0.0.1", port: int = 8080,
+                     alias: str = "prima-tpu") -> ThreadingHTTPServer:
+    """Embedding-model server (BERT arch): /v1/embeddings + /health, the
+    reference's llama-server --embeddings mode."""
+    from http.server import BaseHTTPRequestHandler
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _json(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/health":
+                return self._json(200, {"status": "ok"})
+            if self.path == "/v1/models":
+                return self._json(200, {"object": "list", "data": [
+                    {"id": alias, "object": "model"}]})
+            return self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path not in ("/v1/embeddings", "/embeddings", "/embedding"):
+                return self._json(404, {"error": "not found"})
+            n = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(n) or b"{}")
+            inputs = body.get("input") or body.get("content") or ""
+            if isinstance(inputs, str):
+                inputs = [inputs]
+            vecs = rt.embed(list(inputs))
+            data = [{"object": "embedding", "index": i,
+                     "embedding": [float(x) for x in v]} for i, v in enumerate(vecs)]
+            self._json(200, {"object": "list", "data": data, "model": alias,
+                             "usage": {"prompt_tokens": 0, "total_tokens": 0}})
+
+    return ThreadingHTTPServer((host, port), Handler)

@@ -106,11 +106,125 @@ def _permute_qk(w: np.ndarray, n_heads: int) -> np.ndarray:
             .reshape(rows, k))
 
 
+_BERT_MAP = [
+    ("embeddings.word_embeddings.weight", "token_embd.weight"),
+    ("embeddings.token_type_embeddings.weight", "token_types.weight"),
+    ("embeddings.position_embeddings.weight", "position_embd.weight"),
+    ("embeddings.LayerNorm.weight", "token_embd_norm.weight"),
+    ("embeddings.LayerNorm.bias", "token_embd_norm.bias"),
+]
+_BERT_LAYER_MAP = [
+    ("attention.self.query.weight", "attn_q.weight"),
+    ("attention.self.query.bias", "attn_q.bias"),
+    ("attention.self.key.weight", "attn_k.weight"),
+    ("attention.self.key.bias", "attn_k.bias"),
+    ("attention.self.value.weight", "attn_v.weight"),
+    ("attention.self.value.bias", "attn_v.bias"),
+    ("attention.output.dense.weight", "attn_output.weight"),
+    ("attention.output.dense.bias", "attn_output.bias"),
+    ("attention.output.LayerNorm.weight", "attn_output_norm.weight"),
+    ("attention.output.LayerNorm.bias", "attn_output_norm.bias"),
+    ("intermediate.dense.weight", "ffn_up.weight"),
+    ("intermediate.dense.bias", "ffn_up.bias"),
+    ("output.dense.weight", "ffn_down.weight"),
+    ("output.dense.bias", "ffn_down.bias"),
+    ("output.LayerNorm.weight", "layer_output_norm.weight"),
+    ("output.LayerNorm.bias", "layer_output_norm.bias"),
+]
+
+
+def _bert_gguf_name(hf_name: str) -> str | None:
+    if hf_name.startswith("bert."):
+        hf_name = hf_name[5:]
+    for s, d in _BERT_MAP:
+        if hf_name == s:
+            return d
+    if hf_name.startswith("encoder.layer."):
+        _, _, idx, rest = hf_name.split(".", 3)
+        for s, d in _BERT_LAYER_MAP:
+            if rest == s:
+                return f"blk.{idx}.{d}"
+    return None
+
+
+def _convert_bert(src_dir: str, dst_path: str, hf: dict, ftype: str,
+                  logfile) -> int:
+    """BertModel -> GGUF arch 'bert' (embedding models; build_bert path)."""
+    w = GGUFWriter(dst_path, arch="bert")
+    w.add_kv("general.name", os.path.basename(os.path.normpath(src_dir)))
+    w.add_kv("bert.block_count", hf["num_hidden_layers"])
+    w.add_kv("bert.embedding_length", hf["hidden_size"])
+    w.add_kv("bert.feed_forward_length", hf["intermediate_size"])
+    w.add_kv("bert.attention.head_count", hf["num_attention_heads"])
+    w.add_kv("bert.context_length", hf.get("max_position_embeddings", 512))
+    w.add_kv("bert.attention.layer_norm_epsilon",
+             float(hf.get("layer_norm_eps", 1e-12)))
+    w.add_kv("bert.vocab_size", hf["vocab_size"])
+    w.add_kv("bert.pooling_type", 1)  # mean
+
+    _write_bert_tokenizer(w, src_dir, hf)
+
+    default_t, out_t = FTYPES[ftype.upper()]
+    n = 0
+    for hf_name, data in _iter_hf_tensors(src_dir):
+        name = _bert_gguf_name(hf_name)
+        if name is None:
+            continue
+        t = _target_type(name, tuple(reversed(data.shape)), default_t, out_t)
+        if name in ("token_types.weight", "position_embd.weight"):
+            t = GGMLType.F32
+        enc, t = _encode(data, t)
+        if t in (GGMLType.F32, GGMLType.F16):
+            w.add_tensor(name, enc)
+        else:
+            w.add_tensor(name, enc, ne=tuple(reversed(data.shape)), ggml_type=t)
+        n += 1
+        print(f"[{n:4d}] {hf_name} -> {name} ({t.name})", file=logfile)
+    w.write()
+    return n
+
+
+def _write_bert_tokenizer(w: GGUFWriter, src_dir: str, hf: dict) -> None:
+    """WordPiece vocabulary: '##piece' -> 'piece', word-initial -> '\u2581'+tok
+    (the reference converter's BertModel mapping)."""
+    tok_json = os.path.join(src_dir, "tokenizer.json")
+    vocab: dict = {}
+    if os.path.exists(tok_json):
+        with open(tok_json, encoding="utf-8") as f:
+            vocab = json.load(f).get("model", {}).get("vocab", {})
+    else:
+        vt = os.path.join(src_dir, "vocab.txt")
+        if os.path.exists(vt):
+            with open(vt, encoding="utf-8") as f:
+                vocab = {line.rstrip("\n"): i for i, line in enumerate(f)}
+    tokens = [""] * len(vocab)
+    types = [1] * len(vocab)
+    special = {"[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"}
+    for text, idx in vocab.items():
+        if text in special:
+            tokens[idx] = text
+            types[idx] = 3
+        elif text.startswith("##"):
+            tokens[idx] = text[2:]
+        else:
+            tokens[idx] = "\u2581" + text
+    w.add_kv("tokenizer.ggml.model", "bert")
+    w.add_kv("tokenizer.ggml.tokens", tokens)
+    w.add_kv("tokenizer.ggml.token_type", types)
+    ids = {t: i for i, t in enumerate(tokens)}
+    w.add_kv("tokenizer.ggml.unknown_token_id", ids.get("[UNK]", 0))
+    w.add_kv("tokenizer.ggml.cls_token_id", ids.get("[CLS]", -1))
+    w.add_kv("tokenizer.ggml.seperator_token_id", ids.get("[SEP]", -1))
+    w.add_kv("tokenizer.ggml.padding_token_id", ids.get("[PAD]", -1))
+
+
 def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
                        logfile=sys.stderr) -> int:
     with open(os.path.join(src_dir, "config.json")) as f:
         hf = json.load(f)
     archs = hf.get("architectures") or []
+    if any("Bert" in a for a in archs):
+        return _convert_bert(src_dir, dst_path, hf, ftype, logfile)
     if ("LlamaForCausalLM" in archs or "MistralForCausalLM" in archs
             or "MixtralForCausalLM" in archs):
         arch = "llama"  # Mixtral is llama with expert_count > 0

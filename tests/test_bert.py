@@ -1,0 +1,125 @@
+"""BERT encoder: HF conversion + hidden-state parity + embeddings."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+def _write_bert_tokenizer_json(d, vocab_size):
+    specials = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+    words = ["hello", "world", "the", "quick", "brown", "fox"]
+    pieces = ["##s", "##ing", "##ed"]
+    vocab = {}
+    for t in specials + words + pieces:
+        vocab[t] = len(vocab)
+    i = len(vocab)
+    while i < vocab_size:
+        vocab[f"[unused{i}]"] = i
+        i += 1
+    tj = {"model": {"type": "WordPiece", "vocab": vocab}, "added_tokens": []}
+    with open(os.path.join(d, "tokenizer.json"), "w") as f:
+        json.dump(tj, f)
+
+
+@pytest.fixture(scope="module")
+def bert_gguf(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("bert"))
+    cfg = transformers.BertConfig(
+        vocab_size=64, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64, layer_norm_eps=1e-12,
+        hidden_act="gelu",
+    )
+    torch.manual_seed(0)
+    model = transformers.BertModel(cfg)
+    model.eval()
+    model.save_pretrained(d, safe_serialization=True)
+    _write_bert_tokenizer_json(d, cfg.vocab_size)
+
+    from prima_tpu.tools.convert_hf import convert_hf_to_gguf
+
+    dst = os.path.join(d, "bert.gguf")
+    n = convert_hf_to_gguf(d, dst, "F32", logfile=open(os.devnull, "w"))
+    assert n > 0
+    return dst, model
+
+
+def test_bert_hidden_parity(bert_gguf):
+    import jax.numpy as jnp
+
+    from prima_tpu.models.bert import BertModelRuntime, bert_forward
+
+    dst, hf_model = bert_gguf
+    rt = BertModelRuntime.load(dst)
+    assert rt.cfg.n_layers == 2 and rt.cfg.n_heads == 4
+
+    ids = [2, 5, 6, 7, 3]  # [CLS] hello world the [SEP]
+    with torch.no_grad():
+        want = hf_model(torch.tensor([ids])).last_hidden_state[0].numpy()
+    got = np.asarray(bert_forward(rt.params, rt.cfg,
+                                  jnp.asarray(np.asarray([ids], np.int32)))[0])
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_bert_embed_and_tokenize(bert_gguf):
+    from prima_tpu.models.bert import BertModelRuntime
+
+    dst, _ = bert_gguf
+    rt = BertModelRuntime.load(dst)
+    # WPM tokenizer: [CLS] ... [SEP] wrapping and wordpiece matching
+    ids = rt.tokenizer.encode("hello worlds", add_special=True)
+    assert ids[0] == 2 and ids[-1] == 3  # [CLS] ... [SEP]
+    assert 5 in ids  # "hello"
+    vecs = rt.embed(["hello world", "the quick brown fox", "hello world"])
+    assert vecs.shape == (3, rt.cfg.n_embd)
+    np.testing.assert_allclose(np.linalg.norm(vecs, axis=1), 1.0, rtol=1e-5)
+    # identical inputs -> identical embeddings; different inputs differ
+    np.testing.assert_allclose(vecs[0], vecs[2], rtol=1e-6)
+    assert not np.allclose(vecs[0], vecs[1])
+
+
+def test_bert_quantized(bert_gguf, tmp_path):
+    from prima_tpu.models.bert import BertModelRuntime
+    from prima_tpu.tools.quantize import quantize_gguf
+
+    dst, _ = bert_gguf
+    q = str(tmp_path / "q8.gguf")
+    quantize_gguf(dst, q, "Q8_0", logfile=open(os.devnull, "w"))
+    rt = BertModelRuntime.load(q)
+    vecs = rt.embed(["hello world"])
+    assert vecs.shape == (1, rt.cfg.n_embd)
+    assert np.isfinite(vecs).all()
+
+
+def test_bert_embeddings_server(bert_gguf):
+    import http.client
+    import threading
+
+    from prima_tpu.models.bert import BertModelRuntime
+    from prima_tpu.server.app import serve_embeddings
+
+    dst, _ = bert_gguf
+    rt = BertModelRuntime.load(dst)
+    httpd = serve_embeddings(rt, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("POST", "/v1/embeddings",
+                     json.dumps({"input": ["hello world", "the fox"]}),
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        out = json.loads(resp.read())
+        assert len(out["data"]) == 2
+        assert len(out["data"][0]["embedding"]) == rt.cfg.n_embd
+        conn.request("GET", "/health")
+        assert conn.getresponse().status == 200
+    finally:
+        httpd.shutdown()
