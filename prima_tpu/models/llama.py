@@ -217,6 +217,79 @@ def load_params(
     return params
 
 
+def synth_params_device_stacked(cfg: ModelConfig,
+                                ggml_type: GGMLType = GGMLType.Q4_K,
+                                seed: int = 0) -> dict:
+    """Device-synthesized params with the per-layer tensors STACKED along a
+    leading layer axis (for forward_scan): the synth program compiles once
+    for ONE layer (vmapped over per-layer keys) instead of n_layers times —
+    ~20x faster first-run on remote-compile TPU runtimes."""
+    key = jax.random.PRNGKey(seed)
+    e, h, kvh, hd, f = cfg.n_embd, cfg.n_heads, cfg.n_kv_heads, cfg.head_dim, cfg.n_ff
+    khead, klayers = jax.random.split(key)
+
+    def one_layer(k):
+        ks = jax.random.split(k, 7)
+        return {
+            "attn_norm": jnp.ones(e, jnp.float32),
+            "wq": synth_qtensor_device(ks[0], h * hd, e, ggml_type),
+            "wk": synth_qtensor_device(ks[1], kvh * hd, e, ggml_type),
+            "wv": synth_qtensor_device(ks[2], kvh * hd, e, ggml_type),
+            "wo": synth_qtensor_device(ks[3], e, h * hd, ggml_type),
+            "ffn_norm": jnp.ones(e, jnp.float32),
+            "w_gate": synth_qtensor_device(ks[4], f, e, ggml_type),
+            "w_up": synth_qtensor_device(ks[5], f, e, ggml_type),
+            "w_down": synth_qtensor_device(ks[6], e, f, ggml_type),
+        }
+
+    layers = jax.vmap(one_layer)(jax.random.split(klayers, cfg.n_layers))
+    k1, k2 = jax.random.split(khead)
+    return {
+        "tok_embd": synth_qtensor_device(k1, cfg.n_vocab, e, ggml_type),
+        "layers": layers,  # stacked dict, not a list
+        "output_norm": jnp.ones(e, jnp.float32),
+        "output": None if cfg.tie_embeddings
+        else synth_qtensor_device(k2, cfg.n_vocab, e, ggml_type),
+    }
+
+
+def init_kv_stacked(cfg: ModelConfig, batch: int, max_seq: int,
+                    dtype=jnp.bfloat16):
+    """(k, v) with a leading layer axis — the forward_scan cache layout."""
+    shape = (cfg.n_layers, batch, max_seq, cfg.n_kv_heads, cfg.head_dim)
+    return (jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def forward_scan(params: dict, cfg: ModelConfig, tokens, positions,
+                 kv, cache_pos, opts=None):
+    """Uniform-layer forward as ONE lax.scan over stacked layer params —
+    XLA compiles a single layer body regardless of depth (the fast-compile
+    path for benchmarks and uniform models; the indexable forward() remains
+    the general path for pipelines / MoE / per-layer masks)."""
+    opts = opts or ForwardOptions()
+    x = embed(params["tok_embd"], tokens, opts.dtype)
+    if cfg.embd_scale != 1.0:
+        x = x * np.float32(cfg.embd_scale)
+    inv_freq, mscale = rope_freqs(cfg)
+    t_cache = kv[0].shape[2]
+    mask = causal_mask(positions, t_cache)
+
+    def body(xc, xs):
+        layer, kvl = xs
+        xc, kv_new = decode_layer(layer, cfg, xc, positions, kvl, cache_pos,
+                                  mask, inv_freq, mscale, opts)
+        return xc, kv_new
+
+    x, kv_out = jax.lax.scan(body, x, (params["layers"], kv))
+    x = rms_norm(x, params["output_norm"], cfg.rms_eps)
+    w_out = params["output"] if params.get("output") is not None else params["tok_embd"]
+    logits = linear(x, w_out, opts.matmul_impl).astype(opts.logits_dtype)
+    if cfg.final_logit_softcap:
+        cap = np.float32(cfg.final_logit_softcap)
+        logits = cap * jnp.tanh(logits / cap)
+    return logits, kv_out
+
+
 def synth_qtensor_device(key: jax.Array, rows: int, k: int,
                          t: GGMLType = GGMLType.Q4_K) -> QTensor:
     """Random QTensor generated ON DEVICE (no host transfer) — for benchmarks

@@ -171,3 +171,42 @@ def test_synth_params_forward():
     logits, kv2 = forward(params, cfg, tokens, positions, kv, jnp.zeros(b, jnp.int32))
     assert logits.shape == (b, s, cfg.n_vocab)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_forward_scan_matches_forward():
+    """The lax.scan fast-compile path produces the same logits as the
+    layer-indexable forward."""
+    import jax
+
+    from prima_tpu.models.llama import (
+        forward, forward_scan, init_kv_caches, init_kv_stacked,
+        synth_params_device_stacked,
+    )
+
+    cfg = tiny_config(n_layers=3, n_embd=256, n_heads=4, n_kv_heads=2,
+                      head_dim=64, n_ff=512, n_vocab=512, rope_dim=64)
+    opts = ForwardOptions(matmul_impl="xla", dtype=jnp.float32)
+    stacked = jax.jit(lambda: synth_params_device_stacked(cfg, GGMLType.Q4_K))()
+
+    # unstack into the list-of-layers form for the reference forward
+    unstacked = {
+        "tok_embd": stacked["tok_embd"],
+        "output_norm": stacked["output_norm"],
+        "output": stacked["output"],
+        "layers": [
+            jax.tree.map(lambda a: a[i], stacked["layers"])
+            for i in range(cfg.n_layers)
+        ],
+    }
+    toks = np.array([[3, 17, 42, 7]], np.int32)
+    pos = np.arange(4, dtype=np.int32)[None]
+    zero = np.zeros(1, np.int32)
+
+    kv_l = init_kv_caches(cfg, 1, 16, jnp.float32)
+    ref, _ = forward(unstacked, cfg, toks, pos, kv_l, zero, opts)
+
+    kv_s = init_kv_stacked(cfg, 1, 16, jnp.float32)
+    got, kv_out = forward_scan(stacked, cfg, toks, pos, kv_s, zero, opts)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+    assert kv_out[0].shape[0] == cfg.n_layers
