@@ -25,6 +25,18 @@ JAX_PLATFORMS=cpu PRIMA_PALLAS_INTERPRET=1 python -m prima_tpu.tools.perplexity 
 JAX_PLATFORMS=cpu PRIMA_PALLAS_INTERPRET=1 python -m prima_tpu.tools.cli \
     -m "$TMP/tiny.gguf" -p "Hello" -n 6 --temp 0 --matmul xla --no-display-prompt
 
+echo "== e2e smoke: imatrix + weighted quantize + lookup + bench matrix =="
+JAX_PLATFORMS=cpu PRIMA_PALLAS_INTERPRET=1 python -m prima_tpu.tools.imatrix \
+    -m "$TMP/tiny.gguf" -f "$TMP/corpus.txt" -o "$TMP/t.imatrix" -c 32 --chunks 2 2>/dev/null
+JAX_PLATFORMS=cpu PRIMA_PALLAS_INTERPRET=1 python -m prima_tpu.tools.quantize \
+    "$TMP/tiny.gguf" "$TMP/q4im.gguf" Q4_K_M --imatrix "$TMP/t.imatrix" 2>/dev/null | tail -1
+JAX_PLATFORMS=cpu PRIMA_PALLAS_INTERPRET=1 python -m prima_tpu.tools.lookup create \
+    -m "$TMP/tiny.gguf" -f "$TMP/corpus.txt" -o "$TMP/static.bin"
+JAX_PLATFORMS=cpu PRIMA_PALLAS_INTERPRET=1 python -m prima_tpu.tools.lookup stats \
+    -m "$TMP/tiny.gguf" -f "$TMP/corpus.txt" -lcs "$TMP/static.bin" | tail -1
+JAX_PLATFORMS=cpu PRIMA_PALLAS_INTERPRET=1 python -m prima_tpu.tools.bench_tool \
+    -m "$TMP/tiny.gguf" -p 16 -n 4 -r 1 -c 64 -o md 2>/dev/null | tail -2
+
 echo "== e2e smoke: 2-process distributed ring =="
 PORT=$(( (RANDOM % 2000) + 20000 ))
 JAX_PLATFORMS=cpu PRIMA_PALLAS_INTERPRET=1 python -m prima_tpu.tools.cli \

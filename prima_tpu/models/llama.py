@@ -797,6 +797,11 @@ def init_kv_caches(
             caches.append(None)
             continue
         shape = (batch, max_seq, cfg.n_kv_heads, cfg.head_dim)
+        if isinstance(dtype, str) and dtype == "q4_0":
+            from ..ops.kvquant import KVQ4
+
+            caches.append((KVQ4.zeros(shape), KVQ4.zeros(shape)))
+            continue
         if isinstance(dtype, str) and dtype == "q8_0":
             from ..ops.kvquant import KVQ8
 

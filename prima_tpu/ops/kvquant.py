@@ -1,14 +1,14 @@
-"""Quantized KV cache storage (the -ctk/-ctv q8_0 analogue).
+"""Quantized KV cache storage (the -ctk/-ctv q8_0 / q4_0 analogues).
 
 The reference stores K/V in any of f32/f16/q8_0/q4_0/... block formats
-(common.cpp:2044-2054). On TPU the idiomatic equivalent is int8 with a
-per-(position, head) f32 scale over the head_dim vector: decode attention
-is KV-bandwidth-bound, so 1 byte/element + 4/128 scale overhead halves KV
-traffic vs bf16 while XLA fuses the dequant multiply into the attention
-matmuls.
+(common.cpp:2044-2054). On TPU the idiomatic equivalent is int8 (KVQ8) or
+packed int4 (KVQ4) with a per-(position, head) f32 scale over the head_dim
+vector: decode attention is KV-bandwidth-bound, so 1 (or 0.5)
+byte/element + 4/128 scale overhead halves (quarters) KV traffic vs bf16
+while XLA fuses the dequant multiply into the attention matmuls.
 
-KVQ8 is a pytree, drop-in where a dense (B, T, H, D) cache array goes;
-models/llama.attention_block dispatches on the type.
+KVQ8 / KVQ4 are pytrees, drop-in where a dense (B, T, H, D) cache array
+goes; models/llama.attention_block dispatches on the type.
 """
 
 from __future__ import annotations
@@ -46,6 +46,54 @@ class KVQ8:
         return (self.qs.astype(jnp.float32) * self.scale).astype(dtype)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class KVQ4:
+    """Packed int4 KV: byte i of the last axis holds elements i (low nibble)
+    and i + D/2 (high nibble), values in [-7, 7] offset by 8."""
+
+    qs: jax.Array  # uint8 (B, T, H, D/2)
+    scale: jax.Array  # f32 (B, T, H, 1)
+
+    def tree_flatten(self):
+        return (self.qs, self.scale), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def shape(self):
+        b, t, h, d2 = self.qs.shape
+        return (b, t, h, 2 * d2)
+
+    @classmethod
+    def zeros(cls, shape, dtype=None) -> "KVQ4":
+        b, t, h, d = shape
+        # 8 encodes 0 so zero-initialized cells dequantize to 0
+        return cls(jnp.full((b, t, h, d // 2), 0x88, jnp.uint8),
+                   jnp.zeros((b, t, h, 1), jnp.float32))
+
+    def astype(self, dtype) -> jax.Array:
+        lo = (self.qs & 0x0F).astype(jnp.int32) - 8
+        hi = (self.qs >> 4).astype(jnp.int32) - 8
+        q = jnp.concatenate([lo, hi], axis=-1).astype(jnp.float32)
+        return (q * self.scale).astype(dtype)
+
+
+def quantize_kv4(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(..., D) -> packed uint4 pairs + f32 scale over the last axis."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = amax / 7.0
+    inv = jnp.where(scale > 0, 1.0 / jnp.maximum(scale, 1e-30), 0.0)
+    q = jnp.clip(jnp.round(xf * inv), -7, 7).astype(jnp.int32) + 8
+    d = x.shape[-1]
+    lo = q[..., : d // 2]
+    hi = q[..., d // 2 :]
+    return (lo | (hi << 4)).astype(jnp.uint8), scale
+
+
 def quantize_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     """(..., D) -> int8 quants + f32 scale over the last axis."""
     xf = x.astype(jnp.float32)
@@ -57,14 +105,16 @@ def quantize_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 
 def update_kv(cache, new: jax.Array, cache_pos: jax.Array):
-    """Write `new` (B, S, H, D) at per-row positions; dense or KVQ8."""
+    """Write `new` (B, S, H, D) at per-row positions; dense, KVQ8 or KVQ4."""
+    upd = jax.vmap(lambda c, u, p: jax.lax.dynamic_update_slice(c, u, (p, 0, 0)))
     if isinstance(cache, KVQ8):
         q, s = quantize_kv(new)
-        upd = jax.vmap(lambda c, u, p: jax.lax.dynamic_update_slice(c, u, (p, 0, 0)))
         return KVQ8(upd(cache.qs, q, cache_pos), upd(cache.scale, s, cache_pos))
-    upd = jax.vmap(lambda c, u, p: jax.lax.dynamic_update_slice(c, u, (p, 0, 0)))
+    if isinstance(cache, KVQ4):
+        q, s = quantize_kv4(new)
+        return KVQ4(upd(cache.qs, q, cache_pos), upd(cache.scale, s, cache_pos))
     return upd(cache, new.astype(cache.dtype), cache_pos)
 
 
 def kv_seq_len(cache) -> int:
-    return cache.qs.shape[1] if isinstance(cache, KVQ8) else cache.shape[1]
+    return cache.qs.shape[1] if isinstance(cache, (KVQ8, KVQ4)) else cache.shape[1]

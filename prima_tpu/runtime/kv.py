@@ -53,21 +53,24 @@ def _rope_delta(k: jax.Array, delta: jax.Array, inv_freq: jax.Array, rope_type: 
 
 
 def _materialize_row(cache, slot: int) -> jax.Array:
-    """One slot's dense (T, H, D) values from a dense or KVQ8 cache."""
-    from ..ops.kvquant import KVQ8
+    """One slot's dense (T, H, D) values from a dense or quantized cache."""
+    from ..ops.kvquant import KVQ4, KVQ8
 
-    if isinstance(cache, KVQ8):
-        return KVQ8(cache.qs[slot], cache.scale[slot]).astype(jnp.bfloat16)
+    if isinstance(cache, (KVQ8, KVQ4)):
+        return type(cache)(cache.qs[slot], cache.scale[slot]).astype(jnp.bfloat16)
     return cache[slot]
 
 
 def _set_row(cache, slot: int, row: jax.Array):
-    """Write one slot's dense row back (requantizing for KVQ8)."""
-    from ..ops.kvquant import KVQ8, quantize_kv
+    """Write one slot's dense row back (requantizing quantized caches)."""
+    from ..ops.kvquant import KVQ4, KVQ8, quantize_kv, quantize_kv4
 
     if isinstance(cache, KVQ8):
         q, s = quantize_kv(row)
         return KVQ8(cache.qs.at[slot].set(q), cache.scale.at[slot].set(s))
+    if isinstance(cache, KVQ4):
+        q, s = quantize_kv4(row)
+        return KVQ4(cache.qs.at[slot].set(q), cache.scale.at[slot].set(s))
     return cache.at[slot].set(row.astype(cache.dtype))
 
 

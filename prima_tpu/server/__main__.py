@@ -21,7 +21,7 @@ def main(argv=None) -> int:
     ap.add_argument("-b", "--batch-size", type=int, default=256)
     ap.add_argument("--matmul", default="pallas", choices=["pallas", "xla"])
     ap.add_argument("-ctk", "--cache-type-k", default="bf16",
-                    choices=["f32", "bf16", "q8_0"], dest="cache_type")
+                    choices=["f32", "bf16", "q8_0", "q4_0"], dest="cache_type")
     ap.add_argument("--alias", default="prima-tpu")
     args = ap.parse_args(argv)
 
@@ -51,7 +51,7 @@ def main(argv=None) -> int:
     model = load_model(args.model)
     import jax.numpy as jnp
 
-    kv_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16, "q8_0": "q8_0"}[args.cache_type]
+    kv_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16, "q8_0": "q8_0", "q4_0": "q4_0"}[args.cache_type]
     engine = Engine(model.cfg, model.params, n_slots=args.parallel,
                     max_seq=args.ctx_size, n_batch=args.batch_size,
                     opts=ForwardOptions(matmul_impl=args.matmul),

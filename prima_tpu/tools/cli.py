@@ -35,7 +35,7 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--no-display-prompt", action="store_true")
     ap.add_argument("--matmul", default="pallas", choices=["pallas", "xla"])
     ap.add_argument("-ctk", "--cache-type-k", default="bf16",
-                    choices=["f32", "bf16", "q8_0"], dest="cache_type")
+                    choices=["f32", "bf16", "q8_0", "q4_0"], dest="cache_type")
     ap.add_argument("--n-keep", type=int, default=0,
                     help="tokens kept through a context shift")
     ap.add_argument("--prompt-cache", help="session file: restore the KV "
@@ -170,7 +170,7 @@ def main(argv=None) -> int:
     opts = ForwardOptions(matmul_impl=args.matmul)
     import jax.numpy as _jnp
 
-    kv_dtype = {"f32": _jnp.float32, "bf16": _jnp.bfloat16, "q8_0": "q8_0"}[args.cache_type]
+    kv_dtype = {"f32": _jnp.float32, "bf16": _jnp.bfloat16, "q8_0": "q8_0", "q4_0": "q4_0"}[args.cache_type]
     eng = Engine(model.cfg, model.params, n_slots=1, max_seq=args.ctx_size,
                  n_batch=args.batch_size, opts=opts, eog_ids=model.eog_ids,
                  kv_dtype=kv_dtype, ctx_shift=not args.no_context_shift,

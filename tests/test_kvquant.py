@@ -58,3 +58,42 @@ def test_q8_kv_seq_ops():
     kv.context_shift(0, n_keep=2, n_discard=3)
     assert kv.used(0) == 5
     kv.seq_div(1, 0, 8, 2)  # smoke: re-rotation path for KVQ8
+
+
+def test_kvq4_roundtrip():
+    from prima_tpu.ops.kvquant import KVQ4, quantize_kv4
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 3, 4, 64)).astype(np.float32))
+    q, s = quantize_kv4(x)
+    assert q.shape == (2, 3, 4, 32) and q.dtype == jnp.uint8
+    y = np.asarray(KVQ4(q, s).astype(jnp.float32))
+    # 4-bit symmetric: error bounded by scale/2 per element
+    err = np.abs(y - np.asarray(x))
+    bound = np.asarray(s) / 2 + 1e-6
+    assert np.all(err <= bound)
+
+
+def test_kvq4_zeros_decode_to_zero():
+    from prima_tpu.ops.kvquant import KVQ4
+
+    c = KVQ4.zeros((1, 4, 2, 8))
+    assert np.all(np.asarray(c.astype(jnp.float32)) == 0)
+
+
+def test_engine_with_q4_kv():
+    from prima_tpu.gguf.constants import GGMLType
+    from prima_tpu.models.config import tiny_config
+    from prima_tpu.models.llama import ForwardOptions, synth_params
+    from prima_tpu.runtime.engine import Engine
+
+    cfg = tiny_config(n_layers=2)
+    params = synth_params(cfg, GGMLType.Q4_K, seed=5)
+    opts = ForwardOptions(matmul_impl="xla", dtype=jnp.float32)
+    ref = Engine(cfg, params, n_slots=1, max_seq=64, opts=opts,
+                 kv_dtype=jnp.float32).run_to_completion([3, 17, 42, 7], n_predict=6)
+    q4 = Engine(cfg, params, n_slots=1, max_seq=64, opts=opts,
+                kv_dtype="q4_0").run_to_completion([3, 17, 42, 7], n_predict=6)
+    assert len(q4) == 6
+    # 4-bit KV is lossy: only require a matching start on a tiny model
+    assert q4[0] == ref[0]
