@@ -261,7 +261,7 @@ def init_kv_stacked(cfg: ModelConfig, batch: int, max_seq: int,
 
 
 def forward_scan(params: dict, cfg: ModelConfig, tokens, positions,
-                 kv, cache_pos, opts=None):
+                 kv, cache_pos, opts=None, return_hidden: bool = False):
     """Uniform-layer forward as ONE lax.scan over stacked layer params —
     XLA compiles a single layer body regardless of depth (the fast-compile
     path for benchmarks and uniform models; the indexable forward() remains
@@ -281,6 +281,8 @@ def forward_scan(params: dict, cfg: ModelConfig, tokens, positions,
         return xc, kv_new
 
     x, kv_out = jax.lax.scan(body, x, (params["layers"], kv))
+    if return_hidden:
+        return x, kv_out
     x = rms_norm(x, params["output_norm"], cfg.rms_eps)
     w_out = params["output"] if params.get("output") is not None else params["tok_embd"]
     logits = linear(x, w_out, opts.matmul_impl).astype(opts.logits_dtype)

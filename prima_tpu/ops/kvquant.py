@@ -38,8 +38,8 @@ class KVQ8:
 
     @classmethod
     def zeros(cls, shape, dtype=None) -> "KVQ8":
-        b, t, h, d = shape
-        return cls(jnp.zeros(shape, jnp.int8), jnp.zeros((b, t, h, 1), jnp.float32))
+        return cls(jnp.zeros(shape, jnp.int8),
+                   jnp.zeros(tuple(shape[:-1]) + (1,), jnp.float32))
 
     def astype(self, dtype) -> jax.Array:
         """Materialize dense values (XLA fuses this into the consumer)."""
@@ -64,15 +64,13 @@ class KVQ4:
 
     @property
     def shape(self):
-        b, t, h, d2 = self.qs.shape
-        return (b, t, h, 2 * d2)
+        return tuple(self.qs.shape[:-1]) + (2 * self.qs.shape[-1],)
 
     @classmethod
     def zeros(cls, shape, dtype=None) -> "KVQ4":
-        b, t, h, d = shape
         # 8 encodes 0 so zero-initialized cells dequantize to 0
-        return cls(jnp.full((b, t, h, d // 2), 0x88, jnp.uint8),
-                   jnp.zeros((b, t, h, 1), jnp.float32))
+        return cls(jnp.full(tuple(shape[:-1]) + (shape[-1] // 2,), 0x88, jnp.uint8),
+                   jnp.zeros(tuple(shape[:-1]) + (1,), jnp.float32))
 
     def astype(self, dtype) -> jax.Array:
         lo = (self.qs & 0x0F).astype(jnp.int32) - 8

@@ -26,7 +26,26 @@ import numpy as np
 from ..models.config import ModelConfig
 from ..models.llama import ForwardOptions, forward
 from ..sampling import Sampler, SamplerParams
-from .kv import KVCache
+from .kv import KVCache, StackedKVCache
+
+
+def _scan_eligible(cfg: ModelConfig, params: dict) -> bool:
+    """forward_scan requires uniform stacked layers: every layer present,
+    identical key sets, no MoE, no per-layer mask switching (gemma2 SWA)."""
+    if cfg.n_expert or cfg.swa_window:
+        return False
+    layers = params.get("layers")
+    if not isinstance(layers, list) or not layers or any(l is None for l in layers):
+        return False
+    keys = set(layers[0])
+    if any(set(l) != keys for l in layers[1:]):
+        return False
+    if any(l.get(k) is None for l in layers for k in keys):
+        return False
+    # LoRA / control-vector wrapped layers keep the indexable path
+    if any(k.endswith("_lora") or k == "cvec" for k in keys):
+        return False
+    return True
 
 
 class SlotState(Enum):
@@ -82,14 +101,27 @@ class Engine:
         n_keep: int = 0,
         grp_attn_n: int = 1,
         grp_attn_w: int = 512,
+        scan: bool | None = None,
     ):
         self.cfg = cfg
-        self.params = params
         self.opts = opts or ForwardOptions()
         self.n_slots = n_slots
         self.max_seq = max_seq
         self.n_batch = n_batch
-        self.kv = KVCache(cfg, n_slots, max_seq, kv_dtype)
+        # scan mode: uniform-layer models run forward_scan (one compiled
+        # layer body + stacked KV) — ~n_layers x faster compilation and far
+        # fewer per-token dispatches. Auto-enabled when eligible.
+        if scan is None:
+            scan = _scan_eligible(cfg, params)
+        self.use_scan = bool(scan)
+        if self.use_scan:
+            params = dict(params)
+            params["layers"] = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *params["layers"])
+            self.kv = StackedKVCache(cfg, n_slots, max_seq, kv_dtype)
+        else:
+            self.kv = KVCache(cfg, n_slots, max_seq, kv_dtype)
+        self.params = params
         self.slots = [Slot(i) for i in range(n_slots)]
         self.eog_ids = eog_ids or set()
         self.n_decode_calls = 0  # /metrics counter parity (server.cpp:2928)
@@ -107,28 +139,59 @@ class Engine:
 
         cfg_ = cfg
         opts_ = self.opts
+        use_scan_ = self.use_scan
+
+        def _fwd(params, caches, tokens, positions, cache_pos):
+            if use_scan_:
+                from ..models.llama import forward_scan
+
+                return forward_scan(params, cfg_, tokens, positions, caches,
+                                    cache_pos, opts_)
+            return forward(params, cfg_, tokens, positions, caches,
+                           cache_pos, opts_)
+
+        slot_axis = 1 if self.use_scan else 0
 
         @functools.partial(jax.jit, static_argnames=("s_len",))
         def _prefill(params, caches, tokens, pos0, rope0, slot, s_len):
             # tokens: (s_len,) — single-slot chunked prefill on a kv row slice
             # pos0 = physical write index; rope0 = logical (RoPE) position
             # (they differ only under Self-Extend grouped attention)
-            row = jax.tree.map(lambda a: a[slot][None], caches)
+            take = (lambda a: a[:, slot][:, None]) if use_scan_ else (lambda a: a[slot][None])
+            row = jax.tree.map(take, caches)
             positions = rope0 + jnp.arange(s_len, dtype=jnp.int32)[None]
-            _logits, row = forward(
-                params, cfg_, tokens[None], positions, row, pos0[None], opts_
-            )
-            caches = jax.tree.map(lambda c, r: c.at[slot].set(r[0]), caches, row)
+            _logits, row = _fwd(params, row, tokens[None], positions, pos0[None])
+            if use_scan_:
+                caches = jax.tree.map(
+                    lambda c, r: c.at[:, slot].set(r[:, 0]), caches, row)
+            else:
+                caches = jax.tree.map(lambda c, r: c.at[slot].set(r[0]), caches, row)
             return caches
 
         @jax.jit
         def _decode(params, caches, tokens, cache_pos, rope_pos):
             # tokens: (B, 1); cache_pos: (B,) — batched one-token step
             positions = rope_pos[:, None]
-            logits, caches = forward(
-                params, cfg_, tokens, positions, caches, cache_pos, opts_
-            )
+            logits, caches = _fwd(params, caches, tokens, positions, cache_pos)
             return logits[:, -1], caches
+
+        @functools.partial(jax.jit, static_argnames=("s_len",))
+        def _verify(params, caches, tokens, pos0, slot, s_len):
+            """Decode s_len tokens on one slot returning logits at EVERY
+            position — the batched verification forward used by the
+            speculative and lookup decoders."""
+            take = (lambda a: a[:, slot][:, None]) if use_scan_ else (lambda a: a[slot][None])
+            row = jax.tree.map(take, caches)
+            positions = pos0 + jnp.arange(s_len, dtype=jnp.int32)[None]
+            logits, row = _fwd(params, row, tokens[None], positions, pos0[None])
+            if use_scan_:
+                caches = jax.tree.map(
+                    lambda c, r: c.at[:, slot].set(r[:, 0]), caches, row)
+            else:
+                caches = jax.tree.map(lambda c, r: c.at[slot].set(r[0]), caches, row)
+            return logits[0], caches
+
+        self._verify = _verify
 
         self._prefill = _prefill
         self._decode = _decode
@@ -350,11 +413,20 @@ class Engine:
         padded = np.zeros((1, s_len), dtype=np.int32)
         padded[0, : len(prompt_tokens)] = prompt_tokens
         positions = np.arange(s_len, dtype=np.int32)[None]
-        kv = jax.tree.map(lambda a: jnp.zeros_like(a[0:1]), self.kv.caches)
-        hidden, _ = forward(
-            self.params, self.cfg, jnp.asarray(padded), jnp.asarray(positions),
-            kv, jnp.zeros(1, jnp.int32), self.opts, return_hidden=True,
-        )
+        if self.use_scan:
+            from ..models.llama import forward_scan
+
+            kv = jax.tree.map(lambda a: jnp.zeros_like(a[:, 0:1]), self.kv.caches)
+            hidden, _ = forward_scan(
+                self.params, self.cfg, jnp.asarray(padded), jnp.asarray(positions),
+                kv, jnp.zeros(1, jnp.int32), self.opts, return_hidden=True,
+            )
+        else:
+            kv = jax.tree.map(lambda a: jnp.zeros_like(a[0:1]), self.kv.caches)
+            hidden, _ = forward(
+                self.params, self.cfg, jnp.asarray(padded), jnp.asarray(positions),
+                kv, jnp.zeros(1, jnp.int32), self.opts, return_hidden=True,
+            )
         from ..ops.layers import rms_norm
 
         hidden = rms_norm(hidden, self.params["output_norm"], self.cfg.rms_eps)

@@ -209,3 +209,89 @@ class KVCache:
 
     def used(self, slot: int) -> int:
         return int(self.cache_pos[slot])
+
+
+def _materialize_srow(cache, slot: int) -> jax.Array:
+    """One slot's dense (L, T, H, D) values from a stacked cache."""
+    from ..ops.kvquant import KVQ4, KVQ8
+
+    if isinstance(cache, (KVQ8, KVQ4)):
+        return type(cache)(cache.qs[:, slot], cache.scale[:, slot]).astype(jnp.bfloat16)
+    return cache[:, slot]
+
+
+def _set_srow(cache, slot: int, row: jax.Array):
+    from ..ops.kvquant import KVQ4, KVQ8, quantize_kv, quantize_kv4
+
+    if isinstance(cache, KVQ8):
+        q, s = quantize_kv(row)
+        return KVQ8(cache.qs.at[:, slot].set(q), cache.scale.at[:, slot].set(s))
+    if isinstance(cache, KVQ4):
+        q, s = quantize_kv4(row)
+        return KVQ4(cache.qs.at[:, slot].set(q), cache.scale.at[:, slot].set(s))
+    return cache.at[:, slot].set(row.astype(cache.dtype))
+
+
+@dataclass
+class StackedKVCache(KVCache):
+    """KV cache with a leading LAYER axis — the forward_scan layout: one
+    (k, v) pair of (n_layers, n_slots, T, kvh, hd) arrays instead of a
+    per-layer list. Every mutation op touches all layers in ONE array
+    program (a single gather/rope instead of n_layers of them)."""
+
+    def __post_init__(self):
+        if self.caches is None:
+            from ..models.llama import init_kv_stacked
+
+            dt = self.dtype
+            if isinstance(dt, str):
+                from ..ops.kvquant import KVQ4, KVQ8
+
+                L = self.cfg.n_layers
+                shape = (L, self.n_slots, self.max_seq,
+                         self.cfg.n_kv_heads, self.cfg.head_dim)
+                cls_ = KVQ8 if dt == "q8_0" else KVQ4
+                self.caches = (cls_.zeros(shape), cls_.zeros(shape))
+            else:
+                self.caches = init_kv_stacked(self.cfg, self.n_slots,
+                                              self.max_seq, dt)
+        if self.cache_pos is None:
+            self.cache_pos = np.zeros(self.n_slots, dtype=np.int32)
+        self._inv_freq, _ = rope_freqs(self.cfg)
+
+    def seq_cp(self, dst: int, src: int) -> None:
+        k, v = self.caches
+        cp = lambda a: jax.tree.map(lambda x: x.at[:, dst].set(x[:, src]), a)
+        self.caches = (cp(k), cp(v))
+        self.cache_pos[dst] = self.cache_pos[src]
+
+    def remap(self, slot: int, src: np.ndarray, delta: np.ndarray,
+              new_used: int) -> None:
+        src_j = jnp.asarray(np.minimum(src, self.max_seq - 1))
+        delta_j = jnp.asarray(delta.astype(np.int32))
+        k, v = self.caches
+        k_row = _materialize_srow(k, slot)[:, src_j]  # (L, T, H, D)
+        k_row = _rope_delta(k_row, delta_j, self._inv_freq, self.cfg.rope_type)
+        v_row = jax.tree.map(lambda a: a[:, slot][:, src_j], v)
+        self.caches = (
+            _set_srow(k, slot, k_row),
+            jax.tree.map(lambda a, r: a.at[:, slot].set(r), v, v_row),
+        )
+        self.cache_pos[slot] = new_used
+
+    def rope_shift(self, slot: int, delta: np.ndarray) -> None:
+        if not np.any(delta):
+            return
+        delta_j = jnp.asarray(delta.astype(np.int32))
+        k, v = self.caches
+        k_row = _rope_delta(_materialize_srow(k, slot), delta_j,
+                            self._inv_freq, self.cfg.rope_type)
+        self.caches = (_set_srow(k, slot, k_row), v)
+
+    def seq_div(self, slot: int, p0: int, p1: int, divisor: int) -> None:
+        if divisor <= 1:
+            return
+        idx = np.arange(self.max_seq, dtype=np.int32)
+        inrange = (idx >= p0) & (idx < p1)
+        newpos = np.where(inrange, idx // divisor, idx)
+        self.rope_shift(slot, (newpos - idx).astype(np.int32))

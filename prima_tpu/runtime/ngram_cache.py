@@ -213,28 +213,8 @@ class LookupDecoder:
         self.nc_static = nc_static if nc_static is not None else {}
         self.nc_dynamic = nc_dynamic if nc_dynamic is not None else {}
         self.nc_context: NgramCache = {}
-        self._make_verify(target)
-
-    def _make_verify(self, target):
-        import functools
-
-        import jax
-        import jax.numpy as jnp
-
-        from ..models.llama import forward
-
-        cfg, opts = target.cfg, target.opts
-
-        @functools.partial(jax.jit, static_argnames=("s_len",))
-        def verify(params, caches, tokens, pos0, slot, s_len):
-            row = jax.tree.map(lambda a: a[slot][None], caches)
-            positions = pos0 + jnp.arange(s_len, dtype=jnp.int32)[None]
-            logits, row = forward(params, cfg, tokens[None], positions, row,
-                                  pos0[None], opts)
-            caches = jax.tree.map(lambda c, r: c.at[slot].set(r[0]), caches, row)
-            return logits[0], caches
-
-        self._verify_fn = verify
+        # the engine's batched verification forward (scan-aware)
+        self._verify_fn = target._verify
 
     def generate(self, prompt_tokens: list[int], sampler=None,
                  n_predict: int = 64) -> tuple[list[int], LookupStats]:

@@ -46,20 +46,8 @@ class SpeculativeDecoder:
         self.n_draft = n_draft
         self.p_min = p_min
 
-        cfg, opts = target.cfg, target.opts
-
-        @functools.partial(jax.jit, static_argnames=("s_len",))
-        def _verify(params, caches, tokens, pos0, slot, s_len):
-            """Decode s_len tokens on one slot, returning logits at EVERY
-            position (the batched verification forward)."""
-            row = jax.tree.map(lambda a: a[slot][None], caches)
-            positions = pos0 + jnp.arange(s_len, dtype=jnp.int32)[None]
-            logits, row = forward(params, cfg, tokens[None], positions, row,
-                                  pos0[None], opts)
-            caches = jax.tree.map(lambda c, r: c.at[slot].set(r[0]), caches, row)
-            return logits[0], caches
-
-        self._verify = _verify
+        # the engine's batched verification forward (scan-aware)
+        self._verify = target._verify
 
     # -- draft proposal (common_speculative_gen_draft) -------------------------
 

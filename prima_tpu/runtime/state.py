@@ -35,15 +35,23 @@ def slot_save(engine, slot_id: int, path: str) -> int:
     used = engine.kv.used(slot_id)
     slot = engine.slots[slot_id]
     tokens = (slot.prompt + slot.generated)[: used + 1]
-    from .kv import _materialize_row
+    from .kv import StackedKVCache, _materialize_row, _materialize_srow
 
     arrays = {}
-    for li, kv in enumerate(engine.kv.caches):
-        if kv is None:
-            continue
-        k, v = kv
-        arrays[f"k{li}"] = np.asarray(_materialize_row(k, slot_id)[:used], dtype=np.float32)
-        arrays[f"v{li}"] = np.asarray(_materialize_row(v, slot_id)[:used], dtype=np.float32)
+    if isinstance(engine.kv, StackedKVCache):
+        k_all, v_all = engine.kv.caches
+        ks = np.asarray(_materialize_srow(k_all, slot_id)[:, :used], np.float32)
+        vs = np.asarray(_materialize_srow(v_all, slot_id)[:, :used], np.float32)
+        for li in range(engine.cfg.n_layers):
+            arrays[f"k{li}"] = ks[li]
+            arrays[f"v{li}"] = vs[li]
+    else:
+        for li, kv in enumerate(engine.kv.caches):
+            if kv is None:
+                continue
+            k, v = kv
+            arrays[f"k{li}"] = np.asarray(_materialize_row(k, slot_id)[:used], dtype=np.float32)
+            arrays[f"v{li}"] = np.asarray(_materialize_row(v, slot_id)[:used], dtype=np.float32)
     with open(path, "wb") as f:  # exact path (np.savez would append .npz)
         np.savez_compressed(
             f,
@@ -67,9 +75,28 @@ def slot_restore(engine, slot_id: int, path: str) -> int:
         used = int(meta["n_tokens"])
         if used > engine.max_seq:
             raise ValueError(f"{path}: state length {used} > max_seq {engine.max_seq}")
-        from .kv import _materialize_row, _set_row
+        from .kv import (StackedKVCache, _materialize_row, _materialize_srow,
+                         _set_row, _set_srow)
 
         tokens = [int(t) for t in z["tokens"]]
+        if isinstance(engine.kv, StackedKVCache):
+            k_all, v_all = engine.kv.caches
+            k_rows = _materialize_srow(k_all, slot_id).astype(jnp.float32)
+            v_rows = _materialize_srow(v_all, slot_id).astype(jnp.float32)
+            ks = jnp.stack([jnp.asarray(z[f"k{li}"])
+                            for li in range(engine.cfg.n_layers)])
+            vs = jnp.stack([jnp.asarray(z[f"v{li}"])
+                            for li in range(engine.cfg.n_layers)])
+            k_rows = k_rows.at[:, :used].set(ks)
+            v_rows = v_rows.at[:, :used].set(vs)
+            engine.kv.caches = (_set_srow(k_all, slot_id, k_rows),
+                                _set_srow(v_all, slot_id, v_rows))
+            engine.kv.cache_pos[slot_id] = used
+            slot = engine.slots[slot_id]
+            slot.prompt = tokens
+            slot.generated = []
+            slot.n_prompt_done = min(used, max(len(tokens) - 1, 0))
+            return used
         for li in range(engine.cfg.n_layers):
             k, v = engine.kv.caches[li]
             k_row = _materialize_row(k, slot_id).astype(jnp.float32)

@@ -145,3 +145,49 @@ def test_seq_cp_and_keep():
     np.testing.assert_array_equal(np.asarray(kv.caches[0][0][1]), np.asarray(kv.caches[0][0][0]))
     kv.seq_keep(1)
     assert kv.used(0) == 0 and kv.used(1) == 3
+
+
+def test_engine_scan_mode_matches_indexable():
+    """Engine auto-selects the lax.scan fast path for uniform models; its
+    greedy output, context handling and embed() must match the indexable
+    path exactly."""
+    from prima_tpu.gguf.constants import GGMLType
+    from prima_tpu.models.config import tiny_config
+    from prima_tpu.models.llama import ForwardOptions, synth_params
+    from prima_tpu.runtime.engine import Engine
+
+    cfg = tiny_config(n_layers=3)
+    params = synth_params(cfg, GGMLType.Q4_K, seed=9)
+    opts = ForwardOptions(matmul_impl="xla", dtype=jnp.float32)
+    e_scan = Engine(cfg, params, n_slots=2, max_seq=64, n_batch=8, opts=opts,
+                    kv_dtype=jnp.float32, scan=True)
+    e_idx = Engine(cfg, params, n_slots=2, max_seq=64, n_batch=8, opts=opts,
+                   kv_dtype=jnp.float32, scan=False)
+    assert e_scan.use_scan and not e_idx.use_scan
+
+    prompt = [3, 17, 42, 7, 99, 11, 23, 5, 61, 2]
+    out_s = e_scan.run_to_completion(prompt, n_predict=12)
+    out_i = e_idx.run_to_completion(prompt, n_predict=12)
+    assert out_s == out_i
+
+    v_s = e_scan.embed(prompt)
+    v_i = e_idx.embed(prompt)
+    np.testing.assert_allclose(v_s, v_i, rtol=2e-5, atol=2e-5)
+
+
+def test_engine_scan_auto_eligibility():
+    from prima_tpu.gguf.constants import GGMLType
+    from prima_tpu.models.config import tiny_config
+    from prima_tpu.models.llama import ForwardOptions, synth_params
+    from prima_tpu.runtime.engine import Engine
+
+    cfg = tiny_config(n_layers=2)
+    params = synth_params(cfg, GGMLType.Q4_K, seed=9)
+    opts = ForwardOptions(matmul_impl="xla", dtype=jnp.float32)
+    assert Engine(cfg, params, n_slots=1, max_seq=32, opts=opts,
+                  kv_dtype=jnp.float32).use_scan
+    # a missing layer (pipeline-style partial load) forces the indexable path
+    partial = dict(params)
+    partial["layers"] = [params["layers"][0], None]
+    assert not Engine(cfg, partial, n_slots=1, max_seq=32, opts=opts,
+                      kv_dtype=jnp.float32).use_scan
