@@ -321,18 +321,32 @@ def synth_qtensor_device(key: jax.Array, rows: int, k: int,
     if s % gsub:
         gsub = 1  # synthetic sub-superblock shapes: flat scales
     if gsub > 1:
-        # compact grouped layout: int8 codes + per-superblock f32 bases
-        # (exactly the byte footprint of real K-quant weights)
         g = s // gsub
-        scales = jax.random.randint(k2, (rows, s), 1, 64, dtype=jnp.int32).astype(jnp.int8)
-        mins = (jax.random.randint(k3, (rows, s), 0, 32, dtype=jnp.int32).astype(jnp.int8)
-                if has_mins else None)
+        kperm = pallas_eligible((rows, k), sub, layout, gsub)
         d = jnp.abs(jax.random.normal(k4, (rows, g), jnp.float32)) * (0.02 / qmax / 32) + 1e-6
         dmin = (jnp.abs(jax.random.normal(k5, (rows, g), jnp.float32)) * (0.01 / qmax / 32)
                 if has_mins else None)
+        if has_mins and kperm and s % 16 == 0:
+            # packed native-footprint layout (host_pack docstring): 6-bit
+            # codes in 1.5 B/sub-block + f16 d/dmin bit-pair per superblock
+            sc = jax.random.randint(k2, (rows, s), 1, 64, dtype=jnp.int32)
+            mn = jax.random.randint(k3, (rows, s), 0, 64, dtype=jnp.int32)
+            a1 = (sc | ((mn >> 4) << 6)).astype(jnp.uint8)
+            a2 = ((mn[:, : s // 2] & 15) | ((mn[:, s // 2 :] & 15) << 4)).astype(jnp.uint8)
+            d16 = jax.lax.bitcast_convert_type(
+                d.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
+            dm16 = jax.lax.bitcast_convert_type(
+                dmin.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
+            dpair = jax.lax.bitcast_convert_type((dm16 << 16) | d16, jnp.int32)
+            return QTensor(qs=qs, scales=a1, mins=a2, sub=sub, layout=layout,
+                           q_offset=off, shape=(rows, k), kperm=True,
+                           d=dpair, dmin=None, gsub=gsub, packed=True)
+        # compact grouped layout: int8 codes + per-superblock f32 bases
+        scales = jax.random.randint(k2, (rows, s), 1, 64, dtype=jnp.int32).astype(jnp.int8)
+        mins = (jax.random.randint(k3, (rows, s), 0, 32, dtype=jnp.int32).astype(jnp.int8)
+                if has_mins else None)
         return QTensor(qs=qs, scales=scales, mins=mins, sub=sub, layout=layout,
-                       q_offset=off, shape=(rows, k),
-                       kperm=pallas_eligible((rows, k), sub, layout, gsub),
+                       q_offset=off, shape=(rows, k), kperm=kperm,
                        d=d, dmin=dmin, gsub=gsub)
     scales = jnp.abs(jax.random.normal(k2, (rows, s), jnp.float32)) * (0.02 / qmax) + 1e-4
     mins = scales * jax.random.uniform(k3, (rows, s), jnp.float32, 0, qmax / 2) if has_mins else None
@@ -529,10 +543,12 @@ def _synth_uq(rng, rows, k, t: GGMLType):
         codes = rng.integers(1, 64, size=(rows, s), dtype=np.int16).astype(np.int8)
         mcodes = (rng.integers(0, 32, size=(rows, s), dtype=np.int16).astype(np.int8)
                   if has_mins else None)
-        d = (np.abs(rng.standard_normal((rows, s // gsub))) * (0.02 / qmax / 32)
-             + 1e-6).astype(np.float32)
-        dmin = (np.abs(rng.standard_normal((rows, s // gsub))) * (0.01 / qmax / 32)
-                ).astype(np.float32) if has_mins else None
+        # bases rounded to f16 values (exactly representable in the packed
+        # device layout, like real GGUF d/dmin)
+        d = ((np.abs(rng.standard_normal((rows, s // gsub))) * (0.02 / qmax / 32)
+              + 1e-6).astype(np.float16)).astype(np.float32)
+        dmin = ((np.abs(rng.standard_normal((rows, s // gsub))) * (0.01 / qmax / 32)
+                 ).astype(np.float16)).astype(np.float32) if has_mins else None
         return UQTensor(qs, codes, mcodes, sub, layout, off, t, (rows, k),
                         d=d, dmin=dmin, gsub=gsub)
     scales = (np.abs(rng.standard_normal((rows, s))) * 0.02 / qmax + 1e-4).astype(np.float32)

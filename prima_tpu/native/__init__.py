@@ -54,7 +54,7 @@ def get_lib():
         i64, u8p, i8p, f32p, ci = (ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
                                    ctypes.POINTER(ctypes.c_int8),
                                    ctypes.POINTER(ctypes.c_float), ctypes.c_int)
-        lib.prima_conv_q4k.argtypes = [u8p, i64, i64, u8p, i8p, i8p, f32p, f32p, ci]
+        lib.prima_conv_q4k.argtypes = [u8p, i64, i64, u8p, i8p, i8p, f32p, f32p, ci, ci]
         lib.prima_conv_q4_0.argtypes = [u8p, i64, i64, u8p, f32p, ci]
         lib.prima_conv_q6k.argtypes = [u8p, i64, i64, i8p, i8p, f32p, ci]
         lib.prima_conv_q8_0.argtypes = [u8p, i64, i64, i8p, f32p, ci]
@@ -66,9 +66,11 @@ def _ptr(a: np.ndarray, ct):
     return a.ctypes.data_as(ctypes.POINTER(ct))
 
 
-def native_convert(raw: np.ndarray, ggml_type, k: int, kperm: bool):
+def native_convert(raw: np.ndarray, ggml_type, k: int, kperm: bool,
+                   packed: bool = False):
     """raw (rows, row_bytes) -> (qs, scales, mins|None, d|None, dmin|None)
-    in uniform layout (compact grouped codes for K-quants), optionally
+    in uniform layout (compact grouped codes for K-quants; `packed` emits
+    the 4.5-bit native footprint for Q4_K — see host_pack), optionally
     kernel-permuted. Returns None if this type has no native path.
     """
     from ..gguf.constants import GGMLType
@@ -83,6 +85,15 @@ def native_convert(raw: np.ndarray, ggml_type, k: int, kperm: bool):
     kp = 1 if kperm else 0
     if ggml_type == GGMLType.Q4_K:
         qs = np.empty((rows, k // 2), np.uint8)
+        if packed and kperm:
+            sc = np.empty((rows, k // 32), np.uint8)
+            mn = np.empty((rows, k // 64), np.uint8)
+            d = np.empty((rows, k // 256), np.int32)
+            lib.prima_conv_q4k(_ptr(raw, ctypes.c_uint8), rows, k,
+                               _ptr(qs, ctypes.c_uint8), _ptr(sc, ctypes.c_int8),
+                               _ptr(mn, ctypes.c_int8), _ptr(d, ctypes.c_float),
+                               None, kp, 1)
+            return qs, sc, mn, d, None
         sc = np.empty((rows, k // 32), np.int8)
         mn = np.empty((rows, k // 32), np.int8)
         d = np.empty((rows, k // 256), np.float32)
@@ -90,7 +101,7 @@ def native_convert(raw: np.ndarray, ggml_type, k: int, kperm: bool):
         lib.prima_conv_q4k(_ptr(raw, ctypes.c_uint8), rows, k,
                            _ptr(qs, ctypes.c_uint8), _ptr(sc, ctypes.c_int8),
                            _ptr(mn, ctypes.c_int8), _ptr(d, ctypes.c_float),
-                           _ptr(dmin, ctypes.c_float), kp)
+                           _ptr(dmin, ctypes.c_float), kp, 0)
         return qs, sc, mn, d, dmin
     if ggml_type == GGMLType.Q4_0:
         qs = np.empty((rows, k // 2), np.uint8)

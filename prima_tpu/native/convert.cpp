@@ -120,29 +120,50 @@ extern "C" {
 // the reference's rounding).
 // kperm: 0 = natural order; 1 = kernel order p = t*S + sigma(s) with
 // sigma(s) = (s % 8)*G + s/8 (G = k/256), codes stored in sigma order.
+// packed (requires kperm): emit the native 4.5-bit footprint instead —
+// scales u8 = sc | (mn>>4)<<6; mins u8 (rows, S/2) pairing lo4(s) with
+// lo4(s + S/2); d i32 = raw f16 bits (dmin << 16 | d).
 void prima_conv_q4k(const uint8_t* raw, int64_t rows, int64_t k,
                     uint8_t* qs, int8_t* scales, int8_t* mins,
-                    float* d_out, float* dmin_out, int kperm) {
+                    float* d_out, float* dmin_out, int kperm, int packed) {
     const int64_t row_bytes = (k / 256) * 144;
     const int64_t S = k / 32;
     const int64_t G = k / 256;
     const int64_t half = k / 2;
     parallel_rows(rows, [&](int64_t r0, int64_t r1) {
+        std::vector<uint8_t> sc_tmp(S), mn_tmp(S);
         for (int64_t r = r0; r < r1; r++) {
             const uint8_t* rb = raw + r * row_bytes;
             int8_t* sc_out = scales + r * S;
-            int8_t* mn_out = mins + r * S;
+            int8_t* mn_out = mins + r * (packed ? S / 2 : S);
             for (int64_t blk = 0; blk < G; blk++) {
                 const uint8_t* b = rb + blk * 144;
-                d_out[r * G + blk] = f16_to_f32(rd16(b));
-                dmin_out[r * G + blk] = f16_to_f32(rd16(b + 2));
+                if (packed) {
+                    uint32_t bits = (uint32_t)rd16(b + 2) << 16 | rd16(b);
+                    ((uint32_t*)d_out)[r * G + blk] = bits;
+                } else {
+                    d_out[r * G + blk] = f16_to_f32(rd16(b));
+                    dmin_out[r * G + blk] = f16_to_f32(rd16(b + 2));
+                }
                 for (int j = 0; j < 8; j++) {
                     uint8_t s8, m8;
                     scale_min_k4(b + 4, j, &s8, &m8);
                     int64_t pos = kperm ? (int64_t)j * G + blk : blk * 8 + j;
-                    sc_out[pos] = (int8_t)s8;
-                    mn_out[pos] = (int8_t)m8;
+                    if (packed) {
+                        sc_tmp[pos] = s8;
+                        mn_tmp[pos] = m8;
+                    } else {
+                        sc_out[pos] = (int8_t)s8;
+                        mn_out[pos] = (int8_t)m8;
+                    }
                 }
+            }
+            if (packed) {
+                for (int64_t j = 0; j < S; j++)
+                    sc_out[j] = (int8_t)(sc_tmp[j] | ((mn_tmp[j] >> 4) << 6));
+                for (int64_t j = 0; j < S / 2; j++)
+                    mn_out[j] = (int8_t)((mn_tmp[j] & 0xF)
+                                         | ((mn_tmp[j + S / 2] & 0xF) << 4));
             }
             uint8_t* q_out = qs + r * half;
             for (int64_t j = 0; j < half; j++) {

@@ -143,19 +143,20 @@ def put_stacked_qtensor(
             r = _pk_cache[id(s)] = host_pack(s, pallas)
         return r
 
-    kperm = _pk(u0)[3]
+    _, _, _, _, _, kperm, packed = _pk(u0)
     return QTensor(
         qs=stack(lambda s: _pk(s)[0]),
         scales=stack(lambda s: _pk(s)[1]),
-        mins=stack(lambda s: _pk(s)[2]) if u0.mins is not None else None,
+        mins=stack(lambda s: _pk(s)[2]) if _pk(u0)[2] is not None else None,
         sub=u0.sub,
         layout=u0.layout,
         q_offset=u0.q_offset,
         shape=u0.shape,  # per-shard logical shape
         kperm=kperm,
-        d=stack(lambda s: s.d) if u0.d is not None else None,
-        dmin=stack(lambda s: s.dmin) if u0.dmin is not None else None,
+        d=stack(lambda s: _pk(s)[3]) if _pk(u0)[3] is not None else None,
+        dmin=stack(lambda s: _pk(s)[4]) if _pk(u0)[4] is not None else None,
         gsub=u0.gsub,
+        packed=packed,
     )
 
 

@@ -47,38 +47,46 @@ class QTensor:
     d: jax.Array | None = None
     dmin: jax.Array | None = None
     gsub: int = 1
+    # packed affine codes (kperm grouped formats with mins, e.g. Q4_K):
+    #   scales u8 (rows, S)   = sc_code | (mn_code >> 4) << 6
+    #   mins   u8 (rows, S/2) = mn_lo4[s] | mn_lo4[s + S/2] << 4
+    #   d      i32 (rows, G)  = f16_bits(dmin) << 16 | f16_bits(d)
+    # -> 4.5 bits/weight for Q4_K, the native GGUF footprint
+    packed: bool = False
 
     def tree_flatten(self):
         children = (self.qs, self.scales, self.mins, self.d, self.dmin)
         aux = (self.sub, self.layout, self.q_offset, self.shape, self.kperm,
-               self.gsub)
+               self.gsub, self.packed)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         qs, scales, mins, d, dmin = children
-        sub, layout, q_offset, shape, kperm, gsub = aux
+        sub, layout, q_offset, shape, kperm, gsub, packed = aux
         return cls(qs, scales, mins, sub, layout, q_offset, shape, kperm,
-                   d, dmin, gsub)
+                   d, dmin, gsub, packed)
 
     @classmethod
     def from_host(
         cls, uq: UQTensor, device=None, sharding=None, pallas: bool = True
     ) -> "QTensor":
-        qs, scales, mins, kperm = host_pack(uq, pallas)
+        qs, scales, mins, d, dmin, kperm, packed = host_pack(uq, pallas)
         put = partial(jax.device_put, device=sharding if sharding is not None else device)
+        opt = lambda a: put(a) if a is not None else None
         return cls(
             qs=put(qs),
             scales=put(scales),
-            mins=put(mins) if mins is not None else None,
+            mins=opt(mins),
             sub=uq.sub,
             layout=uq.layout,
             q_offset=uq.q_offset,
             shape=uq.shape,
             kperm=kperm,
-            d=put(uq.d) if uq.d is not None else None,
-            dmin=put(uq.dmin) if uq.dmin is not None else None,
+            d=opt(d),
+            dmin=opt(dmin),
             gsub=uq.gsub,
+            packed=packed,
         )
 
     @property
@@ -114,6 +122,7 @@ class QTensor:
             d=self.d[idx] if self.d is not None else None,
             dmin=self.dmin[idx] if self.dmin is not None else None,
             gsub=self.gsub,
+            packed=self.packed,
         )
 
 
@@ -142,7 +151,8 @@ def qtensor_from_raw(raw: np.ndarray, ggml_type, shape: tuple[int, int],
     sub, layout, q_offset, gsub = meta
     rows, k = shape
     kperm = pallas and pallas_eligible((rows, k), sub, layout, gsub)
-    res = native_convert(raw, ggml_type, k, kperm)
+    packed = (kperm and int(ggml_type) == 12 and (k // sub) % 16 == 0)
+    res = native_convert(raw, ggml_type, k, kperm, packed)
     if res is None:
         return None
     qs, scales, mins, d, dmin = res
@@ -154,23 +164,30 @@ def qtensor_from_raw(raw: np.ndarray, ggml_type, shape: tuple[int, int],
         d=put(d) if d is not None else None,
         dmin=put(dmin) if dmin is not None else None,
         gsub=gsub,
+        packed=packed,
     )
 
 
 def host_pack(uq: UQTensor, pallas: bool = True):
-    """Host-side kernel packing: returns (qs, scales, mins, kperm).
+    """Host-side kernel packing: returns
+    (qs, scales, mins, d, dmin, kperm, packed).
 
     When the shape is Pallas-eligible, columns are permuted to
     p = t*S + sigma(s), sigma(s) = (s % gsub)*G + s // gsub (see
     quant/pallas/qmatmul.py), so BOTH the in-kernel code expansion and the
     group-base expansion are lane-aligned tile repeats. Grouped scale/min
     code rows are stored in the same sigma order.
+
+    Grouped formats WITH mins additionally pack to the native footprint
+    (Q4_K: 4.5 bits/weight): 6-bit sc/mn codes in 1.5 bytes per sub-block
+    and the f16 d/dmin bit-pair in one i32 per superblock; the kernel
+    unpacks with exact integer ops.
     """
     from .pallas.qmatmul import pallas_eligible, permute_cols_np, permute_subs_np
     from .device_format import unpack_nib4
 
     if not (pallas and pallas_eligible(uq.shape, uq.sub, uq.layout, uq.gsub)):
-        return uq.qs, uq.scales, uq.mins, False
+        return uq.qs, uq.scales, uq.mins, uq.d, uq.dmin, False, False
     scales = permute_subs_np(uq.scales, uq.gsub)
     mins = permute_subs_np(uq.mins, uq.gsub) if uq.mins is not None else None
     if uq.layout == "nib4":
@@ -181,7 +198,22 @@ def host_pack(uq: UQTensor, pallas: bool = True):
         qs = (rawp[:, :half] | (rawp[:, half:] << 4)).astype(np.uint8)
     else:
         qs = permute_cols_np(uq.qs, uq.sub, uq.gsub)
-    return qs, scales, mins, True
+
+    d, dmin = uq.d, uq.dmin
+    packed = (uq.gsub > 1 and mins is not None and dmin is not None
+              and scales.dtype == np.int8 and scales.shape[-1] % 16 == 0)
+    if packed:
+        sc = scales.astype(np.uint8)
+        mn = mins.astype(np.uint8)
+        s_half = sc.shape[-1] // 2
+        scales = (sc | ((mn >> 4) << 6)).astype(np.uint8)
+        mins = ((mn[..., :s_half] & 0x0F)
+                | ((mn[..., s_half:] & 0x0F) << 4)).astype(np.uint8)
+        d16 = d.astype(np.float16).view(np.uint16).astype(np.uint32)
+        dm16 = dmin.astype(np.float16).view(np.uint16).astype(np.uint32)
+        d = ((dm16 << 16) | d16).view(np.int32)
+        dmin = None
+    return qs, scales, mins, d, dmin, True, packed
 
 
 def _unpack_q(qt: QTensor, qs: jax.Array) -> jax.Array:
@@ -193,6 +225,12 @@ def _unpack_q(qt: QTensor, qs: jax.Array) -> jax.Array:
     return qs.astype(jnp.float32)
 
 
+def _unpack_f16_bits(bits: jax.Array) -> jax.Array:
+    """Exact f16-bit-pattern -> f32 (int ops only; subnormals handled)."""
+    u16 = bits.astype(jnp.uint16)
+    return jax.lax.bitcast_convert_type(u16, jnp.float16).astype(jnp.float32)
+
+
 def _eff_scales(qt: QTensor, scales, mins, d, dmin):
     """Grouped codes -> effective f32 per-sub-block (scales, mins).
 
@@ -201,6 +239,17 @@ def _eff_scales(qt: QTensor, scales, mins, d, dmin):
     if qt.gsub == 1:
         return scales, mins
     g = qt.gsub
+    if qt.packed:  # unpack 6-bit codes + f16 base pairs (host_pack docstring)
+        a1 = scales.astype(jnp.int32)
+        a2 = mins.astype(jnp.int32)
+        sc_code = (a1 & 63).astype(jnp.float32)
+        mn_code = (((a1 >> 6) << 4)
+                   | jnp.concatenate([a2 & 15, a2 >> 4], axis=-1)
+                   ).astype(jnp.float32)
+        du = jax.lax.bitcast_convert_type(d.astype(jnp.int32), jnp.uint32)
+        d_f = _unpack_f16_bits(du & 0xFFFF)
+        dm_f = _unpack_f16_bits(du >> 16)
+        scales, mins, d, dmin = sc_code, mn_code, d_f, dm_f
     if qt.kperm:  # sigma order: group index = s' mod G -> lane tile
         exp = lambda b: jnp.tile(b, (1,) * (b.ndim - 1) + (g,))
     else:  # natural order: group index = s // gsub -> elementwise repeat

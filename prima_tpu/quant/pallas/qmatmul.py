@@ -122,6 +122,20 @@ def _dot_nt(x, w):
     )
 
 
+def _f16_bits_to_f32(bits: jax.Array) -> jax.Array:
+    """Exact f16 bit pattern (int32 in [0, 65536)) -> f32 value, integer ops
+    only (Mosaic has no f16 dtype): normals are re-biased and bit-assembled,
+    subnormals computed as sign * mant * 2^-24 (exact: mant < 2^11)."""
+    s = (bits >> 15) & 1
+    e = (bits >> 10) & 31
+    m = bits & 1023
+    normal = jax.lax.bitcast_convert_type(
+        ((s << 31) | ((e + 112) << 23) | (m << 13)).astype(jnp.int32),
+        jnp.float32)
+    sub = ((1 - 2 * s) * m).astype(jnp.float32) * np.float32(2.0 ** -24)
+    return jnp.where(e > 0, normal, sub)
+
+
 def _group_expand(base: jax.Array, s: int) -> jax.Array:
     """(N_T, G) group bases -> (N_T, S) per-sub-block, sigma order (group
     index = s' mod G). An exact 0/1 expansion matmul: every output is one
@@ -152,11 +166,28 @@ def _qmm_kernel(
     t_chunk: int,
     has_mins: bool,
     grouped: bool,
+    packed: bool,
     fast: bool,
 ):
     kt = pl.program_id(1)
     cdtype = jnp.bfloat16 if fast else jnp.float32
-    if grouped:
+    if packed:
+        # native-footprint layout (host_pack): 6-bit sc/mn codes in 1.5
+        # bytes per sub-block, f16 d/dmin bit-pair per superblock — unpacked
+        # here with exact integer ops, then the same f32 d*code multiply.
+        s = sc_ref.shape[-1]
+        a1 = sc_ref[:].astype(jnp.int32)
+        a2 = mn_ref[:].astype(jnp.int32)  # (N_T, S/2) low-nibble pairs
+        sc_code = (a1 & 63).astype(jnp.float32)
+        mn_code = (((a1 >> 6) << 4)
+                   | jnp.concatenate([a2 & 15, a2 >> 4], axis=1)
+                   ).astype(jnp.float32)
+        du = d_ref[:].astype(jnp.int32)
+        d_f = _f16_bits_to_f32(du & 0xFFFF)
+        dm_f = _f16_bits_to_f32((du >> 16) & 0xFFFF)
+        sc_full = _group_expand(d_f, s) * sc_code
+        mn_full = _group_expand(dm_f, s) * mn_code
+    elif grouped:
         # effective scale = d[group] * code, multiplied here in f32 — the
         # same single rounding as the reference host premultiply.
         s = sc_ref.shape[-1]
@@ -233,7 +264,7 @@ def pallas_eligible(shape: tuple[int, int], sub: int, layout: str,
 
 @functools.lru_cache(maxsize=None)
 def _build_qmm(b: int, n: int, k: int, layout: str, q_offset: int, sub: int,
-               has_mins: bool, fast: bool, gsub: int):
+               has_mins: bool, fast: bool, gsub: int, packed: bool = False):
     s = k // sub
     kb = k // 2 if layout == "nib4" else k  # qs bytes per row
     n_tile, kb_tile = _pick_tiles(n, kb, s)
@@ -252,10 +283,13 @@ def _build_qmm(b: int, n: int, k: int, layout: str, q_offset: int, sub: int,
         t_chunk=t_chunk,
         has_mins=has_mins,
         grouped=grouped,
+        packed=packed,
         fast=fast,
     )
 
     sc_spec = pl.BlockSpec((n_tile, s), lambda nt, kt: (nt, 0), memory_space=pltpu.VMEM)
+    mn_spec = (pl.BlockSpec((n_tile, s // 2), lambda nt, kt: (nt, 0),
+                            memory_space=pltpu.VMEM) if packed else sc_spec)
     d_spec = pl.BlockSpec((n_tile, g), lambda nt, kt: (nt, 0), memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((b, kb_tile), lambda nt, kt: (0, kt), memory_space=pltpu.VMEM),
@@ -271,10 +305,10 @@ def _build_qmm(b: int, n: int, k: int, layout: str, q_offset: int, sub: int,
                                  memory_space=pltpu.VMEM))
     in_specs.append(sc_spec)
     if has_mins:
-        in_specs.append(sc_spec)
+        in_specs.append(mn_spec)
     if grouped:
         in_specs.append(d_spec)
-        if has_mins:
+        if has_mins and not packed:  # packed: dmin rides inside d
             in_specs.append(d_spec)
 
     # drop unused refs so the kernel signature matches in_specs
@@ -291,16 +325,19 @@ def _build_qmm(b: int, n: int, k: int, layout: str, q_offset: int, sub: int,
         i += 1 if has_mins else 0
         d = refs[i] if grouped else None
         i += 1 if grouped else 0
-        dm = refs[i] if grouped and has_mins else None
-        i += 1 if grouped and has_mins else 0
+        dm = refs[i] if grouped and has_mins and not packed else None
+        i += 1 if grouped and has_mins and not packed else 0
         o = refs[i]
         kernel(x_lo, x_hi, xs, qs, sc, mn, d, dm, o)
 
     flops = 2 * b * n * k
     sc_bytes = 1 if grouped else 4
-    bytes_accessed = (n * kb + n * s * sc_bytes * (2 if has_mins else 1)
-                      + (n * g * 4 * (2 if has_mins else 1) if grouped else 0)
-                      + b * k * 4)
+    if packed:
+        bytes_accessed = n * kb + n * s + n * (s // 2) + n * g * 4 + b * k * 4
+    else:
+        bytes_accessed = (n * kb + n * s * sc_bytes * (2 if has_mins else 1)
+                          + (n * g * 4 * (2 if has_mins else 1) if grouped else 0)
+                          + b * k * 4)
 
     def _fn(x, xs, qs, scales, mins, d, dmin):
         args = [x]
@@ -314,7 +351,7 @@ def _build_qmm(b: int, n: int, k: int, layout: str, q_offset: int, sub: int,
             args.append(mins)
         if grouped:
             args.append(d)
-            if has_mins:
+            if has_mins and not packed:
                 args.append(dmin)
         return pl.pallas_call(
             kernel_wrap,
@@ -357,7 +394,7 @@ def qmatmul_pallas(x: jax.Array, qt: QTensor, out_dtype=None, fast: bool | None 
     if fast is None:
         fast = os.environ.get("PRIMA_QMM_FAST", "0") == "1"
     fn = _build_qmm(b_pad, n, k, qt.layout, qt.q_offset, qt.sub, has_mins,
-                    fast, qt.gsub)
+                    fast, qt.gsub, getattr(qt, "packed", False))
     out = fn(x2, xs, qt.qs, qt.scales, qt.mins, qt.d, qt.dmin)
     out = out[:b].reshape(lead + (n,))
     return out.astype(out_dtype or x.dtype)

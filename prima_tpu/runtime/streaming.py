@@ -35,11 +35,12 @@ def pack_host_layer(layer: dict, pallas: bool = True) -> dict:
     out = {}
     for name, t in layer.items():
         if isinstance(t, UQTensor):
-            qs, scales, mins, kperm = host_pack(t, pallas)
+            qs, scales, mins, d, dmin, kperm, packed = host_pack(t, pallas)
             out[name] = {
                 "qs": qs, "scales": scales, "mins": mins,
-                "d": t.d, "dmin": t.dmin,
-                "meta": (t.sub, t.layout, t.q_offset, t.shape, kperm, t.gsub),
+                "d": d, "dmin": dmin,
+                "meta": (t.sub, t.layout, t.q_offset, t.shape, kperm, t.gsub,
+                         packed),
             }
         else:
             out[name] = {"dense": np.asarray(t, dtype=np.float32)}
@@ -52,7 +53,7 @@ def _to_device(packed: dict, device=None) -> dict:
         if "dense" in rec:
             layer[name] = jax.device_put(rec["dense"], device)
         else:
-            sub, layout, q_offset, shape, kperm, gsub = rec["meta"]
+            sub, layout, q_offset, shape, kperm, gsub, packed = rec["meta"]
             put = lambda a: jax.device_put(a, device) if a is not None else None
             layer[name] = QTensor(
                 qs=put(rec["qs"]),
@@ -60,6 +61,7 @@ def _to_device(packed: dict, device=None) -> dict:
                 mins=put(rec["mins"]),
                 sub=sub, layout=layout, q_offset=q_offset, shape=shape,
                 kperm=kperm, d=put(rec["d"]), dmin=put(rec["dmin"]), gsub=gsub,
+                packed=packed,
             )
     return layer
 

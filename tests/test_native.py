@@ -25,31 +25,34 @@ def _raw(t, seed=0):
 @pytest.mark.parametrize("kperm", [False, True], ids=["natural", "kperm"])
 def test_native_matches_numpy(t, kperm):
     raw = _raw(t)
-    got = native_convert(raw, t, K, kperm)
-    assert got is not None
-    qs_n, sc_n, mn_n, d_n, dmin_n = got
-
     uq = to_device_format(raw, t, K)
     if kperm:
-        qs_ref, sc_ref, mn_ref, did = host_pack(uq, pallas=True)
+        qs_ref, sc_ref, mn_ref, d_ref, dmin_ref, did, packed = host_pack(uq, pallas=True)
         assert did
     else:
         qs_ref, sc_ref, mn_ref = uq.qs, uq.scales, uq.mins
+        d_ref, dmin_ref, packed = uq.d, uq.dmin, False
+    got = native_convert(raw, t, K, kperm, packed)
+    assert got is not None
+    qs_n, sc_n, mn_n, d_n, dmin_n = got
+
     np.testing.assert_array_equal(qs_n, qs_ref)
-    np.testing.assert_array_equal(sc_n, sc_ref)
+    np.testing.assert_array_equal(np.asarray(sc_n).view(np.uint8),
+                                  np.asarray(sc_ref).view(np.uint8))
     if mn_n is not None:
-        np.testing.assert_array_equal(mn_n, mn_ref)
+        np.testing.assert_array_equal(np.asarray(mn_n).view(np.uint8),
+                                      np.asarray(mn_ref).view(np.uint8))
     else:
-        assert uq.mins is None
+        assert mn_ref is None
     if d_n is not None:
-        np.testing.assert_array_equal(d_n, uq.d)
-        assert uq.gsub > 1
+        np.testing.assert_array_equal(np.asarray(d_n).view(np.uint8),
+                                      np.asarray(d_ref).view(np.uint8))
     else:
-        assert uq.d is None
+        assert d_ref is None
     if dmin_n is not None:
-        np.testing.assert_array_equal(dmin_n, uq.dmin)
+        np.testing.assert_array_equal(dmin_n, dmin_ref)
     else:
-        assert uq.dmin is None
+        assert dmin_ref is None
 
 
 def test_native_faster_than_numpy():
