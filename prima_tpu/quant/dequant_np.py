@@ -320,6 +320,95 @@ def dequant_iq2_xxs(raw: np.ndarray, n: int) -> np.ndarray:
     return y.reshape(raw.shape[0], n)
 
 
+def dequant_iq2_xs(raw: np.ndarray, n: int) -> np.ndarray:
+    """IQ2_XS (2.3125 bpw): dequantize_row_iq2_xs ggml-quants.c:3531.
+    Per u16: 9-bit index into the 512-entry iq2xs_grid + 7-bit ksigns code;
+    4-bit scale nibble per 16 elements."""
+    grid_bytes = _codebook("iq2xs_grid").view(np.uint8).reshape(512, 8).astype(np.int32)
+    ksigns = _codebook("ksigns_iq2xs").astype(np.uint8)
+    b = _blocks(raw, 74)
+    nb = b.shape[0]
+    d = _f16(b[:, 0:2])  # (nb,1)
+    qs = b[:, 2:66].copy().view(np.uint16).reshape(nb, 8, 4).astype(np.int32)
+    sc = b[:, 66:74].astype(np.int32)  # (nb,8) nibble pairs
+    ls = np.stack([sc & 0x0F, sc >> 4], axis=2).reshape(nb, 16)  # per 16 elems
+    db = (d * (np.float32(0.5) + ls.astype(F32))) * np.float32(0.25)  # (nb,16)
+    mag = grid_bytes[qs & 511]  # (nb,8,4,8)
+    signs = ksigns[qs >> 9]  # (nb,8,4)
+    j = np.arange(8, dtype=np.uint8)
+    sign = np.where((signs[..., None] & (1 << j)) != 0, np.float32(-1.0), np.float32(1.0))
+    y = db.reshape(nb, 8, 2, 1, 1) * (mag.astype(F32) * sign).reshape(nb, 8, 2, 2, 8)
+    return y.reshape(raw.shape[0], n)
+
+
+def dequant_iq2_s(raw: np.ndarray, n: int) -> np.ndarray:
+    """IQ2_S (2.5625 bpw): dequantize_row_iq2_s ggml-quants.c:3558.
+    8-bit grid index low bits in qs[0:32], 2 high bits per index from qh,
+    raw sign bytes in qs[32:64], 4-bit scale nibble per 16 elements."""
+    grid_bytes = _codebook("iq2s_grid").view(np.uint8).reshape(1024, 8).astype(np.int32)
+    b = _blocks(raw, 82)
+    nb = b.shape[0]
+    d = _f16(b[:, 0:2])
+    qs = b[:, 2:34].reshape(nb, 8, 4).astype(np.int32)
+    sbytes = b[:, 34:66].reshape(nb, 8, 4)
+    qh = b[:, 66:74].astype(np.int32)  # (nb,8)
+    sc = b[:, 74:82].astype(np.int32)
+    ls = np.stack([sc & 0x0F, sc >> 4], axis=2).reshape(nb, 16)
+    db = (d * (np.float32(0.5) + ls.astype(F32))) * np.float32(0.25)
+    l = np.arange(4)
+    idx = qs | ((qh[:, :, None] << (8 - 2 * l)) & 0x300)  # (nb,8,4)
+    mag = grid_bytes[idx]  # (nb,8,4,8)
+    j = np.arange(8, dtype=np.uint8)
+    sign = np.where((sbytes[..., None] & (1 << j)) != 0, np.float32(-1.0), np.float32(1.0))
+    y = db.reshape(nb, 8, 2, 1, 1) * (mag.astype(F32) * sign).reshape(nb, 8, 2, 2, 8)
+    return y.reshape(raw.shape[0], n)
+
+
+def dequant_iq3_xxs(raw: np.ndarray, n: int) -> np.ndarray:
+    """IQ3_XXS (3.0625 bpw): dequantize_row_iq3_xxs ggml-quants.c:3590.
+    One u8 grid index per 4 elements (256-entry u32 iq3xxs_grid); per-32-elem
+    aux u32 = 4x7-bit ksigns codes + 4-bit scale."""
+    grid_bytes = _codebook("iq3xxs_grid").view(np.uint8).reshape(256, 4).astype(np.int32)
+    ksigns = _codebook("ksigns_iq2xs").astype(np.uint8)
+    b = _blocks(raw, 98)
+    nb = b.shape[0]
+    d = _f16(b[:, 0:2])
+    qs = b[:, 2:66].reshape(nb, 8, 8).astype(np.int32)  # 8 idx bytes per ib32
+    aux = b[:, 66:98].copy().view(np.uint32).reshape(nb, 8)
+    db = (d * (np.float32(0.5) + (aux >> 28).astype(F32))) * np.float32(0.5)  # (nb,8)
+    l = np.arange(4)
+    sbits = (aux[:, :, None] >> (7 * l)) & 127  # (nb,8,4)
+    signs = ksigns[sbits]
+    j = np.arange(8, dtype=np.uint8)
+    sign = np.where((signs[..., None] & (1 << j)) != 0, np.float32(-1.0), np.float32(1.0))
+    mag = grid_bytes[qs].reshape(nb, 8, 4, 8)  # two u8 grids of 4 per sign byte
+    y = db[:, :, None, None] * mag.astype(F32) * sign
+    return y.reshape(raw.shape[0], n)
+
+
+def dequant_iq3_s(raw: np.ndarray, n: int) -> np.ndarray:
+    """IQ3_S (3.4375 bpw): dequantize_row_iq3_s ggml-quants.c:3622.
+    8-bit grid index low bits + 1 high bit per index from qh (512-entry
+    iq3s_grid), raw sign bytes, 4-bit scale nibble per 32 elements."""
+    grid_bytes = _codebook("iq3s_grid").view(np.uint8).reshape(512, 4).astype(np.int32)
+    b = _blocks(raw, 110)
+    nb = b.shape[0]
+    d = _f16(b[:, 0:2])
+    qs = b[:, 2:66].reshape(nb, 8, 8).astype(np.int32)
+    qh = b[:, 66:74].astype(np.int32)  # (nb,8): high bit j for qs byte j
+    sbytes = b[:, 74:106].reshape(nb, 8, 4)
+    sc = b[:, 106:110].astype(np.int32)  # (nb,4) nibble pairs
+    ls = np.stack([sc & 0x0F, sc >> 4], axis=2).reshape(nb, 8)  # per 32 elems
+    db = d * (1 + 2 * ls).astype(F32)  # (nb,8)
+    jbit = np.arange(8)
+    idx = qs | (((qh[:, :, None] >> jbit) & 1) << 8)  # (nb,8,8)
+    mag = grid_bytes[idx].reshape(nb, 8, 4, 8)
+    j = np.arange(8, dtype=np.uint8)
+    sign = np.where((sbytes[..., None] & (1 << j)) != 0, np.float32(-1.0), np.float32(1.0))
+    y = db[:, :, None, None] * mag.astype(F32) * sign
+    return y.reshape(raw.shape[0], n)
+
+
 def dequant_iq1_s(raw: np.ndarray, n: int) -> np.ndarray:
     grid = _codebook("iq1s_grid")  # (2048,) uint64
     grid_bytes = grid.view(np.uint8).reshape(2048, 8).view(np.int8).astype(np.int32)
@@ -405,6 +494,10 @@ DEQUANT_FNS = {
     GGMLType.IQ4_NL: dequant_iq4_nl,
     GGMLType.IQ4_XS: dequant_iq4_xs,
     GGMLType.IQ2_XXS: dequant_iq2_xxs,
+    GGMLType.IQ2_XS: dequant_iq2_xs,
+    GGMLType.IQ2_S: dequant_iq2_s,
+    GGMLType.IQ3_XXS: dequant_iq3_xxs,
+    GGMLType.IQ3_S: dequant_iq3_s,
     GGMLType.IQ1_S: dequant_iq1_s,
     GGMLType.IQ1_M: dequant_iq1_m,
 }

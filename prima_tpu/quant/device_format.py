@@ -295,6 +295,110 @@ def _conv_iq2_xxs(raw: np.ndarray, k: int) -> UQTensor:
                     d=d * np.float32(0.125), gsub=8)
 
 
+def _conv_iq2_xs(raw: np.ndarray, k: int) -> UQTensor:
+    """IQ2_XS: y = db*g*sign, db = d*(0.5+ls)*0.25 per 16 elems. Stored as
+    q = g*sign (|q| <= 43), grouped base d' = d*0.125 (exact power-of-two
+    product) and code 1+2*ls <= 31: the device's single f32 multiply d'*code
+    reproduces the reference's rounding exactly."""
+    grid = _codebook("iq2xs_grid").view(np.uint8).reshape(512, 8).astype(np.int16)
+    ksigns = _codebook("ksigns_iq2xs")
+    rows = raw.shape[0]
+    b = _blocks(raw, 74)
+    nb = b.shape[0]
+    d = _f16(b[:, 0:2]).reshape(rows, -1)
+    qs = b[:, 2:66].copy().view(np.uint16).reshape(nb, 8, 4).astype(np.int32)
+    sc = b[:, 66:74].astype(np.int32)
+    ls = np.stack([sc & 0x0F, sc >> 4], axis=2).reshape(nb, 16)
+    code = (1 + 2 * ls).astype(np.int8)
+    mag = grid[qs & 511]  # (nb,8,4,8)
+    signs = ksigns[qs >> 9]
+    j = np.arange(8, dtype=np.uint8)
+    sgn = np.where((signs[..., None] & (1 << j)) != 0, -1, 1).astype(np.int16)
+    q = (mag * sgn).reshape(nb, 256)
+    assert np.abs(q).max() <= 127
+    return UQTensor(q.reshape(rows, k).astype(np.int8),
+                    code.reshape(rows, -1), None,
+                    16, "int8", 0, GGMLType.IQ2_XS, (rows, k),
+                    d=d * np.float32(0.125), gsub=16)
+
+
+def _conv_iq2_s(raw: np.ndarray, k: int) -> UQTensor:
+    """IQ2_S: same scale structure as IQ2_XS (d' = d*0.125, code 1+2*ls per
+    16 elems); 10-bit grid index from qs + qh, raw sign bytes."""
+    grid = _codebook("iq2s_grid").view(np.uint8).reshape(1024, 8).astype(np.int16)
+    rows = raw.shape[0]
+    b = _blocks(raw, 82)
+    nb = b.shape[0]
+    d = _f16(b[:, 0:2]).reshape(rows, -1)
+    qs = b[:, 2:34].reshape(nb, 8, 4).astype(np.int32)
+    sbytes = b[:, 34:66].reshape(nb, 8, 4)
+    qh = b[:, 66:74].astype(np.int32)
+    sc = b[:, 74:82].astype(np.int32)
+    ls = np.stack([sc & 0x0F, sc >> 4], axis=2).reshape(nb, 16)
+    code = (1 + 2 * ls).astype(np.int8)
+    l = np.arange(4)
+    idx = qs | ((qh[:, :, None] << (8 - 2 * l)) & 0x300)
+    mag = grid[idx]
+    j = np.arange(8, dtype=np.uint8)
+    sgn = np.where((sbytes[..., None] & (1 << j)) != 0, -1, 1).astype(np.int16)
+    q = (mag * sgn).reshape(nb, 256)
+    assert np.abs(q).max() <= 127
+    return UQTensor(q.reshape(rows, k).astype(np.int8),
+                    code.reshape(rows, -1), None,
+                    16, "int8", 0, GGMLType.IQ2_S, (rows, k),
+                    d=d * np.float32(0.125), gsub=16)
+
+
+def _conv_iq3_xxs(raw: np.ndarray, k: int) -> UQTensor:
+    """IQ3_XXS: db = d*(0.5+s)*0.5 per 32 elems = (d*0.25)*(1+2s)."""
+    grid = _codebook("iq3xxs_grid").view(np.uint8).reshape(256, 4).astype(np.int16)
+    ksigns = _codebook("ksigns_iq2xs")
+    rows = raw.shape[0]
+    b = _blocks(raw, 98)
+    nb = b.shape[0]
+    d = _f16(b[:, 0:2]).reshape(rows, -1)
+    qs = b[:, 2:66].reshape(nb, 8, 8).astype(np.int32)
+    aux = b[:, 66:98].copy().view(np.uint32).reshape(nb, 8)
+    code = (1 + 2 * (aux >> 28)).astype(np.int8)
+    l = np.arange(4)
+    sbits = (aux[:, :, None] >> (7 * l)) & 127
+    signs = ksigns[sbits]
+    j = np.arange(8, dtype=np.uint8)
+    sgn = np.where((signs[..., None] & (1 << j)) != 0, -1, 1).astype(np.int16)
+    mag = grid[qs].reshape(nb, 8, 4, 8)
+    q = (mag * sgn).reshape(nb, 256)
+    assert np.abs(q).max() <= 127
+    return UQTensor(q.reshape(rows, k).astype(np.int8),
+                    code.reshape(rows, -1), None,
+                    32, "int8", 0, GGMLType.IQ3_XXS, (rows, k),
+                    d=d * np.float32(0.25), gsub=8)
+
+
+def _conv_iq3_s(raw: np.ndarray, k: int) -> UQTensor:
+    """IQ3_S: db = d*(1+2*ls) per 32 elems — base d' = d unchanged."""
+    grid = _codebook("iq3s_grid").view(np.uint8).reshape(512, 4).astype(np.int16)
+    rows = raw.shape[0]
+    b = _blocks(raw, 110)
+    nb = b.shape[0]
+    d = _f16(b[:, 0:2]).reshape(rows, -1)
+    qs = b[:, 2:66].reshape(nb, 8, 8).astype(np.int32)
+    qh = b[:, 66:74].astype(np.int32)
+    sbytes = b[:, 74:106].reshape(nb, 8, 4)
+    sc = b[:, 106:110].astype(np.int32)
+    ls = np.stack([sc & 0x0F, sc >> 4], axis=2).reshape(nb, 8)
+    code = (1 + 2 * ls).astype(np.int8)
+    jbit = np.arange(8)
+    idx = qs | (((qh[:, :, None] >> jbit) & 1) << 8)
+    mag = grid[idx].reshape(nb, 8, 4, 8)
+    j = np.arange(8, dtype=np.uint8)
+    sgn = np.where((sbytes[..., None] & (1 << j)) != 0, -1, 1).astype(np.int16)
+    q = (mag * sgn).reshape(nb, 256)
+    assert np.abs(q).max() <= 127
+    return UQTensor(q.reshape(rows, k).astype(np.int8),
+                    code.reshape(rows, -1), None,
+                    32, "int8", 0, GGMLType.IQ3_S, (rows, k), d=d, gsub=8)
+
+
 def _conv_iq1_s(raw: np.ndarray, k: int) -> UQTensor:
     """IQ1_S: y = dl*(g + delta), dl = d*(2*sh+1). We store q = 8g + 8delta
     (integer, |q|<=9), grouped base d' = d*0.125 (exact power-of-two product)
@@ -371,6 +475,10 @@ _CONVERTERS = {
     GGMLType.IQ4_NL: _conv_iq4_nl,
     GGMLType.IQ4_XS: _conv_iq4_xs,
     GGMLType.IQ2_XXS: _conv_iq2_xxs,
+    GGMLType.IQ2_XS: _conv_iq2_xs,
+    GGMLType.IQ2_S: _conv_iq2_s,
+    GGMLType.IQ3_XXS: _conv_iq3_xxs,
+    GGMLType.IQ3_S: _conv_iq3_s,
     GGMLType.IQ1_S: _conv_iq1_s,
     GGMLType.IQ1_M: _conv_iq1_m,
 }

@@ -30,6 +30,10 @@ DEQ_TYPES = [
     GGMLType.IQ4_NL,
     GGMLType.IQ4_XS,
     GGMLType.IQ2_XXS,
+    GGMLType.IQ2_XS,
+    GGMLType.IQ2_S,
+    GGMLType.IQ3_XXS,
+    GGMLType.IQ3_S,
     GGMLType.IQ1_S,
     GGMLType.IQ1_M,
 ]

@@ -41,6 +41,12 @@ DEQ_TYPES = [
     GGMLType.IQ2_XXS,
     GGMLType.IQ1_S,
     GGMLType.IQ1_M,
+    # appended after the first fixture generation: keep at the END so the
+    # shared rng stream (and thus the existing fixtures) is unchanged
+    GGMLType.IQ2_XS,
+    GGMLType.IQ2_S,
+    GGMLType.IQ3_XXS,
+    GGMLType.IQ3_S,
 ]
 
 QUANT_EXACT_TYPES = [
@@ -65,6 +71,10 @@ F16_FIELDS = {
     GGMLType.IQ2_XXS: [0],
     GGMLType.IQ1_S: [0],
     GGMLType.IQ1_M: [],  # scale is spread across nibbles, any bits are valid f16 pieces
+    GGMLType.IQ2_XS: [0],
+    GGMLType.IQ2_S: [0],
+    GGMLType.IQ3_XXS: [0],
+    GGMLType.IQ3_S: [0],
 }
 
 
