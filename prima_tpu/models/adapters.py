@@ -67,20 +67,49 @@ def load_lora_gguf(path: str, scale: float = 1.0, dtype=jnp.bfloat16) -> dict:
     return out
 
 
-def apply_lora(params: dict, lora: dict) -> dict:
+def apply_lora(params: dict, lora: dict, scale: float = 1.0,
+               pad_layers: bool = False) -> dict:
     """Attach adapter tensors to the params pytree (non-destructive: the
-    adapter rides alongside the quantized base weights)."""
+    adapter rides alongside the quantized base weights). Re-applying with
+    another adapter STACKS (each param carries a list of (A, B, s) triples,
+    the llama_lora_adapter_set semantics); `scale` multiplies the adapter's
+    baked-in alpha/r scale (server /lora-adapters hot rescaling).
+
+    pad_layers: give layers this adapter does NOT touch a zero-scale triple
+    of the same shapes, keeping every layer's pytree structure identical so
+    the list still stacks for the engine's lax.scan mode."""
     params = dict(params)
     layers = list(params["layers"])
+    touched: dict[str, tuple] = {}  # pname -> example (a, b) for padding
     for idx, mods in lora.items():
         if idx == "head":
             continue
         if layers[idx] is None:
             continue  # layer not owned by this rank
         layer = dict(layers[idx])
-        for pname, ab in mods.items():
-            layer[pname + "_lora"] = ab
+        for pname, (a, b, s) in mods.items():
+            prev = layer.get(pname + "_lora")
+            stack = list(prev) if isinstance(prev, list) else (
+                [prev] if prev is not None else [])
+            stack.append((a, b, s * scale))
+            layer[pname + "_lora"] = stack
+            touched[pname] = (a, b)
         layers[idx] = layer
+    if pad_layers:
+        covered = {i for i in lora if i != "head"}
+        for i, layer in enumerate(layers):
+            if layer is None:
+                continue
+            for pname, (a, b) in touched.items():
+                if i in covered and pname in lora[i]:
+                    continue
+                layer = dict(layer)
+                prev = layer.get(pname + "_lora")
+                stack = list(prev) if isinstance(prev, list) else (
+                    [prev] if prev is not None else [])
+                stack.append((jnp.zeros_like(a), jnp.zeros_like(b), 0.0))
+                layer[pname + "_lora"] = stack
+                layers[i] = layer
     params["layers"] = layers
     return params
 

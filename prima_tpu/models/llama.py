@@ -55,7 +55,8 @@ def linear_l(layer: dict, name: str, x: jax.Array, impl: str = "xla") -> jax.Arr
     if ab is not None:
         from .adapters import lora_delta
 
-        y = y + lora_delta(x, ab)
+        for t in (ab if isinstance(ab, list) else [ab]):
+            y = y + lora_delta(x, t)
     return y
 
 

@@ -82,56 +82,77 @@ class SpeculativeDecoder:
 
     def generate(self, prompt_tokens: list[int], sampler: Sampler | None = None,
                  n_predict: int = 64) -> tuple[list[int], SpecStats]:
-        sampler = sampler or Sampler(SamplerParams(temp=0.0))
         stats = SpecStats()
+        out: list[int] = []
+        for chunk in self.generate_stream(prompt_tokens, sampler, n_predict,
+                                          stats=stats):
+            out.extend(chunk)
+        return out[:n_predict], stats
+
+    def generate_stream(self, prompt_tokens: list[int],
+                        sampler: Sampler | None = None, n_predict: int = 64,
+                        stats: SpecStats | None = None):
+        """Yield lists of newly accepted tokens, one list per verify round
+        (the streaming server path: SSE deltas arrive per round). Slots 0 of
+        both engines are released when the generator finishes."""
+        sampler = sampler or Sampler(SamplerParams(temp=0.0))
+        stats = stats if stats is not None else SpecStats()
         t, d = self.target, self.draft
 
-        # ingest prompt[:-1] in both engines (slot 0 each)
+        # ingest prompt[:-1] in both engines (slot 0 each); submit() accepts
+        # the prompt tokens into the sampler (penalty window)
         t_slot = t.submit(prompt_tokens, sampler=sampler, n_predict=-1)
         d_slot = d.submit(prompt_tokens, n_predict=-1)
-        while t_slot.state.name == "PREFILL":
-            t._advance_prefill(t_slot)
-        while d_slot.state.name == "PREFILL":
-            d._advance_prefill(d_slot)
-        for tok in prompt_tokens:
-            sampler.accept(tok, accept_grammar=False)
+        try:
+            while t_slot.state.name == "PREFILL":
+                t._advance_prefill(t_slot)
+            while d_slot.state.name == "PREFILL":
+                d._advance_prefill(d_slot)
 
-        out: list[int] = []
-        cur = prompt_tokens[-1]
-        while len(out) < n_predict:
-            # draft continuation: next input token is `cur`
-            d.slots[0].generated = [cur]
-            draft = self._gen_draft(stats) if self.n_draft > 0 else []
+            n_out = 0
+            cur = prompt_tokens[-1]
+            while n_out < n_predict:
+                # draft continuation: next input token is `cur`
+                d.slots[0].generated = [cur]
+                draft = self._gen_draft(stats) if self.n_draft > 0 else []
 
-            # target verifies [cur, draft...] in one forward
-            chain = [cur] + draft
-            s_len = len(chain)
-            pos0 = np.int32(t.kv.used(0))
-            logits, t.kv.caches = self._verify(
-                t.params, t.kv.caches, jnp.asarray(np.asarray(chain, np.int32)),
-                pos0, 0, s_len,
-            )
-            stats.n_target_calls += 1
-            logits = np.asarray(logits, dtype=np.float32)
+                # target verifies [cur, draft...] in one forward
+                chain = [cur] + draft
+                s_len = len(chain)
+                pos0 = np.int32(t.kv.used(0))
+                logits, t.kv.caches = self._verify(
+                    t.params, t.kv.caches,
+                    jnp.asarray(np.asarray(chain, np.int32)), pos0, 0, s_len,
+                )
+                stats.n_target_calls += 1
+                logits = np.asarray(logits, dtype=np.float32)
 
-            accepted: list[int] = []
-            for j in range(s_len):
-                tok = sampler.sample_and_accept(logits[j])
-                accepted.append(tok)
-                if j < len(draft) and tok == draft[j] and len(out) + len(accepted) < n_predict:
-                    stats.n_accepted += 1
-                    continue
-                break
-            out.extend(accepted)
-            cur = accepted[-1]
+                accepted: list[int] = []
+                for j in range(s_len):
+                    tok = sampler.sample_and_accept(logits[j])
+                    accepted.append(tok)
+                    if j < len(draft) and tok == draft[j] \
+                            and n_out + len(accepted) < n_predict:
+                        stats.n_accepted += 1
+                        continue
+                    break
+                n_out += len(accepted)
+                cur = accepted[-1]
 
-            # target consumed j+1 positions; roll back the unaccepted tail
-            t.kv.cache_pos[0] = int(pos0) + len(accepted)
-            # draft cache: roll back to the verified history [prompt..out]
-            d.kv.cache_pos[0] = min(d.kv.used(0), len(prompt_tokens) + len(out) - 1)
+                # target consumed j+1 positions; roll back the unaccepted tail
+                t.kv.cache_pos[0] = int(pos0) + len(accepted)
+                # draft cache: roll back to the verified history [prompt..out]
+                d.kv.cache_pos[0] = min(d.kv.used(0),
+                                        len(prompt_tokens) + n_out - 1)
 
-            if t.eog_ids and out and out[-1] in t.eog_ids:
-                break
-            if t.kv.used(0) >= t.max_seq - self.n_draft - 2:
-                break
-        return out[:n_predict], stats
+                yield accepted[: n_predict - (n_out - len(accepted))]
+
+                if t.eog_ids and accepted[-1] in t.eog_ids:
+                    break
+                if t.kv.used(0) >= t.max_seq - self.n_draft - 2:
+                    break
+        finally:
+            from .engine import SlotState
+
+            t_slot.state = SlotState.IDLE
+            d_slot.state = SlotState.IDLE

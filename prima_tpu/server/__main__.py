@@ -23,6 +23,17 @@ def main(argv=None) -> int:
     ap.add_argument("-ctk", "--cache-type-k", default="bf16",
                     choices=["f32", "bf16", "q8_0", "q4_0"], dest="cache_type")
     ap.add_argument("--alias", default="prima-tpu")
+    ap.add_argument("--lora", action="append", default=[], metavar="FNAME",
+                    help="LoRA adapter GGUF (repeatable)")
+    ap.add_argument("--lora-scaled", action="append", default=[], nargs=2,
+                    metavar=("FNAME", "SCALE"),
+                    help="LoRA adapter GGUF with user scale (repeatable)")
+    ap.add_argument("-md", "--model-draft", default=env("MODEL_DRAFT"),
+                    help="draft model GGUF for speculative decoding")
+    ap.add_argument("--draft-max", "--draft", type=int, default=8,
+                    dest="draft_max", help="max tokens drafted per round")
+    ap.add_argument("--draft-p-min", type=float, default=0.75,
+                    help="draft confidence floor")
     args = ap.parse_args(argv)
 
     from ..gguf.reader import GGUFModel
@@ -62,7 +73,34 @@ def main(argv=None) -> int:
     engine.run_to_completion([bos if bos >= 0 else 0], n_predict=1)
     print("warmup done", file=sys.stderr)
 
-    httpd, _ctx = serve(model, engine, args.host, args.port, args.alias)
+    loras = []
+    specs = [(p, 1.0) for p in args.lora] + [
+        (p, float(s)) for p, s in args.lora_scaled]
+    if specs:
+        from ..models.adapters import load_lora_gguf
+
+        for i, (path, scale) in enumerate(specs):
+            loras.append({"id": i, "path": path, "scale": scale,
+                          "data": load_lora_gguf(path, scale=1.0)})
+
+    spec = None
+    if args.model_draft:
+        from ..runtime.speculative import SpeculativeDecoder
+
+        print(f"loading draft {args.model_draft} ...", file=sys.stderr)
+        dmodel = load_model(args.model_draft)
+        deng = Engine(dmodel.cfg, dmodel.params, n_slots=1,
+                      max_seq=args.ctx_size,
+                      opts=ForwardOptions(matmul_impl=args.matmul),
+                      eog_ids=dmodel.eog_ids)
+        spec = SpeculativeDecoder(engine, deng, n_draft=args.draft_max,
+                                  p_min=args.draft_p_min)
+
+    httpd, _ctx = serve(model, engine, args.host, args.port, args.alias,
+                        loras=loras, spec=spec)
+    if loras:
+        _ctx.set_lora_scales(
+            [{"id": r["id"], "scale": r["scale"]} for r in loras])
     print(f"listening on http://{args.host}:{args.port}", file=sys.stderr)
     try:
         httpd.serve_forever()

@@ -27,14 +27,56 @@ from .scheduler import EngineWorker, GenerationRequest
 
 
 class ServerContext:
-    def __init__(self, model: LoadedModel, engine: Engine, alias: str = "prima-tpu"):
+    def __init__(self, model: LoadedModel, engine: Engine, alias: str = "prima-tpu",
+                 loras: list | None = None, spec=None):
         self.model = model
         self.engine = engine
         self.alias = alias
-        self.worker = EngineWorker(engine, model.tokenizer)
+        self.worker = EngineWorker(engine, model.tokenizer, spec=spec)
         self.chat_template = model.gguf.get("tokenizer.chat_template")
         self.t_start = time.time()
         self._token_bytes = None
+        # /lora-adapters registry: [{"id", "path", "scale", "data"}], where
+        # "data" is load_lora_gguf(path, scale=1.0) and "scale" the current
+        # user multiplier. base_params = UNstacked params without any adapter
+        # (engine.params may hold the scan-mode stacked form).
+        self.loras = loras or []
+        self.base_params = model.params if self.loras else None
+
+    def set_lora_scales(self, entries: list[dict]) -> None:
+        """POST /lora-adapters semantics (server.cpp:3443): reset every
+        adapter's scale to 0, set the listed ones, error on bad id, then
+        swap the rebuilt params in at a safe point of the engine loop."""
+        from ..models.adapters import apply_lora
+
+        if not self.loras:
+            if entries:
+                raise ValueError("invalid adapter id")
+            return
+        for rec in self.loras:
+            rec["scale"] = 0.0
+        for entry in entries:
+            i = int(entry["id"])
+            if not 0 <= i < len(self.loras):
+                raise ValueError("invalid adapter id")
+            self.loras[i]["scale"] = float(entry["scale"])
+        params = self.base_params
+        for rec in self.loras:
+            if rec["scale"] != 0.0:
+                params = apply_lora(params, rec["data"], scale=rec["scale"],
+                                    pad_layers=self.engine.use_scan)
+        if self.engine.use_scan:
+            import jax
+            import jax.numpy as jnp
+
+            params = dict(params)
+            params["layers"] = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *params["layers"])
+
+        def swap():
+            self.engine.params = params
+
+        self.worker.run(swap)
 
     def start(self):
         self.worker.start()
@@ -137,6 +179,15 @@ def make_handler(ctx: ServerContext):
             path = self.path.split("?")[0]
             if path == "/health":
                 self._json(200, {"status": "ok"})
+            elif path in ("/", "/index.html"):
+                from .webui import INDEX_HTML
+
+                data = INDEX_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
             elif path == "/props":
                 self._json(200, {
                     "model": ctx.alias,
@@ -170,6 +221,9 @@ def make_handler(ctx: ServerContext):
                 self._json(200, {"object": "list", "data": [{
                     "id": ctx.alias, "object": "model", "created": int(ctx.t_start),
                     "owned_by": "prima-tpu"}]})
+            elif path == "/lora-adapters":
+                self._json(200, [{"id": rec["id"], "path": rec["path"],
+                                  "scale": rec["scale"]} for rec in ctx.loras])
             elif path == "/slots":
                 slots = [{
                     "id": s.id, "state": s.state.name,
@@ -210,6 +264,10 @@ def make_handler(ctx: ServerContext):
                     self._json(200, {"tokens": ids})
                 elif path == "/detokenize":
                     self._json(200, {"content": tok.decode(body.get("tokens", []))})
+                elif path == "/lora-adapters":
+                    entries = body if isinstance(body, list) else []
+                    ctx.set_lora_scales(entries)
+                    self._json(200, {"success": True})
                 elif re.fullmatch(r"/slots/\d+", path):
                     self._slot_action(int(path.rsplit("/", 1)[1]), body)
                 else:
@@ -418,8 +476,9 @@ def _usage(req: GenerationRequest) -> dict:
 
 
 def serve(model: LoadedModel, engine: Engine, host: str = "127.0.0.1", port: int = 8080,
-          alias: str = "prima-tpu") -> tuple[ThreadingHTTPServer, ServerContext]:
-    ctx = ServerContext(model, engine, alias)
+          alias: str = "prima-tpu", loras: list | None = None, spec=None,
+          ) -> tuple[ThreadingHTTPServer, ServerContext]:
+    ctx = ServerContext(model, engine, alias, loras=loras, spec=spec)
     ctx.start()
     httpd = ThreadingHTTPServer((host, port), make_handler(ctx))
     return httpd, ctx

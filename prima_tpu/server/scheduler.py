@@ -48,10 +48,16 @@ class StreamEvent:
 class EngineWorker:
     """Owns the Engine; admits queued requests to idle slots; steps."""
 
-    def __init__(self, engine: Engine, tokenizer):
+    def __init__(self, engine: Engine, tokenizer, spec=None):
         self.engine = engine
         self.tokenizer = tokenizer
+        # SpeculativeDecoder (server --model-draft): requests run one at a
+        # time through the draft-verify loop on slot 0, streaming one SSE
+        # delta per verify round (the update_slots speculative branch,
+        # server.cpp:2493-2560, serialized for the single-pipeline engine)
+        self.spec = spec
         self.pending: queue.Queue[GenerationRequest] = queue.Queue()
+        self._control: queue.Queue = queue.Queue()
         self.active: dict[int, GenerationRequest] = {}  # request_id -> req
         self._buffers: dict[int, bytes] = {}
         self._texts: dict[int, str] = {}
@@ -83,11 +89,36 @@ class EngineWorker:
         self._wake.set()
         return req
 
+    def run(self, fn, timeout: float = 60.0):
+        """Run `fn()` on the worker thread between engine steps (safe point
+        for mutating engine state, e.g. hot-swapping LoRA scales — the
+        SERVER_TASK_TYPE_SET_LORA analogue) and return its result."""
+        done = threading.Event()
+        box: dict = {}
+
+        def wrapper():
+            try:
+                box["r"] = fn()
+            except Exception as e:  # noqa: BLE001 — re-raised on the caller
+                box["e"] = e
+            done.set()
+
+        self._control.put(wrapper)
+        self._wake.set()
+        if not done.wait(timeout):
+            raise TimeoutError("worker control task timed out")
+        if "e" in box:
+            raise box["e"]
+        return box.get("r")
+
     def cancel(self, request_id: int) -> bool:
         with self._lock:
             req = self.active.get(request_id)
         if req is None:
             return False
+        if self.spec is not None:
+            req.cancelled = True  # honored between verify rounds
+            return True
         ok = self.engine.cancel(request_id)
         if ok:
             self._finish(req, "cancelled")
@@ -155,8 +186,50 @@ class EngineWorker:
             req.text += delta
             req.events.put(StreamEvent(delta, False, token=token))
 
+    def _spec_serve_one(self) -> bool:
+        """Speculative mode: serve one queued request to completion."""
+        try:
+            req = self.pending.get_nowait()
+        except queue.Empty:
+            return False
+        with self._lock:
+            self.active[req.request_id] = req
+        self._buffers[req.request_id] = b""
+        self._texts[req.request_id] = ""
+        n = req.n_predict if req.n_predict > 0 else 128
+        for chunk in self.spec.generate_stream(req.prompt_tokens, req.sampler, n):
+            for tok in chunk:
+                self.metrics["tokens_predicted_total"] += 1
+                req.tokens_out.append(tok)
+                self._emit(req, tok)
+            with self._lock:
+                alive = req.request_id in self.active
+            if not alive or getattr(req, "cancelled", False):
+                break  # stop string hit or cancelled between rounds
+        with self._lock:
+            alive = req.request_id in self.active
+        if alive:
+            tail = self._texts.get(req.request_id, "")[len(req.text):]
+            if tail:
+                req.text += tail
+                req.events.put(StreamEvent(tail, False))
+            reason = "cancelled" if getattr(req, "cancelled", False) else (
+                "length" if len(req.tokens_out) >= n else "stop")
+            self._finish(req, reason)
+        return True
+
     def _loop(self):
         while not self._stop:
+            while True:
+                try:
+                    self._control.get_nowait()()
+                except queue.Empty:
+                    break
+            if self.spec is not None:
+                if not self._spec_serve_one():
+                    self._wake.wait(timeout=0.2)
+                    self._wake.clear()
+                continue
             self._admit()
             with self._lock:
                 busy = len(self.active)

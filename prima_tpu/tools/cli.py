@@ -33,6 +33,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("-e", "--escape", action="store_true",
                     help="process \\n, \\t, ... escapes in the prompt")
     ap.add_argument("--no-display-prompt", action="store_true")
+    ap.add_argument("-md", "--model-draft", default=env("MODEL_DRAFT"),
+                    help="draft model for speculative decoding")
+    ap.add_argument("--draft-max", "--draft", type=int, default=8,
+                    dest="draft_max", help="max tokens drafted per round")
+    ap.add_argument("--draft-p-min", type=float, default=0.75,
+                    help="draft confidence floor")
     ap.add_argument("--matmul", default="pallas", choices=["pallas", "xla"])
     ap.add_argument("-ctk", "--cache-type-k", default="bf16",
                     choices=["f32", "bf16", "q8_0", "q4_0"], dest="cache_type")
@@ -206,7 +212,27 @@ def main(argv=None) -> int:
         if not args.no_display_prompt:
             sys.stdout.write(prompt)
         sampler = make_sampler(args, model, v.n_tokens)
-        out = _stream_generate(eng, model, sampler, toks, args.n_predict, args.reverse_prompt)
+        if args.model_draft:
+            # speculative decoding: lossless draft-verify (main.cpp has no
+            # such flag; this mirrors the server/speculative-example path)
+            from ..runtime.speculative import SpeculativeDecoder
+
+            dmodel = load_model(args.model_draft)
+            deng = Engine(dmodel.cfg, dmodel.params, n_slots=1,
+                          max_seq=args.ctx_size, opts=opts,
+                          eog_ids=dmodel.eog_ids)
+            spec = SpeculativeDecoder(eng, deng, n_draft=args.draft_max,
+                                      p_min=args.draft_p_min)
+            n = args.n_predict if args.n_predict > 0 else 128
+            out_toks, stats = spec.generate(toks, sampler=sampler, n_predict=n)
+            out = model.tokenizer.decode(out_toks)
+            sys.stdout.write(out)
+            if args.verbose:
+                print(f"\naccept rate {stats.acceptance:.3f} "
+                      f"({stats.n_accepted}/{stats.n_drafted} drafted)",
+                      file=sys.stderr)
+        else:
+            out = _stream_generate(eng, model, sampler, toks, args.n_predict, args.reverse_prompt)
         sys.stdout.write("\n")
         if args.prompt_cache and not args.prompt_cache_ro:
             from ..runtime.state import session_save

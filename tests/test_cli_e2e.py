@@ -79,3 +79,24 @@ def test_cli_prompt_cache_roundtrip(tiny_model, tmp_path):
     mtime = os.path.getmtime(cache)
     _run_cli(args + ["--prompt-cache-ro"])
     assert os.path.getmtime(cache) == mtime
+
+
+def test_cli_speculative_matches_plain(tiny_model):
+    """-md draft: lossless speculation — greedy output identical to plain."""
+    plain = _run_cli(["-m", tiny_model, "-p", "Hello", "-n", "8", "--temp", "0",
+                      "--matmul", "xla", "--no-display-prompt"])
+    spec = _run_cli(["-m", tiny_model, "-md", tiny_model, "-p", "Hello",
+                     "-n", "8", "--temp", "0", "--matmul", "xla",
+                     "--no-display-prompt", "--draft-max", "4"])
+    assert spec.strip() == plain.strip()
+
+
+def test_speculative_tool(tiny_model, capsys):
+    from prima_tpu.tools.speculative import main as spec_main
+
+    rc = spec_main(["-m", tiny_model, "-md", tiny_model, "-p", "Hi",
+                    "-n", "6", "--matmul", "xla", "--temp", "0"])
+    assert rc == 0
+    cap = capsys.readouterr()
+    assert "accept rate" in cap.err
+    assert len(cap.out.strip()) > len("Hi")

@@ -258,3 +258,122 @@ def test_completion_logprobs(server):
     assert len(lp["tokens"]) >= 1
     assert all(isinstance(v, float) and v <= 0 for v in lp["token_logprobs"])
     assert all(len(d) >= 3 for d in lp["top_logprobs"])
+
+
+def test_webui_index(server):
+    port, _ = server
+    st, data = _req(port, "GET", "/")
+    assert st == 200 and b"<!doctype html>" in data and b"/v1/chat/completions" in data
+
+
+def test_lora_adapters_endpoints(tmp_path_factory):
+    """/lora-adapters list + hot rescaling (server.cpp:3429-3473 semantics)."""
+    import numpy as np
+
+    from prima_tpu.gguf.writer import GGUFWriter
+    from prima_tpu.models.adapters import load_lora_gguf
+
+    d = tmp_path_factory.mktemp("lora_srv")
+    path = str(d / "tiny.gguf")
+    make_tiny_gguf(path, seed=5)
+    model = load_model(path)
+
+    lpath = str(d / "adapter.gguf")
+    rng = np.random.default_rng(0)
+    w = GGUFWriter(lpath, arch="llama")
+    w.add_kv("adapter.type", "lora")
+    w.add_kv("adapter.lora.alpha", 8.0)
+    cfg = model.cfg
+    a = (rng.standard_normal((4, cfg.n_embd)) * 0.05).astype(np.float32)
+    b = (rng.standard_normal((cfg.n_heads * cfg.head_dim, 4)) * 0.05).astype(np.float32)
+    w.add_tensor("blk.0.attn_q.weight.lora_a", a)
+    w.add_tensor("blk.0.attn_q.weight.lora_b", b)
+    w.write()
+
+    engine = Engine(model.cfg, model.params, n_slots=2, max_seq=128, n_batch=32,
+                    opts=OPTS, eog_ids=model.eog_ids)
+    loras = [{"id": 0, "path": lpath, "scale": 0.5,
+              "data": load_lora_gguf(lpath, scale=1.0)}]
+    httpd, ctx = serve(model, engine, "127.0.0.1", 0, loras=loras)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        ctx.set_lora_scales([{"id": 0, "scale": 0.5}])
+        st, data = _req(port, "GET", "/lora-adapters")
+        lst = json.loads(data)
+        assert st == 200 and lst == [{"id": 0, "path": lpath, "scale": 0.5}]
+
+        def completion():
+            st, data = _req(port, "POST", "/v1/completions", {
+                "prompt": "ab", "max_tokens": 4, "temperature": 0.0, "seed": 1,
+            })
+            assert st == 200
+            return json.loads(data)["choices"][0]["text"]
+
+        out_scaled = completion()
+
+        # rescale to 0 == base model output
+        st, data = _req(port, "POST", "/lora-adapters", [])
+        assert st == 200 and json.loads(data)["success"]
+        st, data = _req(port, "GET", "/lora-adapters")
+        assert json.loads(data)[0]["scale"] == 0.0
+        out_base = completion()
+
+        # back to a strong scale: output changes relative to base
+        st, _ = _req(port, "POST", "/lora-adapters", [{"id": 0, "scale": 8.0}])
+        assert st == 200
+        out_strong = completion()
+        assert out_strong != out_base or out_scaled != out_base
+
+        # invalid id is an error
+        st, _ = _req(port, "POST", "/lora-adapters", [{"id": 7, "scale": 1.0}])
+        assert st == 400
+    finally:
+        httpd.shutdown()
+        ctx.worker.shutdown()
+
+
+def test_server_speculative_mode(tmp_path_factory):
+    """--model-draft serving: greedy output identical to the plain engine,
+    streamed per verify round."""
+    from prima_tpu.runtime.speculative import SpeculativeDecoder
+
+    d = tmp_path_factory.mktemp("spec_srv")
+    path = str(d / "tiny.gguf")
+    make_tiny_gguf(path, seed=7)
+    model = load_model(path)
+
+    def mk_engine():
+        return Engine(model.cfg, model.params, n_slots=2, max_seq=128,
+                      n_batch=32, opts=OPTS, eog_ids=model.eog_ids)
+
+    # plain reference output
+    plain_engine = mk_engine()
+    httpd, ctx = serve(model, plain_engine, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    body = {"prompt": "abc", "max_tokens": 8, "temperature": 0.0, "seed": 1}
+    st, data = _req(port, "POST", "/v1/completions", body)
+    assert st == 200
+    plain = json.loads(data)["choices"][0]["text"]
+    httpd.shutdown()
+    ctx.worker.shutdown()
+
+    # speculative server (draft = target: accepts everything)
+    t_eng, d_eng = mk_engine(), mk_engine()
+    spec = SpeculativeDecoder(t_eng, d_eng, n_draft=4)
+    httpd, ctx = serve(model, t_eng, "127.0.0.1", 0, spec=spec)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        st, data = _req(port, "POST", "/v1/completions", body)
+        assert st == 200
+        spec_out = json.loads(data)["choices"][0]["text"]
+        assert spec_out == plain
+        # two sequential requests reuse slot 0 cleanly
+        st, data = _req(port, "POST", "/v1/completions", body)
+        assert st == 200 and json.loads(data)["choices"][0]["text"] == plain
+    finally:
+        httpd.shutdown()
+        ctx.worker.shutdown()
