@@ -163,29 +163,67 @@ class _Parser:
                 syms = [("ref", self._rule_id(name))]
             else:
                 break
-            # postfix operator applies to the last symbol/group
+            # postfix operator applies to the whole preceding symbol — for a
+            # string literal that is the ENTIRE literal, as in the reference
+            # (llama-grammar.cpp parse_sequence: last_sym_start marks the
+            # start of the full literal before handle_repetitions)
             self._ws(newlines=False)
             op = self._peek()
-            if op in "*+?":
-                self.pos += 1
-                last = syms[-1] if len(syms) == 1 else None
-                if last is None:
-                    # operator after a multi-char literal binds to last char
-                    last = syms.pop()
+            if op and op in "*+?{":
+                body = tuple(syms)
+                if op == "{":
+                    m, n = self._braces()
                 else:
-                    syms = syms[:-1]
-                body = last
-                if op == "*":
-                    rid = self._new_rule([])
-                    self.rules[rid] = [(body, ("ref", rid)), ()]
-                elif op == "+":
-                    rid = self._new_rule([])
-                    self.rules[rid] = [(body, ("ref", rid)), (body,)]
-                else:  # ?
-                    rid = self._new_rule([(body,), ()])
-                syms.append(("ref", rid))
+                    self.pos += 1
+                    m, n = {"*": (0, None), "+": (1, None), "?": (0, 1)}[op]
+                syms = self._repeat(body, m, n)
             seq.extend(syms)
         return seq
+
+    def _braces(self) -> tuple[int, int | None]:
+        """{n} exact, {m,} at least, {m,n} range (llama-grammar.cpp:444-480)."""
+        self._expect("{")
+        self._ws(newlines=False)
+        start = self.pos
+        while self._peek().isdigit():
+            self.pos += 1
+        first = self.src[start : self.pos]
+        self._ws(newlines=False)
+        if self._peek() == "}":
+            self.pos += 1
+            if not first:
+                raise GBNFError(f"empty {{}} repetition at {start}")
+            return int(first), int(first)
+        self._expect(",")
+        self._ws(newlines=False)
+        start = self.pos
+        while self._peek().isdigit():
+            self.pos += 1
+        second = self.src[start : self.pos]
+        self._ws(newlines=False)
+        self._expect("}")
+        m = int(first) if first else 0
+        n = int(second) if second else None
+        if n is not None and n < m:
+            raise GBNFError(f"invalid repetition range {{{m},{n}}}")
+        return m, n
+
+    def _repeat(self, body: tuple, m: int, n: int | None) -> list[tuple]:
+        """body{m,n} -> m copies + (n-m) nested optionals (or a star rule
+        when unbounded), the reference's handle_repetitions desugaring."""
+        syms: list[tuple] = list(body) * m
+        if n is None:
+            rid = self._new_rule([])
+            self.rules[rid] = [body + (("ref", rid),), ()]
+            syms.append(("ref", rid))
+        else:
+            rid = None
+            for _ in range(n - m):
+                tail = (("ref", rid),) if rid is not None else ()
+                rid = self._new_rule([body + tail, ()])
+            if rid is not None:
+                syms.append(("ref", rid))
+        return syms
 
     def _alternates(self) -> list[tuple]:
         alts = [tuple(self._sequence())]

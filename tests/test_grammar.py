@@ -157,3 +157,50 @@ def test_grammar_sampler_multibyte_token_split():
     assert gs.accepts(2)
     gs.accept(2)
     assert gs.matcher.is_complete()
+
+
+def _matcher(src):
+    return GrammarMatcher(parse_gbnf(src))
+
+
+def test_trailing_symbol_not_optional():
+    """Regression: the last symbol of a sequence must be required (an
+    end-of-input peek used to be treated as a '?' operator)."""
+    m = _matcher('root ::= "a" "b"')
+    assert m.advance_text(b"a")
+    assert not m.is_complete()
+    assert m.advance_text(b"b")
+    assert m.is_complete()
+
+
+def test_postfix_binds_whole_literal():
+    """'"ab"+' repeats the full literal, as in the reference parser."""
+    m = _matcher('root ::= "ab"+')
+    for ch in b"abab":
+        assert m.advance_text(bytes([ch]))
+    assert m.is_complete()
+    m = _matcher('root ::= "ab"+')
+    m.advance_text(b"a")
+    m.advance_text(b"b")
+    m.advance_text(b"a")
+    assert not m.is_complete()
+
+
+def test_braced_repetition():
+    """{n}, {m,n}, {m,} (llama-grammar.cpp:444-480)."""
+    from prima_tpu.grammar.gbnf import GBNFError, parse_gbnf
+
+    def ok(src, text):
+        m = _matcher(src)
+        return all(m.advance_text(bytes([c])) for c in text.encode()) \
+            and m.is_complete()
+
+    assert ok('root ::= "a"{3}', "aaa")
+    assert not ok('root ::= "a"{3}', "aa")
+    assert ok('root ::= [0-9]{1,3}', "42")
+    assert not ok('root ::= [0-9]{1,3}', "4242")
+    assert ok('root ::= "a"{2,}', "aaaa")
+    assert not ok('root ::= "a"{2,}', "a")
+    assert ok('root ::= ("x" "y"){2} "!"', "xyxy!")
+    with pytest.raises(GBNFError):
+        parse_gbnf('root ::= "a"{3,2}')

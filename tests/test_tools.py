@@ -114,3 +114,130 @@ def test_perplexity_f32_vs_q8_close(tiny, tmp_path):
     ppl_b, _ = compute_perplexity(lm_b, text, n_ctx=64, matmul="xla", max_chunks=1,
                                   logfile=open(os.devnull, "w"))
     assert abs(math.log(ppl_a) - math.log(ppl_b)) < 0.05
+
+
+def test_export_lora_merge(tiny, tmp_path):
+    """export-lora: merged model forward == runtime apply_lora (f16 merge)."""
+    import jax.numpy as jnp
+
+    from prima_tpu.gguf.writer import GGUFWriter
+    from prima_tpu.models.adapters import apply_lora, load_lora_gguf
+    from prima_tpu.models.llama import ForwardOptions, forward, init_kv_caches
+    from prima_tpu.models.loader import load_model
+    from prima_tpu.tools.export_lora import export_lora
+
+    model = load_model(tiny)
+    cfg = model.cfg
+    rng = np.random.default_rng(1)
+    lpath = str(tmp_path / "adapter.gguf")
+    w = GGUFWriter(lpath, arch="llama")
+    w.add_kv("adapter.type", "lora")
+    w.add_kv("adapter.lora.alpha", 8.0)
+    a = (rng.standard_normal((4, cfg.n_embd)) * 0.05).astype(np.float32)
+    b = (rng.standard_normal((cfg.n_heads * cfg.head_dim, 4)) * 0.05).astype(np.float32)
+    w.add_tensor("blk.0.attn_q.weight.lora_a", a)
+    w.add_tensor("blk.0.attn_q.weight.lora_b", b)
+    w.write()
+
+    merged_path = str(tmp_path / "merged.gguf")
+    n = export_lora(tiny, [(lpath, 1.0)], merged_path)
+    assert n == 1
+
+    merged = load_model(merged_path)
+    m = GGUFModel.open(merged_path)
+    assert m.tensors["blk.0.attn_q.weight"].ggml_type == GGMLType.F16
+    m.close()
+
+    toks = np.array([[3, 5, 7]], dtype=np.int32)
+    pos = np.broadcast_to(np.arange(3, dtype=np.int32), (1, 3))
+    opts = ForwardOptions(matmul_impl="xla")
+
+    def logits_of(params, c):
+        kv = init_kv_caches(c, 1, 16, dtype=jnp.float32)
+        out, _ = forward(params, c, jnp.asarray(toks), jnp.asarray(pos), kv,
+                         jnp.zeros(1, jnp.int32), opts)
+        return np.asarray(out)
+
+    lp = apply_lora(model.params, load_lora_gguf(lpath, dtype=jnp.float32))
+    want = logits_of(lp, cfg)
+    got = logits_of(merged.params, merged.cfg)
+    # merged weights round through f16 once
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_tokenize_tool(tiny, capsys):
+    from prima_tpu.tools.tokenize import main as tok_main
+
+    rc = tok_main(["-m", tiny, "-p", "hello world", "--show-count"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "->" in out and "Total number of tokens:" in out
+    rc = tok_main(["-m", tiny, "-p", "hi", "--ids"])
+    assert rc == 0
+    ids = capsys.readouterr().out.strip()
+    assert ids.startswith("[") and ids.endswith("]")
+
+
+def test_gguf_hash_tool(tiny, capsys):
+    from prima_tpu.tools.gguf_hash import main as hash_main
+
+    rc = hash_main([tiny, "--all"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "sha256" in out and "sha1" in out and "crc32" in out
+    # deterministic
+    hash_main([tiny])
+    out1 = capsys.readouterr().out
+    hash_main([tiny])
+    out2 = capsys.readouterr().out
+    assert out1 == out2
+
+
+def test_gbnf_validator_tool(tmp_path, capsys):
+    from prima_tpu.tools.gbnf_validator import main as val_main, validate
+
+    g = 'root ::= "a"+ "b"'
+    ok, pos = validate(g, b"aaab")
+    assert ok and pos == 4
+    ok, pos = validate(g, b"aac")
+    assert not ok and pos == 2
+    ok, _ = validate(g, b"aa")  # incomplete
+    assert not ok
+
+    gf = tmp_path / "g.gbnf"
+    gf.write_text(g)
+    tf = tmp_path / "t.txt"
+    tf.write_text("ab")
+    assert val_main([str(gf), str(tf)]) == 0
+    assert "valid" in capsys.readouterr().out
+    tf.write_text("ba")
+    assert val_main([str(gf), str(tf)]) == 1
+    assert "invalid" in capsys.readouterr().out
+
+
+def test_quantize_stats_tool(tiny, capsys):
+    from prima_tpu.tools.quantize_stats import main as qs_main
+
+    rc = qs_main(["-m", tiny, "--type", "q8_0", "--type", "q4_0"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Q8_0" in out and "Q4_0" in out and "rmse" in out
+    # q8_0 must round-trip much tighter than q4_0 (the tiny model's weights
+    # are natively Q4_K, so q4_K itself would round-trip exactly)
+    import re as _re
+
+    rmses = {mm.group(1): float(mm.group(2))
+             for mm in _re.finditer(r"(\w+)\s+total: rmse ([0-9.]+)", out)}
+    assert rmses["Q8_0"] < rmses["Q4_0"]
+
+
+def test_batched_bench_tool(tiny, capsys):
+    from prima_tpu.tools.batched_bench import main as bb_main
+
+    rc = bb_main(["-m", tiny, "-npp", "8", "-ntg", "4", "-npl", "1,2",
+                  "-c", "64", "--matmul", "xla"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "S_TG t/s" in out
+    rows = [ln for ln in out.splitlines() if ln.startswith("|     8 |")]
+    assert len(rows) == 2
