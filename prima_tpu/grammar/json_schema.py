@@ -140,6 +140,18 @@ class SchemaConverter:
             return self._add_rule(name, body)
 
         if t in ("string",):
+            if "pattern" in schema:
+                content = _regex_to_gbnf(schema["pattern"], self)
+                return self._add_rule(name, f'"\\"" {content} "\\"" space')
+            min_len = int(schema.get("minLength", 0))
+            max_len = schema.get("maxLength")
+            if min_len or max_len is not None:
+                self._primitive("char")
+                if max_len is not None:
+                    rep = f"char{{{min_len},{int(max_len)}}}"
+                elif min_len:
+                    rep = f"char{{{min_len},}}"
+                return self._add_rule(name, f'"\\"" {rep} "\\"" space')
             return self._primitive("string")
         if t in ("number", "integer", "boolean", "null"):
             return self._primitive(t)
@@ -179,6 +191,89 @@ def _object_body(props, required, conv: "SchemaConverter") -> str:
         rest = " ".join(f'("," space {kv})?' for _, kv, _r in opt[1:])
         return f'"{{" space ({first} {rest})? "}}" space'
     return '"{" space "}" space'
+
+
+def _regex_to_gbnf(pattern: str, conv: "SchemaConverter") -> str:
+    """Translate a JSON-schema regex `pattern` into a GBNF fragment for the
+    string *content* (the reference's _visit_pattern, common/
+    json-schema-to-grammar.cpp:424). Supported subset: literals, '.', char
+    classes, groups, alternation, and the * + ? {m,n} quantifiers — these
+    map 1:1 onto GBNF. Anchors ^...$ make the match exact; without them the
+    pattern may appear anywhere in the string (JSON-schema semantics)."""
+    anchored = pattern.startswith("^") and pattern.endswith("$")
+    body = pattern[1:-1] if anchored else pattern
+
+    _ESCAPES = {
+        "d": "[0-9]", "D": '[^0-9]',
+        "w": "[0-9a-zA-Z_]", "W": "[^0-9a-zA-Z_]",
+        "s": "[ \\t\\n\\r]", "S": "[^ \\t\\n\\r]",
+    }
+    pos = 0
+
+    def lit(ch: str) -> str:
+        return '"' + ch.replace("\\", "\\\\").replace('"', '\\"') + '"'
+
+    def parse_alt() -> str:
+        parts = [parse_seq()]
+        nonlocal pos
+        while pos < len(body) and body[pos] == "|":
+            pos += 1
+            parts.append(parse_seq())
+        return " | ".join(p or '""' for p in parts)
+
+    def parse_seq() -> str:
+        nonlocal pos
+        out = []
+        while pos < len(body) and body[pos] not in "|)":
+            atom = parse_atom()
+            if pos < len(body) and body[pos] in "*+?":
+                atom = f"{atom}{body[pos]}"
+                pos += 1
+            elif pos < len(body) and body[pos] == "{":
+                end = body.index("}", pos)
+                atom = f"{atom}{body[pos:end + 1]}"
+                pos = end + 1
+            out.append(atom)
+        return " ".join(out)
+
+    def parse_atom() -> str:
+        nonlocal pos
+        c = body[pos]
+        if c == "(":
+            pos += 1
+            inner = parse_alt()
+            if pos >= len(body) or body[pos] != ")":
+                raise ValueError(f"unbalanced group in pattern {pattern!r}")
+            pos += 1
+            return f"({inner})"
+        if c == "[":
+            end = pos
+            while True:
+                end = body.index("]", end + 1)
+                if body[end - 1] != "\\":
+                    break
+            cls = body[pos : end + 1]
+            pos = end + 1
+            return cls
+        if c == ".":
+            pos += 1
+            return conv._primitive("char")
+        if c == "\\":
+            esc = body[pos + 1]
+            pos += 2
+            if esc in _ESCAPES:
+                return _ESCAPES[esc]
+            return lit(esc)
+        pos += 1
+        return lit(c)
+
+    frag = parse_alt()
+    if pos != len(body):
+        raise ValueError(f"trailing regex syntax in pattern {pattern!r}")
+    if not anchored:
+        any_ = conv._primitive("char")
+        frag = f"{any_}* ({frag}) {any_}*"
+    return f"({frag})"
 
 
 def json_schema_to_gbnf(schema: dict | str) -> str:

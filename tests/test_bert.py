@@ -123,3 +123,23 @@ def test_bert_embeddings_server(bert_gguf):
         assert conn.getresponse().status == 200
     finally:
         httpd.shutdown()
+
+
+def test_retrieval_tool(bert_gguf, tmp_path, capsys):
+    """retrieval: chunking + top-k cosine ranking over embedded chunks."""
+    from prima_tpu.models.bert import BertModelRuntime
+    from prima_tpu.tools.retrieval import chunk_files, top_k_chunks
+
+    f1 = tmp_path / "a.txt"
+    f1.write_text("the quick brown fox. hello world again. "
+                  "the fox jumps high. worlds collide here. " * 3)
+    chunks = chunk_files([str(f1)], chunk_size=40, separator=".")
+    assert len(chunks) >= 2
+    assert all(len(c["text"]) >= 30 for c in chunks[:-1])
+
+    dst, _ = bert_gguf
+    rt = BertModelRuntime.load(dst)
+    hits = top_k_chunks(rt, chunks, "quick brown fox", k=2)
+    assert len(hits) == 2
+    assert hits[0][0] >= hits[1][0]
+    assert all(-1.001 <= s <= 1.001 for s, _ in hits)

@@ -76,3 +76,26 @@ def test_refs_and_nesting():
 def test_free_value():
     assert _matches({}, '{"anything": [1, "two", null, {"deep": true}]}')
     assert _matches({}, "3.14")
+
+
+def test_string_pattern():
+    """pattern support (json-schema-to-grammar.cpp _visit_pattern)."""
+    assert _matches({"type": "string", "pattern": "^[a-z]{2,4}$"}, '"abc"')
+    assert not _matches({"type": "string", "pattern": "^[a-z]{2,4}$"}, '"a"')
+    assert not _matches({"type": "string", "pattern": "^[a-z]{2,4}$"}, '"abcde"')
+    assert _matches({"type": "string", "pattern": "^\\d+-\\d+$"}, '"12-34"')
+    assert not _matches({"type": "string", "pattern": "^\\d+-\\d+$"}, '"12-"')
+    assert _matches({"type": "string", "pattern": "^(foo|bar)$"}, '"bar"')
+    assert not _matches({"type": "string", "pattern": "^(foo|bar)$"}, '"baz"')
+    # unanchored: may match anywhere in the string
+    assert _matches({"type": "string", "pattern": "ab"}, '"xxabyy"')
+    assert not _matches({"type": "string", "pattern": "ab"}, '"xxayy"')
+
+
+def test_string_length_bounds():
+    s = {"type": "string", "minLength": 2, "maxLength": 3}
+    assert _matches(s, '"ab"')
+    assert not _matches(s, '"a"')
+    assert not _matches(s, '"abcd"')
+    assert _matches({"type": "string", "minLength": 1}, '"x"')
+    assert not _matches({"type": "string", "minLength": 1}, '""')
