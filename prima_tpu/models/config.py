@@ -61,6 +61,10 @@ class ModelConfig:
     swa_window: int = 0  # gemma2: sliding-window attention on even layers
     n_expert: int = 0  # MoE (Mixtral): expert count
     n_expert_used: int = 0  # top-k experts per token
+    moe_norm_w: bool = True  # normalize top-k router weights (Mixtral yes,
+    #                          qwen2moe no — llm_build_moe_ffn norm_w arg)
+    residual_scale: float = 1.0  # minicpm: scale_depth / sqrt(n_layer)
+    logit_scale: float = 1.0  # minicpm: 256 / n_embd on the final hidden
 
     @property
     def n_embd_k_gqa(self) -> int:
@@ -73,7 +77,8 @@ class ModelConfig:
     @classmethod
     def from_gguf(cls, m: GGUFModel) -> "ModelConfig":
         arch = m.arch
-        if arch not in ("llama", "qwen2", "gemma", "gemma2", "phi3"):
+        if arch not in ("llama", "qwen2", "gemma", "gemma2", "phi3",
+                        "internlm2", "minicpm", "qwen2moe"):
             raise NotImplementedError(
                 f"arch {arch!r}: supported archs are llama (incl. MoE/Mixtral),"
                 " qwen2, gemma, gemma2, phi3"
@@ -117,6 +122,16 @@ class ModelConfig:
                 extra["attn_scale"] = 1.0 / float(n_embd / n_heads) ** 0.5
             else:
                 extra["attn_scale"] = 1.0 / float(head_dim) ** 0.5
+        if arch == "minicpm":
+            # the reference hardcodes scale_embd=12, scale_depth=1.4 and
+            # n_embd_base=256 (build_minicpm, src/llama.cpp:13880-13884);
+            # newer GGUFs carry them as KVs
+            extra["embd_scale"] = float(g("{arch}.embedding_scale", 12.0))
+            extra["residual_scale"] = float(
+                g("{arch}.residual_scale", 1.4 / n_layers ** 0.5))
+            extra["logit_scale"] = float(g("{arch}.logit_scale", 256.0 / n_embd))
+        if arch == "qwen2moe":
+            extra["moe_norm_w"] = False  # build_qwen2moe passes norm_w=false
         n_expert = int(g("{arch}.expert_count", 0) or 0)
         if n_expert:
             extra["n_expert"] = n_expert
@@ -135,9 +150,11 @@ class ModelConfig:
             rms_eps=float(g("{arch}.attention.layer_norm_rms_epsilon", 1e-5)),
             rope_base=float(g("{arch}.rope.freq_base", 10000.0)),
             rope_dim=rope_dim,
-            rope_type=RopeType.NORM if arch == "llama" else RopeType.NEOX,
+            rope_type=(RopeType.NORM
+                       if arch in ("llama", "internlm2", "minicpm")
+                       else RopeType.NEOX),
             rope_scaling=scaling,
-            qkv_bias=(arch == "qwen2"),
+            qkv_bias=arch in ("qwen2", "qwen2moe"),
             tie_embeddings=tie,
             name=str(m.get("general.name", "")),
             **extra,

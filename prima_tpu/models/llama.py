@@ -193,6 +193,12 @@ def load_params(
                             ("ffn_down_exps", "ffn_down_exps")):
                 layer[key] = _stack_expert_rows(get(p + nm + ".weight"),
                                                 cfg.n_expert)
+            if (p + "ffn_gate_inp_shexp.weight") in t:  # qwen2moe
+                layer["ffn_gate_inp_shexp"] = get(
+                    p + "ffn_gate_inp_shexp.weight", dense=True)
+                layer["ffn_gate_shexp"] = get(p + "ffn_gate_shexp.weight")
+                layer["ffn_up_shexp"] = get(p + "ffn_up_shexp.weight")
+                layer["ffn_down_shexp"] = get(p + "ffn_down_shexp.weight")
             layer["w_gate"] = layer["w_up"] = layer["w_down"] = None
         elif (p + "ffn_gate.weight") not in t and (p + "ffn_up.weight") in t:
             # phi3: fused gate+up (rows [0, n_ff) = gate, [n_ff, 2n_ff) = up)
@@ -677,7 +683,8 @@ def moe_ffn(layer: dict, cfg: ModelConfig, x: jax.Array,
     logits = linear(x, layer["ffn_gate_inp"], opts.matmul_impl).astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1)  # (b, s, n_expert)
     w, ids = jax.lax.top_k(probs, k_used)
-    w = w / jnp.sum(w, axis=-1, keepdims=True)  # norm_w=true for Mixtral
+    if cfg.moe_norm_w:  # Mixtral yes; qwen2moe keeps raw softmax weights
+        w = w / jnp.sum(w, axis=-1, keepdims=True)
 
     def expert(params_e, xx):
         gate = linear(xx, params_e[0], opts.matmul_impl)
@@ -700,6 +707,17 @@ def moe_ffn(layer: dict, cfg: ModelConfig, x: jax.Array,
         for eidx in range(cfg.n_expert):
             params_e = tuple(t[eidx] for t in stacked)
             out = out + weight_per_expert[..., eidx:eidx + 1].astype(x.dtype) * expert(params_e, x)
+    if layer.get("ffn_gate_inp_shexp") is not None:
+        # qwen2moe shared expert: a dense FFN gated by a per-token sigmoid
+        # (build_qwen2moe, src/llama.cpp:12943-12966)
+        g = jax.nn.sigmoid(
+            linear(x, layer["ffn_gate_inp_shexp"], opts.matmul_impl)
+            .astype(jnp.float32))
+        sh_gate = linear(x, layer["ffn_gate_shexp"], opts.matmul_impl)
+        sh_up = linear(x, layer["ffn_up_shexp"], opts.matmul_impl)
+        sh = linear(gated_act(sh_gate, sh_up, cfg.act),
+                    layer["ffn_down_shexp"], opts.matmul_impl)
+        out = out + sh * g.astype(x.dtype)
     if opts.tp_axis is not None:
         out = jax.lax.psum(out, opts.tp_axis)
     return out
@@ -727,6 +745,8 @@ def decode_layer(
     )
     if cfg.post_norms:  # gemma2: norm the branch output before the residual
         attn_out = rms_norm(attn_out, layer["attn_post_norm"], cfg.rms_eps)
+    if cfg.residual_scale != 1.0:  # minicpm scale_depth/sqrt(n_layer)
+        attn_out = attn_out * np.float32(cfg.residual_scale)
     x = x + attn_out
     ffn_in = rms_norm(x, layer["ffn_norm"], cfg.rms_eps)
     if cfg.n_expert and layer.get("ffn_gate_inp") is not None:
@@ -736,6 +756,8 @@ def decode_layer(
                             taps=taps, tap_prefix=tap_prefix)
     if cfg.post_norms:
         ffn_out = rms_norm(ffn_out, layer["ffn_post_norm"], cfg.rms_eps)
+    if cfg.residual_scale != 1.0:
+        ffn_out = ffn_out * np.float32(cfg.residual_scale)
     x = x + ffn_out
     if layer.get("cvec") is not None:  # control vector (llama_control_vector_apply)
         x = x + layer["cvec"].astype(x.dtype)
@@ -791,6 +813,8 @@ def forward(
         return x, new_kv
 
     x = rms_norm(x, params["output_norm"], cfg.rms_eps)
+    if cfg.logit_scale != 1.0:  # minicpm: hidden scaled before lm_head
+        x = x * np.float32(cfg.logit_scale)
     w_out = params["output"] if params.get("output") is not None else params["tok_embd"]
     if taps is not None:
         _tap(taps, "output.weight", x)

@@ -44,7 +44,10 @@ def forward_np(weights: dict, cfg: ModelConfig, tokens: np.ndarray) -> np.ndarra
     b, s = tokens.shape
     h, kvh, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     x = weights["token_embd.weight"][tokens]  # (b, s, e)
+    if cfg.embd_scale != 1.0:
+        x = x * np.float32(cfg.embd_scale)
     positions = np.broadcast_to(np.arange(s, dtype=np.float64), (b, s))
+    rscale = np.float32(cfg.residual_scale)
 
     for i in range(cfg.n_layers):
         p = f"blk.{i}."
@@ -70,14 +73,16 @@ def forward_np(weights: dict, cfg: ModelConfig, tokens: np.ndarray) -> np.ndarra
         probs = np.exp(scores)
         probs /= probs.sum(axis=-1, keepdims=True)
         attn = np.einsum("bngst,btnh->bsngh", probs, v).reshape(b, s, h * hd)
-        x = x + attn @ weights[p + "attn_output.weight"].T
+        x = x + rscale * (attn @ weights[p + "attn_output.weight"].T)
 
         xin = rms_norm(x, weights[p + "ffn_norm.weight"], cfg.rms_eps)
         gate = xin @ weights[p + "ffn_gate.weight"].T
         up = xin @ weights[p + "ffn_up.weight"].T
         act = gate / (1.0 + np.exp(-gate)) * up
-        x = x + act @ weights[p + "ffn_down.weight"].T
+        x = x + rscale * (act @ weights[p + "ffn_down.weight"].T)
 
     x = rms_norm(x, weights["output_norm.weight"], cfg.rms_eps)
+    if cfg.logit_scale != 1.0:
+        x = x * np.float32(cfg.logit_scale)
     w_out = weights.get("output.weight", weights["token_embd.weight"])
     return x @ w_out.T

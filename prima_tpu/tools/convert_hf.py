@@ -46,6 +46,11 @@ _LAYER_MAP = [
     ("mlp.down_proj.weight", "ffn_down.weight"),
     ("mlp.gate_up_proj.weight", "ffn_up.weight"),  # phi3 fused gate+up
     ("block_sparse_moe.gate.weight", "ffn_gate_inp.weight"),  # mixtral
+    ("mlp.gate.weight", "ffn_gate_inp.weight"),  # qwen2moe router
+    ("mlp.shared_expert_gate.weight", "ffn_gate_inp_shexp.weight"),
+    ("mlp.shared_expert.gate_proj.weight", "ffn_gate_shexp.weight"),
+    ("mlp.shared_expert.up_proj.weight", "ffn_up_shexp.weight"),
+    ("mlp.shared_expert.down_proj.weight", "ffn_down_shexp.weight"),
 ]
 # gemma2 has four norms per layer with different GGUF names
 _GEMMA2_LAYER_MAP = [
@@ -230,6 +235,8 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
         arch = "llama"  # Mixtral is llama with expert_count > 0
     elif "Qwen2ForCausalLM" in archs:
         arch = "qwen2"
+    elif "Qwen2MoeForCausalLM" in archs:
+        arch = "qwen2moe"
     elif "GemmaForCausalLM" in archs:
         arch = "gemma"
     elif "Gemma2ForCausalLM" in archs:
@@ -268,6 +275,14 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
         w.add_kv(f"{arch}.expert_count", int(hf["num_local_experts"]))
         w.add_kv(f"{arch}.expert_used_count",
                  int(hf.get("num_experts_per_tok", 2)))
+    if arch == "qwen2moe":
+        w.add_kv(f"{arch}.expert_count", int(hf["num_experts"]))
+        w.add_kv(f"{arch}.expert_used_count",
+                 int(hf.get("num_experts_per_tok", 4)))
+        w.add_kv(f"{arch}.expert_feed_forward_length",
+                 int(hf["moe_intermediate_size"]))
+        w.add_kv(f"{arch}.expert_shared_feed_forward_length",
+                 int(hf.get("shared_expert_intermediate_size", 0)))
     rs = hf.get("rope_scaling") or {}
     if rs.get("type") in ("linear", "yarn"):
         w.add_kv(f"{arch}.rope.scaling.type", rs["type"])
@@ -300,6 +315,12 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
         if ".block_sparse_moe.experts." in hf_name:  # mixtral expert weights
             parts = hf_name.split(".")
             li, ei, wname = int(parts[2]), int(parts[5]), parts[6]
+            experts.setdefault(li, {}).setdefault(wname, {})[ei] = data
+            continue
+        if ".mlp.experts." in hf_name:  # qwen2moe expert weights
+            parts = hf_name.split(".")
+            li, ei, wname = int(parts[2]), int(parts[5]), parts[6]
+            wname = {"gate_proj": "w1", "up_proj": "w3", "down_proj": "w2"}[wname]
             experts.setdefault(li, {}).setdefault(wname, {})[ei] = data
             continue
         name = _gguf_name(hf_name, arch)

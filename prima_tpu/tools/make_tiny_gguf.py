@@ -50,21 +50,22 @@ def make_tiny_gguf(
     n_ctx: int = 512,
     ftype: GGMLType = GGMLType.Q4_K,
     seed: int = 0,
+    arch: str = "llama",
 ) -> str:
     rng = np.random.default_rng(seed)
     head_dim = n_embd // n_heads
 
-    w = GGUFWriter(path, arch="llama")
+    w = GGUFWriter(path, arch=arch)
     w.add_kv("general.name", "tiny-synth")
-    w.add_kv("llama.block_count", n_layers)
-    w.add_kv("llama.embedding_length", n_embd)
-    w.add_kv("llama.attention.head_count", n_heads)
-    w.add_kv("llama.attention.head_count_kv", n_kv_heads)
-    w.add_kv("llama.feed_forward_length", n_ff)
-    w.add_kv("llama.context_length", n_ctx)
-    w.add_kv("llama.attention.layer_norm_rms_epsilon", 1e-5)
-    w.add_kv("llama.rope.freq_base", 10000.0)
-    w.add_kv("llama.rope.dimension_count", head_dim)
+    w.add_kv(f"{arch}.block_count", n_layers)
+    w.add_kv(f"{arch}.embedding_length", n_embd)
+    w.add_kv(f"{arch}.attention.head_count", n_heads)
+    w.add_kv(f"{arch}.attention.head_count_kv", n_kv_heads)
+    w.add_kv(f"{arch}.feed_forward_length", n_ff)
+    w.add_kv(f"{arch}.context_length", n_ctx)
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_kv(f"{arch}.rope.freq_base", 10000.0)
+    w.add_kv(f"{arch}.rope.dimension_count", head_dim)
 
     # tokenizer: copy from a vocab fixture if available, else byte vocab
     if vocab_from and os.path.exists(vocab_from):
@@ -80,7 +81,7 @@ def make_tiny_gguf(
         for key, val in kv.items():
             w.add_kv(key, val)
         n_vocab = len(kv["tokenizer.ggml.tokens"])
-    w.add_kv("llama.vocab_size", n_vocab)
+    w.add_kv(f"{arch}.vocab_size", n_vocab)
 
     def q(name: str, rows: int, k: int, scale: float = 0.05):
         x = (rng.standard_normal((rows, k)) * scale).astype(np.float32)

@@ -178,3 +178,20 @@ def test_mixtral_quantized_engine(tmp_path):
                  opts=ForwardOptions(matmul_impl="xla"))
     out = eng.run_to_completion([3, 77, 200], n_predict=4)
     assert len(out) == 4
+
+
+def test_qwen2moe_parity(tmp_path):
+    """qwen2moe: MoE with raw softmax router weights + sigmoid-gated shared
+    expert (build_qwen2moe, src/llama.cpp:12918)."""
+    cfg = transformers.Qwen2MoeConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        moe_intermediate_size=48, shared_expert_intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_experts=4, num_experts_per_tok=2, decoder_sparse_step=1,
+        rope_theta=10000.0, norm_topk_prob=False, max_position_embeddings=64,
+    )
+    lm = _roundtrip(tmp_path, cfg, transformers.Qwen2MoeForCausalLM,
+                    [3, 11, 25, 7], expect_arch="qwen2moe",
+                    rtol=2e-3, atol=2e-3)
+    assert lm.cfg.n_expert == 4 and not lm.cfg.moe_norm_w
+    assert lm.params["layers"][0]["ffn_gate_inp_shexp"] is not None

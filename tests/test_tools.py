@@ -241,3 +241,51 @@ def test_batched_bench_tool(tiny, capsys):
     assert "S_TG t/s" in out
     rows = [ln for ln in out.splitlines() if ln.startswith("|     8 |")]
     assert len(rows) == 2
+
+
+def test_cvector_generator(tiny, tmp_path):
+    """cvector-generator: directions load back and steer the model."""
+    import jax.numpy as jnp
+
+    from prima_tpu.models.adapters import apply_control_vector, load_control_vector
+    from prima_tpu.models.llama import ForwardOptions, forward, init_kv_caches
+    from prima_tpu.models.loader import load_model
+    from prima_tpu.tools.cvector_generator import generate_cvector
+
+    out = str(tmp_path / "cvec.gguf")
+    n = generate_cvector(tiny, ["happy happy joy", "wonderful day"],
+                         ["sad sad gloom", "terrible day"], out)
+    model = load_model(tiny)
+    assert n == model.cfg.n_layers
+
+    cvec = load_control_vector(out, strength=5.0)
+    assert set(cvec) == set(range(1, n + 1))
+    for v in cvec.values():
+        assert v.shape == (model.cfg.n_embd,)
+        assert abs(float(jnp.linalg.norm(v)) - 5.0) < 1e-3  # unit PCA dir * 5
+
+    toks = np.array([[3, 5, 7]], dtype=np.int32)
+    pos = np.broadcast_to(np.arange(3, dtype=np.int32), (1, 3))
+    opts = ForwardOptions(matmul_impl="xla")
+
+    def logits_of(params):
+        kv = init_kv_caches(model.cfg, 1, 8, dtype=jnp.float32)
+        out_, _ = forward(params, model.cfg, jnp.asarray(toks), jnp.asarray(pos),
+                          kv, jnp.zeros(1, jnp.int32), opts)
+        return np.asarray(out_)
+
+    base = logits_of(model.params)
+    steered = logits_of(apply_control_vector(model.params, cvec))
+    assert not np.allclose(base, steered)
+
+
+def test_passkey_prompt_and_run(tiny, capsys):
+    from prima_tpu.tools.passkey import build_prompt, main as pk_main
+
+    p = build_prompt(5, 2, 1234)
+    assert "The pass key is 1234" in p and p.count("grass is green") == 5
+    # tiny random-weight model won't recover the key — just exercise the loop
+    rc = pk_main(["-m", tiny, "--junk", "2", "--pos", "1", "-s", "3",
+                  "-c", "512", "-n", "4", "--matmul", "xla"])
+    out = capsys.readouterr().out
+    assert "passkey" in out and rc in (0, 1)
