@@ -37,6 +37,17 @@ JAX_PLATFORMS=cpu PRIMA_PALLAS_INTERPRET=1 python -m prima_tpu.tools.lookup stat
 JAX_PLATFORMS=cpu PRIMA_PALLAS_INTERPRET=1 python -m prima_tpu.tools.bench_tool \
     -m "$TMP/tiny.gguf" -p 16 -n 4 -r 1 -c 64 -o md 2>/dev/null | tail -2
 
+echo "== e2e smoke: aux tools (tokenize/hash/stats/speculative/export-lora) =="
+JAX_PLATFORMS=cpu PRIMA_PALLAS_INTERPRET=1 python -m prima_tpu.tools.tokenize \
+    -m "$TMP/tiny.gguf" -p "hello world" --show-count | tail -1
+python -m prima_tpu.tools.gguf_hash "$TMP/tiny.gguf" | tail -1
+JAX_PLATFORMS=cpu PRIMA_PALLAS_INTERPRET=1 python -m prima_tpu.tools.quantize_stats \
+    -m "$TMP/tiny.gguf" --type q8_0 | tail -1
+JAX_PLATFORMS=cpu PRIMA_PALLAS_INTERPRET=1 python -m prima_tpu.tools.speculative \
+    -m "$TMP/tiny.gguf" -md "$TMP/tiny.gguf" -p "Hi" -n 4 --matmul xla --temp 0 2>/dev/null | tail -1
+JAX_PLATFORMS=cpu PRIMA_PALLAS_INTERPRET=1 python -m prima_tpu.tools.batched_bench \
+    -m "$TMP/tiny.gguf" -npp 8 -ntg 4 -npl 1 -c 64 --matmul xla | tail -1
+
 echo "== e2e smoke: 2-process distributed ring =="
 PORT=$(( (RANDOM % 2000) + 20000 ))
 JAX_PLATFORMS=cpu PRIMA_PALLAS_INTERPRET=1 python -m prima_tpu.tools.cli \

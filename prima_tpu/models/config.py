@@ -64,7 +64,11 @@ class ModelConfig:
     moe_norm_w: bool = True  # normalize top-k router weights (Mixtral yes,
     #                          qwen2moe no — llm_build_moe_ffn norm_w arg)
     residual_scale: float = 1.0  # minicpm: scale_depth / sqrt(n_layer)
-    logit_scale: float = 1.0  # minicpm: 256 / n_embd on the final hidden
+    logit_scale: float = 1.0  # minicpm: 256/n_embd; command-r: f_logit_scale
+    norm_type: str = "rms"  # "rms" | "ln" (LLM_NORM; weight/bias optional)
+    ffn_gated: bool = True  # False: plain up -> act -> down MLP (starcoder2)
+    parallel_block: bool = False  # command-r: attn + ffn share the norm input
+    clamp_kqv: float = 0.0  # olmo: clamp q/k/v to +-clamp_kqv
 
     @property
     def n_embd_k_gqa(self) -> int:
@@ -78,7 +82,8 @@ class ModelConfig:
     def from_gguf(cls, m: GGUFModel) -> "ModelConfig":
         arch = m.arch
         if arch not in ("llama", "qwen2", "gemma", "gemma2", "phi3",
-                        "internlm2", "minicpm", "qwen2moe"):
+                        "internlm2", "minicpm", "qwen2moe", "starcoder2",
+                        "olmo", "command-r"):
             raise NotImplementedError(
                 f"arch {arch!r}: supported archs are llama (incl. MoE/Mixtral),"
                 " qwen2, gemma, gemma2, phi3"
@@ -132,6 +137,23 @@ class ModelConfig:
             extra["logit_scale"] = float(g("{arch}.logit_scale", 256.0 / n_embd))
         if arch == "qwen2moe":
             extra["moe_norm_w"] = False  # build_qwen2moe passes norm_w=false
+        if arch == "starcoder2":
+            # LayerNorm + biased projections + gateless GELU MLP
+            # (build_starcoder2, src/llama.cpp:14469)
+            extra["norm_type"] = "ln"
+            extra["ffn_gated"] = False
+            extra["act"] = "gelu"
+        if arch == "olmo":
+            # non-parametric LayerNorm, optional q/k/v clamping
+            # (build_olmo, src/llama.cpp:14797)
+            extra["norm_type"] = "ln"
+            extra["clamp_kqv"] = float(g("{arch}.attention.clamp_kqv", 0.0) or 0.0)
+        if arch == "command-r":
+            # parallel attn+ffn off one LayerNorm, scaled logits
+            # (build_command_r, src/llama.cpp:14642)
+            extra["norm_type"] = "ln"
+            extra["parallel_block"] = True
+            extra["logit_scale"] = float(g("{arch}.logit_scale", 1.0) or 1.0)
         n_expert = int(g("{arch}.expert_count", 0) or 0)
         if n_expert:
             extra["n_expert"] = n_expert
@@ -147,14 +169,16 @@ class ModelConfig:
             n_ff=int(g("{arch}.feed_forward_length")),
             n_vocab=int(n_vocab),
             n_ctx_train=int(g("{arch}.context_length", 4096)),
-            rms_eps=float(g("{arch}.attention.layer_norm_rms_epsilon", 1e-5)),
+            rms_eps=float(g("{arch}.attention.layer_norm_rms_epsilon",
+                            g("{arch}.attention.layer_norm_epsilon", 1e-5))),
             rope_base=float(g("{arch}.rope.freq_base", 10000.0)),
             rope_dim=rope_dim,
             rope_type=(RopeType.NORM
-                       if arch in ("llama", "internlm2", "minicpm")
+                       if arch in ("llama", "internlm2", "minicpm", "olmo",
+                                   "command-r")
                        else RopeType.NEOX),
             rope_scaling=scaling,
-            qkv_bias=arch in ("qwen2", "qwen2moe"),
+            qkv_bias=arch in ("qwen2", "qwen2moe", "starcoder2"),
             tie_embeddings=tie,
             name=str(m.get("general.name", "")),
             **extra,

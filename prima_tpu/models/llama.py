@@ -170,10 +170,15 @@ def load_params(
             params["layers"].append(None)
             continue
         p = f"blk.{i}."
+        ln = cfg.norm_type != "rms"
         layer = {
-            "attn_norm": get(p + "attn_norm.weight", dense=True),
+            # LN archs may omit norm weights entirely (OLMo's non-parametric
+            # LLM_NORM) or the ffn_norm (command-r's parallel block)
+            "attn_norm": get(p + "attn_norm.weight", dense=True,
+                             required=not ln),
             "wo": get(p + "attn_output.weight"),
-            "ffn_norm": get(p + "ffn_norm.weight", dense=True),
+            "ffn_norm": get(p + "ffn_norm.weight", dense=True,
+                            required=not (ln or cfg.parallel_block)),
         }
         if (p + "attn_qkv.weight") in t:  # phi3: fused qkv, split by rows
             ti = t[p + "attn_qkv.weight"]
@@ -200,6 +205,11 @@ def load_params(
                 layer["ffn_up_shexp"] = get(p + "ffn_up_shexp.weight")
                 layer["ffn_down_shexp"] = get(p + "ffn_down_shexp.weight")
             layer["w_gate"] = layer["w_up"] = layer["w_down"] = None
+        elif not cfg.ffn_gated:
+            # starcoder2: plain up -> act -> down MLP, no gate projection
+            layer["w_gate"] = None
+            layer["w_up"] = get(p + "ffn_up.weight")
+            layer["w_down"] = get(p + "ffn_down.weight")
         elif (p + "ffn_gate.weight") not in t and (p + "ffn_up.weight") in t:
             # phi3: fused gate+up (rows [0, n_ff) = gate, [n_ff, 2n_ff) = up)
             ti = t[p + "ffn_up.weight"]
@@ -217,9 +227,21 @@ def load_params(
             layer["bq"] = get(p + "attn_q.bias", dense=True)
             layer["bk"] = get(p + "attn_k.bias", dense=True)
             layer["bv"] = get(p + "attn_v.bias", dense=True)
+        for bname, key in (("attn_norm.bias", "attn_norm_b"),
+                           ("ffn_norm.bias", "ffn_norm_b"),
+                           ("attn_output.bias", "bo"),
+                           ("ffn_up.bias", "b_up"),
+                           ("ffn_down.bias", "b_down")):
+            b = get(p + bname, dense=True, required=False)
+            if b is not None:
+                layer[key] = b
         params["layers"].append(layer)
     if with_output:
-        params["output_norm"] = get("output_norm.weight", dense=True)
+        params["output_norm"] = get("output_norm.weight", dense=True,
+                                    required=cfg.norm_type == "rms")
+        onb = get("output_norm.bias", dense=True, required=False)
+        if onb is not None:
+            params["output_norm_b"] = onb
         params["output"] = None if cfg.tie_embeddings else get("output.weight")
     return params
 
@@ -290,7 +312,10 @@ def forward_scan(params: dict, cfg: ModelConfig, tokens, positions,
     x, kv_out = jax.lax.scan(body, x, (params["layers"], kv))
     if return_hidden:
         return x, kv_out
-    x = rms_norm(x, params["output_norm"], cfg.rms_eps)
+    x = model_norm(x, params.get("output_norm"), params.get("output_norm_b"),
+                   cfg)
+    if cfg.logit_scale != 1.0:
+        x = x * np.float32(cfg.logit_scale)
     w_out = params["output"] if params.get("output") is not None else params["tok_embd"]
     logits = linear(x, w_out, opts.matmul_impl).astype(opts.logits_dtype)
     if cfg.final_logit_softcap:
@@ -582,6 +607,15 @@ class ForwardOptions:
     tp_axis: str | None = None
 
 
+def model_norm(x, w, b, cfg: ModelConfig) -> jax.Array:
+    """Arch norm dispatch: RMSNorm or (possibly non-parametric) LayerNorm."""
+    if cfg.norm_type == "rms":
+        return rms_norm(x, w, cfg.rms_eps)
+    from ..ops.layers import layer_norm
+
+    return layer_norm(x, w, b, cfg.rms_eps)
+
+
 def attention_block(
     layer: dict,
     cfg: ModelConfig,
@@ -610,6 +644,9 @@ def attention_block(
         q = q + layer["bq"].astype(q.dtype)
         k = k + layer["bk"].astype(k.dtype)
         v = v + layer["bv"].astype(v.dtype)
+    if cfg.clamp_kqv:  # olmo (build_olmo ggml_clamp)
+        c = np.float32(cfg.clamp_kqv)
+        q, k, v = (jnp.clip(a, -c, c) for a in (q, k, v))
     q = q.reshape(b, s, h, hd)
     k = k.reshape(b, s, kvh, hd)
     v = v.reshape(b, s, kvh, hd)
@@ -637,6 +674,8 @@ def attention_block(
     out = linear_l(layer, "wo", out, opts.matmul_impl)
     if opts.tp_axis is not None:
         out = jax.lax.psum(out, opts.tp_axis)  # column-parallel wo
+    if layer.get("bo") is not None:
+        out = out + layer["bo"].astype(out.dtype)
     return out, (k_cache, v_cache)
 
 
@@ -654,17 +693,25 @@ def _tap(taps: dict, name: str, x: jax.Array) -> None:
 
 
 def ffn_block(layer: dict, x: jax.Array, opts: ForwardOptions,
-              act_fn: str = "silu", *,
+              act_fn: str = "silu", *, gated: bool = True,
               taps: dict | None = None, tap_prefix: str = "") -> jax.Array:
-    gate = linear_l(layer, "w_gate", x, opts.matmul_impl)
     if taps is not None:
-        _tap(taps, tap_prefix + "ffn_gate.weight", x)
+        if gated:
+            _tap(taps, tap_prefix + "ffn_gate.weight", x)
         _tap(taps, tap_prefix + "ffn_up.weight", x)
     up = linear_l(layer, "w_up", x, opts.matmul_impl)
-    act = gated_act(gate, up, act_fn)
+    if layer.get("b_up") is not None:
+        up = up + layer["b_up"].astype(up.dtype)
+    if gated:
+        gate = linear_l(layer, "w_gate", x, opts.matmul_impl)
+        act = gated_act(gate, up, act_fn)
+    else:  # plain MLP (starcoder2): act(up) with ggml's tanh-approx GELU
+        act = gated_act(up, jnp.ones((), up.dtype), act_fn)
     if taps is not None:
         _tap(taps, tap_prefix + "ffn_down.weight", act)
     out = linear_l(layer, "w_down", act, opts.matmul_impl)
+    if layer.get("b_down") is not None:
+        out = out + layer["b_down"].astype(out.dtype)
     if opts.tp_axis is not None:
         out = jax.lax.psum(out, opts.tp_axis)  # column-parallel w_down
     return out
@@ -738,22 +785,32 @@ def decode_layer(
     taps: dict | None = None,
     tap_prefix: str = "",
 ):
-    attn_in = rms_norm(x, layer["attn_norm"], cfg.rms_eps)
+    attn_in = model_norm(x, layer.get("attn_norm"), layer.get("attn_norm_b"),
+                         cfg)
     attn_out, kv = attention_block(
         layer, cfg, attn_in, positions, kv, cache_pos, mask, inv_freq, mscale, opts,
         taps=taps, tap_prefix=tap_prefix,
     )
+    if cfg.parallel_block:  # command-r: attn and ffn share the norm input
+        ffn_out = ffn_block(layer, attn_in, opts, cfg.act,
+                            gated=cfg.ffn_gated, taps=taps,
+                            tap_prefix=tap_prefix)
+        x = x + attn_out + ffn_out
+        if layer.get("cvec") is not None:
+            x = x + layer["cvec"].astype(x.dtype)
+        return x, kv
     if cfg.post_norms:  # gemma2: norm the branch output before the residual
         attn_out = rms_norm(attn_out, layer["attn_post_norm"], cfg.rms_eps)
     if cfg.residual_scale != 1.0:  # minicpm scale_depth/sqrt(n_layer)
         attn_out = attn_out * np.float32(cfg.residual_scale)
     x = x + attn_out
-    ffn_in = rms_norm(x, layer["ffn_norm"], cfg.rms_eps)
+    ffn_in = model_norm(x, layer.get("ffn_norm"), layer.get("ffn_norm_b"), cfg)
     if cfg.n_expert and layer.get("ffn_gate_inp") is not None:
         ffn_out = moe_ffn(layer, cfg, ffn_in, opts)
     else:
         ffn_out = ffn_block(layer, ffn_in, opts, cfg.act,
-                            taps=taps, tap_prefix=tap_prefix)
+                            gated=cfg.ffn_gated, taps=taps,
+                            tap_prefix=tap_prefix)
     if cfg.post_norms:
         ffn_out = rms_norm(ffn_out, layer["ffn_post_norm"], cfg.rms_eps)
     if cfg.residual_scale != 1.0:
@@ -812,8 +869,9 @@ def forward(
     if hi < cfg.n_layers or return_hidden:
         return x, new_kv
 
-    x = rms_norm(x, params["output_norm"], cfg.rms_eps)
-    if cfg.logit_scale != 1.0:  # minicpm: hidden scaled before lm_head
+    x = model_norm(x, params.get("output_norm"), params.get("output_norm_b"),
+                   cfg)
+    if cfg.logit_scale != 1.0:  # minicpm/command-r: scaled before lm_head
         x = x * np.float32(cfg.logit_scale)
     w_out = params["output"] if params.get("output") is not None else params["tok_embd"]
     if taps is not None:

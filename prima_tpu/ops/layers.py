@@ -26,6 +26,21 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
     return (y * weight.astype(jnp.float32)).astype(x.dtype)
 
 
+def layer_norm(x: jax.Array, weight: jax.Array | None, bias: jax.Array | None,
+               eps: float) -> jax.Array:
+    """LayerNorm in f32 (ggml_norm + optional mul/add). weight/bias None =
+    the non-parametric form (LLM_NORM with NULL tensors, e.g. OLMo)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    if weight is not None:
+        y = y * weight.astype(jnp.float32)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
 def _yarn_ramp(low: float, high: float, dims: jax.Array) -> jax.Array:
     y = (dims - low) / max(high - low, 1e-3)
     return 1.0 - jnp.clip(y, 0.0, 1.0)

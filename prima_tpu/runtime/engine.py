@@ -427,9 +427,10 @@ class Engine:
                 self.params, self.cfg, jnp.asarray(padded), jnp.asarray(positions),
                 kv, jnp.zeros(1, jnp.int32), self.opts, return_hidden=True,
             )
-        from ..ops.layers import rms_norm
+        from ..models.llama import model_norm
 
-        hidden = rms_norm(hidden, self.params["output_norm"], self.cfg.rms_eps)
+        hidden = model_norm(hidden, self.params.get("output_norm"),
+                            self.params.get("output_norm_b"), self.cfg)
         h = np.asarray(hidden[0, : len(prompt_tokens)], dtype=np.float32)
         if pooling == "last":
             return h[-1]

@@ -187,6 +187,16 @@ def _command_r(messages, add_ass):
     return "".join(out)
 
 
+def _chatglm3(messages, add_ass):
+    # chatglm3-6b (src/llama.cpp:24281): note the space after the newline
+    out = ["[gMASK]sop"]
+    for m in messages:
+        out.append(f"<|{m['role']}|>\n {m['content']}")
+    if add_ass:
+        out.append("<|assistant|>")
+    return "".join(out)
+
+
 def _chatglm4(messages, add_ass):
     out = ["[gMASK]<sop>"]
     out += [f"<|{m['role']}|>\n{m['content']}" for m in messages]
@@ -227,7 +237,8 @@ _BUILTINS = {
     "openchat": _openchat, "vicuna": _vicuna,
     "vicuna-orca": lambda m, a: _vicuna(m, a, orca=True),
     "deepseek": _deepseek, "deepseek2": _deepseek2, "command-r": _command_r,
-    "chatglm4": _chatglm4, "minicpm": _minicpm, "exaone3": _exaone3,
+    "chatglm3": _chatglm3, "chatglm4": _chatglm4, "minicpm": _minicpm,
+    "exaone3": _exaone3,
 }
 
 # jinja-template-content markers -> builtin name (llama_chat_apply_template_
@@ -247,6 +258,7 @@ _TEMPLATE_MARKERS = [
     ("### Instruction:", "deepseek"),
     ("<|START_OF_TURN_TOKEN|>", "command-r"),
     ("[gMASK]<sop>", "chatglm4"),
+    ("[gMASK]sop", "chatglm3"),
     ("<用户>", "minicpm"),
     ("'Assistant: ' + message['content'] + eos_token", "deepseek2"),
     ("[|assistant|]", "exaone3"),

@@ -28,6 +28,7 @@ from .quantize import FTYPES, _encode, _target_type
 _MAP = [
     ("model.embed_tokens.weight", "token_embd.weight"),
     ("model.norm.weight", "output_norm.weight"),
+    ("model.norm.bias", "output_norm.bias"),
     ("lm_head.weight", "output.weight"),
 ]
 _LAYER_MAP = [
@@ -51,6 +52,14 @@ _LAYER_MAP = [
     ("mlp.shared_expert.gate_proj.weight", "ffn_gate_shexp.weight"),
     ("mlp.shared_expert.up_proj.weight", "ffn_up_shexp.weight"),
     ("mlp.shared_expert.down_proj.weight", "ffn_down_shexp.weight"),
+    # starcoder2: biased projections, LayerNorm biases, c_fc/c_proj MLP
+    ("self_attn.o_proj.bias", "attn_output.bias"),
+    ("input_layernorm.bias", "attn_norm.bias"),
+    ("post_attention_layernorm.bias", "ffn_norm.bias"),
+    ("mlp.c_fc.weight", "ffn_up.weight"),
+    ("mlp.c_fc.bias", "ffn_up.bias"),
+    ("mlp.c_proj.weight", "ffn_down.weight"),
+    ("mlp.c_proj.bias", "ffn_down.bias"),
 ]
 # gemma2 has four norms per layer with different GGUF names
 _GEMMA2_LAYER_MAP = [
@@ -237,6 +246,12 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
         arch = "qwen2"
     elif "Qwen2MoeForCausalLM" in archs:
         arch = "qwen2moe"
+    elif "Starcoder2ForCausalLM" in archs:
+        arch = "starcoder2"
+    elif "OlmoForCausalLM" in archs:
+        arch = "olmo"
+    elif "CohereForCausalLM" in archs:
+        arch = "command-r"
     elif "GemmaForCausalLM" in archs:
         arch = "gemma"
     elif "Gemma2ForCausalLM" in archs:
@@ -275,6 +290,15 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
         w.add_kv(f"{arch}.expert_count", int(hf["num_local_experts"]))
         w.add_kv(f"{arch}.expert_used_count",
                  int(hf.get("num_experts_per_tok", 2)))
+    if arch == "starcoder2":
+        w.add_kv(f"{arch}.attention.layer_norm_epsilon",
+                 float(hf.get("norm_epsilon", 1e-5)))
+    if arch == "olmo" and hf.get("clip_qkv"):
+        w.add_kv(f"{arch}.attention.clamp_kqv", float(hf["clip_qkv"]))
+    if arch == "command-r":
+        w.add_kv(f"{arch}.attention.layer_norm_epsilon",
+                 float(hf.get("layer_norm_eps", 1e-5)))
+        w.add_kv(f"{arch}.logit_scale", float(hf.get("logit_scale", 1.0)))
     if arch == "qwen2moe":
         w.add_kv(f"{arch}.expert_count", int(hf["num_experts"]))
         w.add_kv(f"{arch}.expert_used_count",
@@ -326,9 +350,9 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
         name = _gguf_name(hf_name, arch)
         if name is None:
             continue
-        if arch == "llama" and name.endswith(("attn_q.weight",)):
+        if arch in ("llama", "olmo") and name.endswith(("attn_q.weight",)):
             data = _permute_qk(data, n_heads)
-        elif arch == "llama" and name.endswith(("attn_k.weight",)):
+        elif arch in ("llama", "olmo") and name.endswith(("attn_k.weight",)):
             data = _permute_qk(data, n_kv)
         elif arch in ("gemma", "gemma2") and ("norm" in name):
             data = data + 1.0  # HF gemma norms compute (1 + w) * x_hat

@@ -98,3 +98,10 @@ def test_apply_jinja_roundtrip():
     out = apply_chat_template(MSGS, template=tmpl)
     assert out.startswith("<system>You are a helpful assistant</>")
     assert out.endswith("<assistant>")
+
+
+def test_chatglm3():
+    out = _BUILTINS["chatglm3"]([{"role": "user", "content": "hi"}], True)
+    assert out == "[gMASK]sop<|user|>\n hi<|assistant|>"
+    assert detect_from_template("... [gMASK]sop ...") == "chatglm3"
+    assert detect_from_template("... [gMASK]<sop> ...") == "chatglm4"

@@ -195,3 +195,49 @@ def test_qwen2moe_parity(tmp_path):
                     rtol=2e-3, atol=2e-3)
     assert lm.cfg.n_expert == 4 and not lm.cfg.moe_norm_w
     assert lm.params["layers"][0]["ffn_gate_inp_shexp"] is not None
+
+
+def test_starcoder2_parity(tmp_path):
+    """starcoder2: LayerNorm + biased projections + gateless GELU MLP
+    (build_starcoder2, src/llama.cpp:14469)."""
+    cfg = transformers.Starcoder2Config(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        norm_epsilon=1e-5, use_bias=True, rope_theta=10000.0,
+        max_position_embeddings=64, tie_word_embeddings=False,
+    )
+    lm = _roundtrip(tmp_path, cfg, transformers.Starcoder2ForCausalLM,
+                    [3, 11, 25, 7], expect_arch="starcoder2",
+                    rtol=2e-3, atol=2e-3)
+    assert lm.cfg.norm_type == "ln" and not lm.cfg.ffn_gated
+    assert lm.params["layers"][0].get("b_up") is not None
+
+
+def test_olmo_parity(tmp_path):
+    """olmo: non-parametric LayerNorm + q/k/v clamping (build_olmo,
+    src/llama.cpp:14797)."""
+    cfg = transformers.OlmoConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        clip_qkv=8.0, rope_theta=10000.0, max_position_embeddings=64,
+        tie_word_embeddings=False,
+    )
+    lm = _roundtrip(tmp_path, cfg, transformers.OlmoForCausalLM,
+                    [3, 11, 25, 7], expect_arch="olmo", rtol=2e-3, atol=2e-3)
+    assert lm.cfg.norm_type == "ln" and lm.cfg.clamp_kqv == 8.0
+    assert lm.params["layers"][0].get("attn_norm") is None
+
+
+def test_command_r_parity(tmp_path):
+    """command-r: parallel attn+ffn off one LayerNorm, scaled logits
+    (build_command_r, src/llama.cpp:14642)."""
+    cfg = transformers.CohereConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        layer_norm_eps=1e-5, logit_scale=0.25, rope_theta=10000.0,
+        max_position_embeddings=64, use_qk_norm=False,
+    )
+    lm = _roundtrip(tmp_path, cfg, transformers.CohereForCausalLM,
+                    [3, 11, 25, 7], expect_arch="command-r",
+                    rtol=2e-3, atol=2e-3)
+    assert lm.cfg.parallel_block and lm.cfg.logit_scale == 0.25
