@@ -83,7 +83,7 @@ class ModelConfig:
         arch = m.arch
         if arch not in ("llama", "qwen2", "gemma", "gemma2", "phi3",
                         "internlm2", "minicpm", "qwen2moe", "starcoder2",
-                        "olmo", "command-r"):
+                        "olmo", "command-r", "phi2", "stablelm", "gptneox"):
             raise NotImplementedError(
                 f"arch {arch!r}: supported archs are llama (incl. MoE/Mixtral),"
                 " qwen2, gemma, gemma2, phi3"
@@ -148,6 +148,24 @@ class ModelConfig:
             # (build_olmo, src/llama.cpp:14797)
             extra["norm_type"] = "ln"
             extra["clamp_kqv"] = float(g("{arch}.attention.clamp_kqv", 0.0) or 0.0)
+        if arch == "phi2":
+            # LayerNorm+bias, parallel attn+MLP off one norm, biased lm_head
+            # (build_phi2, src/llama.cpp:13064)
+            extra["norm_type"] = "ln"
+            extra["parallel_block"] = True
+            extra["ffn_gated"] = False
+            extra["act"] = "gelu"
+        if arch == "gptneox":
+            # LayerNorm+bias, gateless GELU MLP, optionally parallel residual
+            # with its own ffn_norm (build_gptneox)
+            extra["norm_type"] = "ln"
+            extra["ffn_gated"] = False
+            extra["act"] = "gelu"
+            extra["parallel_block"] = bool(
+                g("{arch}.use_parallel_residual", True))
+        if arch == "stablelm":
+            # LayerNorm+bias norms, partial rope (build_stablelm)
+            extra["norm_type"] = "ln"
         if arch == "command-r":
             # parallel attn+ffn off one LayerNorm, scaled logits
             # (build_command_r, src/llama.cpp:14642)
@@ -178,7 +196,7 @@ class ModelConfig:
                                    "command-r")
                        else RopeType.NEOX),
             rope_scaling=scaling,
-            qkv_bias=arch in ("qwen2", "qwen2moe", "starcoder2"),
+            qkv_bias=arch in ("qwen2", "qwen2moe", "starcoder2", "phi2"),
             tie_embeddings=tie,
             name=str(m.get("general.name", "")),
             **extra,

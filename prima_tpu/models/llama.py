@@ -223,7 +223,14 @@ def load_params(
         if cfg.post_norms:  # gemma2
             layer["attn_post_norm"] = get(p + "post_attention_norm.weight", dense=True)
             layer["ffn_post_norm"] = get(p + "post_ffw_norm.weight", dense=True)
-        if cfg.qkv_bias:
+        if (p + "attn_qkv.bias") in t:  # phi2: fused qkv bias
+            bqkv = np.asarray(_to_device_tensor(t[p + "attn_qkv.bias"],
+                                                dtype, True))
+            nq, nk = h * hd, kvh * hd
+            layer["bq"] = jnp.asarray(bqkv[:nq])
+            layer["bk"] = jnp.asarray(bqkv[nq : nq + nk])
+            layer["bv"] = jnp.asarray(bqkv[nq + nk : nq + 2 * nk])
+        elif cfg.qkv_bias or (p + "attn_q.bias") in t:
             layer["bq"] = get(p + "attn_q.bias", dense=True)
             layer["bk"] = get(p + "attn_k.bias", dense=True)
             layer["bv"] = get(p + "attn_v.bias", dense=True)
@@ -243,6 +250,9 @@ def load_params(
         if onb is not None:
             params["output_norm_b"] = onb
         params["output"] = None if cfg.tie_embeddings else get("output.weight")
+        ob = get("output.bias", dense=True, required=False)
+        if ob is not None:  # phi2 biased lm_head
+            params["output_b"] = ob
     return params
 
 
@@ -318,6 +328,8 @@ def forward_scan(params: dict, cfg: ModelConfig, tokens, positions,
         x = x * np.float32(cfg.logit_scale)
     w_out = params["output"] if params.get("output") is not None else params["tok_embd"]
     logits = linear(x, w_out, opts.matmul_impl).astype(opts.logits_dtype)
+    if params.get("output_b") is not None:
+        logits = logits + params["output_b"].astype(logits.dtype)
     if cfg.final_logit_softcap:
         cap = np.float32(cfg.final_logit_softcap)
         logits = cap * jnp.tanh(logits / cap)
@@ -640,7 +652,7 @@ def attention_block(
     q = linear_l(layer, "wq", x, opts.matmul_impl)
     k = linear_l(layer, "wk", x, opts.matmul_impl)
     v = linear_l(layer, "wv", x, opts.matmul_impl)
-    if cfg.qkv_bias:
+    if layer.get("bq") is not None:
         q = q + layer["bq"].astype(q.dtype)
         k = k + layer["bk"].astype(k.dtype)
         v = v + layer["bv"].astype(v.dtype)
@@ -791,8 +803,14 @@ def decode_layer(
         layer, cfg, attn_in, positions, kv, cache_pos, mask, inv_freq, mscale, opts,
         taps=taps, tap_prefix=tap_prefix,
     )
-    if cfg.parallel_block:  # command-r: attn and ffn share the norm input
-        ffn_out = ffn_block(layer, attn_in, opts, cfg.act,
+    if cfg.parallel_block:
+        # command-r/phi2: ffn shares the attention norm input; gptneox-style
+        # parallel residual instead norms the ORIGINAL input with ffn_norm
+        ffn_in = attn_in
+        if layer.get("ffn_norm") is not None:
+            ffn_in = model_norm(x, layer["ffn_norm"],
+                                layer.get("ffn_norm_b"), cfg)
+        ffn_out = ffn_block(layer, ffn_in, opts, cfg.act,
                             gated=cfg.ffn_gated, taps=taps,
                             tap_prefix=tap_prefix)
         x = x + attn_out + ffn_out
@@ -877,6 +895,8 @@ def forward(
     if taps is not None:
         _tap(taps, "output.weight", x)
     logits = linear(x, w_out, opts.matmul_impl).astype(opts.logits_dtype)
+    if params.get("output_b") is not None:  # phi2 biased lm_head
+        logits = logits + params["output_b"].astype(logits.dtype)
     if cfg.final_logit_softcap:  # gemma2 (build_gemma2:14427)
         cap = np.float32(cfg.final_logit_softcap)
         logits = cap * jnp.tanh(logits / cap)

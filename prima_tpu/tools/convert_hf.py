@@ -29,7 +29,10 @@ _MAP = [
     ("model.embed_tokens.weight", "token_embd.weight"),
     ("model.norm.weight", "output_norm.weight"),
     ("model.norm.bias", "output_norm.bias"),
+    ("model.final_layernorm.weight", "output_norm.weight"),  # phi2
+    ("model.final_layernorm.bias", "output_norm.bias"),
     ("lm_head.weight", "output.weight"),
+    ("lm_head.bias", "output.bias"),
 ]
 _LAYER_MAP = [
     ("input_layernorm.weight", "attn_norm.weight"),
@@ -60,6 +63,13 @@ _LAYER_MAP = [
     ("mlp.c_fc.bias", "ffn_up.bias"),
     ("mlp.c_proj.weight", "ffn_down.weight"),
     ("mlp.c_proj.bias", "ffn_down.bias"),
+    # phi2: self_attn.dense output proj, fc1/fc2 MLP
+    ("self_attn.dense.weight", "attn_output.weight"),
+    ("self_attn.dense.bias", "attn_output.bias"),
+    ("mlp.fc1.weight", "ffn_up.weight"),
+    ("mlp.fc1.bias", "ffn_up.bias"),
+    ("mlp.fc2.weight", "ffn_down.weight"),
+    ("mlp.fc2.bias", "ffn_down.bias"),
 ]
 # gemma2 has four norms per layer with different GGUF names
 _GEMMA2_LAYER_MAP = [
@@ -252,6 +262,12 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
         arch = "olmo"
     elif "CohereForCausalLM" in archs:
         arch = "command-r"
+    elif "PhiForCausalLM" in archs:
+        arch = "phi2"
+    elif "StableLmForCausalLM" in archs:
+        arch = "stablelm"
+    elif "GPTNeoXForCausalLM" in archs:
+        arch = "gptneox"
     elif "GemmaForCausalLM" in archs:
         arch = "gemma"
     elif "Gemma2ForCausalLM" in archs:
@@ -273,8 +289,13 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
     w.add_kv(f"{arch}.context_length", hf.get("max_position_embeddings", 4096))
     w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", hf.get("rms_norm_eps", 1e-5))
     w.add_kv(f"{arch}.rope.freq_base", float(hf.get("rope_theta", 10000.0)))
-    w.add_kv(f"{arch}.rope.dimension_count",
-             int(hf.get("head_dim") or hf["hidden_size"] // n_heads))
+    head_dim_eff = int(hf.get("head_dim") or hf["hidden_size"] // n_heads)
+    rope_dim = head_dim_eff
+    if hf.get("partial_rotary_factor"):  # phi2 / stablelm partial rope
+        rope_dim = int(head_dim_eff * float(hf["partial_rotary_factor"]))
+    elif hf.get("rotary_pct"):  # gptneox partial rope
+        rope_dim = int(head_dim_eff * float(hf["rotary_pct"]))
+    w.add_kv(f"{arch}.rope.dimension_count", rope_dim)
     w.add_kv(f"{arch}.vocab_size", hf["vocab_size"])
     if hf.get("head_dim"):
         w.add_kv(f"{arch}.attention.key_length", hf["head_dim"])
@@ -299,6 +320,15 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
         w.add_kv(f"{arch}.attention.layer_norm_epsilon",
                  float(hf.get("layer_norm_eps", 1e-5)))
         w.add_kv(f"{arch}.logit_scale", float(hf.get("logit_scale", 1.0)))
+    if arch in ("phi2", "stablelm"):
+        w.add_kv(f"{arch}.attention.layer_norm_epsilon",
+                 float(hf.get("layer_norm_eps",
+                              hf.get("layer_norm_epsilon", 1e-5))))
+    if arch == "gptneox":
+        w.add_kv(f"{arch}.attention.layer_norm_epsilon",
+                 float(hf.get("layer_norm_eps", 1e-5)))
+        w.add_kv(f"{arch}.use_parallel_residual",
+                 bool(hf.get("use_parallel_residual", True)))
     if arch == "qwen2moe":
         w.add_kv(f"{arch}.expert_count", int(hf["num_experts"]))
         w.add_kv(f"{arch}.expert_used_count",
@@ -336,6 +366,25 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
         print(f"[{n:4d}] {name} ({t.name})", file=logfile)
 
     for hf_name, data in _iter_hf_tensors(src_dir):
+        if arch == "gptneox":
+            name = _gptneox_name(hf_name)
+            if name is None:
+                continue
+            if "attn_qkv" in name:
+                # de-interleave HF's per-head [q;k;v] rows into contiguous
+                # [q_all; k_all; v_all] (convert_hf_to_gguf.py GPTNeoXModel)
+                hd = hf["hidden_size"] // n_heads
+                if name.endswith(".weight"):
+                    qkv = data.reshape(n_heads, 3, hd, hf["hidden_size"])
+                    data = np.concatenate(
+                        [qkv[:, j].reshape(-1, hf["hidden_size"])
+                         for j in range(3)], axis=0)
+                else:
+                    qkv = data.reshape(n_heads, 3, hd)
+                    data = np.concatenate(
+                        [qkv[:, j].reshape(-1) for j in range(3)], axis=0)
+            emit(name, data)
+            continue
         if ".block_sparse_moe.experts." in hf_name:  # mixtral expert weights
             parts = hf_name.split(".")
             li, ei, wname = int(parts[2]), int(parts[5]), parts[6]
@@ -367,6 +416,40 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
             emit(f"blk.{li}.{gguf}.weight", stacked, ne=ne)
     w.write()
     return n
+
+
+_GPTNEOX_MAP = [
+    ("gpt_neox.embed_in.weight", "token_embd.weight"),
+    ("gpt_neox.final_layer_norm.weight", "output_norm.weight"),
+    ("gpt_neox.final_layer_norm.bias", "output_norm.bias"),
+    ("embed_out.weight", "output.weight"),
+]
+_GPTNEOX_LAYER_MAP = [
+    ("input_layernorm.weight", "attn_norm.weight"),
+    ("input_layernorm.bias", "attn_norm.bias"),
+    ("attention.query_key_value.weight", "attn_qkv.weight"),
+    ("attention.query_key_value.bias", "attn_qkv.bias"),
+    ("attention.dense.weight", "attn_output.weight"),
+    ("attention.dense.bias", "attn_output.bias"),
+    ("post_attention_layernorm.weight", "ffn_norm.weight"),
+    ("post_attention_layernorm.bias", "ffn_norm.bias"),
+    ("mlp.dense_h_to_4h.weight", "ffn_up.weight"),
+    ("mlp.dense_h_to_4h.bias", "ffn_up.bias"),
+    ("mlp.dense_4h_to_h.weight", "ffn_down.weight"),
+    ("mlp.dense_4h_to_h.bias", "ffn_down.bias"),
+]
+
+
+def _gptneox_name(hf_name: str) -> str | None:
+    for src, dst in _GPTNEOX_MAP:
+        if hf_name == src:
+            return dst
+    if hf_name.startswith("gpt_neox.layers."):
+        _, _, idx, rest = hf_name.split(".", 3)
+        for src, dst in _GPTNEOX_LAYER_MAP:
+            if rest == src:
+                return f"blk.{idx}.{dst}"
+    return None
 
 
 def _write_tokenizer(w: GGUFWriter, src_dir: str, hf: dict) -> None:

@@ -241,3 +241,54 @@ def test_command_r_parity(tmp_path):
                     [3, 11, 25, 7], expect_arch="command-r",
                     rtol=2e-3, atol=2e-3)
     assert lm.cfg.parallel_block and lm.cfg.logit_scale == 0.25
+
+
+def test_phi2_parity(tmp_path):
+    """phi2: LayerNorm+bias, parallel attn+MLP off one norm, partial rope,
+    biased lm_head (build_phi2, src/llama.cpp:13064)."""
+    cfg = transformers.PhiConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        partial_rotary_factor=0.5, layer_norm_eps=1e-5, rope_theta=10000.0,
+        max_position_embeddings=64, tie_word_embeddings=False,
+    )
+    lm = _roundtrip(tmp_path, cfg, transformers.PhiForCausalLM,
+                    [3, 11, 25, 7], expect_arch="phi2", rtol=2e-3, atol=2e-3)
+    assert lm.cfg.parallel_block and not lm.cfg.ffn_gated
+    assert lm.cfg.rope_dim == 8  # 0.5 * head_dim 16
+    assert lm.params.get("output_b") is not None
+
+
+def test_stablelm_parity(tmp_path):
+    """stablelm: LayerNorm+bias norms, partial rope, qkv bias
+    (build_stablelm)."""
+    cfg = transformers.StableLmConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        partial_rotary_factor=0.25, layer_norm_eps=1e-5, rope_theta=10000.0,
+        max_position_embeddings=64, use_qkv_bias=True,
+        use_parallel_residual=False, tie_word_embeddings=False,
+    )
+    lm = _roundtrip(tmp_path, cfg, transformers.StableLmForCausalLM,
+                    [3, 11, 25, 7], expect_arch="stablelm",
+                    rtol=2e-3, atol=2e-3)
+    assert lm.cfg.norm_type == "ln" and lm.cfg.rope_dim == 4
+    assert lm.params["layers"][0].get("bq") is not None
+
+
+@pytest.mark.parametrize("parallel", [True, False], ids=["parallel", "seq"])
+def test_gptneox_parity(tmp_path, parallel):
+    """gptneox: interleaved fused QKV (de-interleaved at conversion), LN+bias,
+    gateless GELU MLP, optional parallel residual with its own ffn_norm
+    (build_gptneox)."""
+    cfg = transformers.GPTNeoXConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, rotary_pct=0.25,
+        layer_norm_eps=1e-5, rotary_emb_base=10000,
+        max_position_embeddings=64, use_parallel_residual=parallel,
+        tie_word_embeddings=False,
+    )
+    lm = _roundtrip(tmp_path, cfg, transformers.GPTNeoXForCausalLM,
+                    [3, 11, 25, 7], expect_arch="gptneox",
+                    rtol=2e-3, atol=2e-3)
+    assert lm.cfg.parallel_block == parallel and lm.cfg.rope_dim == 4
