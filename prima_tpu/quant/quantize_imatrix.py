@@ -351,11 +351,22 @@ def _q_iq4_xs(x: np.ndarray, qw: np.ndarray) -> np.ndarray:
     return quantize_iq4_xs(x, qw)
 
 
+from .quantize_iq import (quantize_iq1_m, quantize_iq1_s,  # noqa: E402
+                          quantize_iq2_s, quantize_iq2_xs, quantize_iq2_xxs,
+                          quantize_iq3_s, quantize_iq3_xxs)
+
 _WEIGHTED = {
     GGMLType.Q4_K: quantize_q4_k,
     GGMLType.Q5_K: quantize_q5_k,
     GGMLType.Q6_K: quantize_q6_k,
     GGMLType.IQ4_XS: _q_iq4_xs,
+    GGMLType.IQ2_XXS: quantize_iq2_xxs,
+    GGMLType.IQ2_XS: quantize_iq2_xs,
+    GGMLType.IQ2_S: quantize_iq2_s,
+    GGMLType.IQ3_XXS: quantize_iq3_xxs,
+    GGMLType.IQ3_S: quantize_iq3_s,
+    GGMLType.IQ1_S: quantize_iq1_s,
+    GGMLType.IQ1_M: quantize_iq1_m,
 }
 
 

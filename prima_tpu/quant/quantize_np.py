@@ -465,5 +465,19 @@ def quantize(x: np.ndarray, ggml_type: GGMLType) -> np.ndarray:
         return ((u + 0x7FFF + ((u >> 16) & 1)) >> 16).astype(np.uint16).view(np.uint8)
     fn = QUANTIZE_FNS.get(ggml_type)
     if fn is None:
-        raise NotImplementedError(f"quantization to {ggml_type.name}")
+        from .quantize_iq import (quantize_iq1_m, quantize_iq1_s,
+                                  quantize_iq2_s, quantize_iq2_xs,
+                                  quantize_iq2_xxs, quantize_iq3_s,
+                                  quantize_iq3_xxs)
+
+        iq = {GGMLType.IQ2_XXS: quantize_iq2_xxs,
+              GGMLType.IQ2_XS: quantize_iq2_xs,
+              GGMLType.IQ2_S: quantize_iq2_s,
+              GGMLType.IQ3_XXS: quantize_iq3_xxs,
+              GGMLType.IQ3_S: quantize_iq3_s,
+              GGMLType.IQ1_S: quantize_iq1_s,
+              GGMLType.IQ1_M: quantize_iq1_m}.get(ggml_type)
+        if iq is None:
+            raise NotImplementedError(f"quantization to {ggml_type.name}")
+        return iq(x)  # unweighted: sqrt(sigma2+x^2) default weights
     return fn(x)

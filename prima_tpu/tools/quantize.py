@@ -37,6 +37,13 @@ FTYPES: dict[str, tuple[GGMLType, GGMLType]] = {
     "Q6_K": (GGMLType.Q6_K, GGMLType.Q6_K),
     "IQ4_NL": (GGMLType.IQ4_NL, GGMLType.Q6_K),
     "IQ4_XS": (GGMLType.IQ4_XS, GGMLType.Q6_K),
+    "IQ2_XXS": (GGMLType.IQ2_XXS, GGMLType.Q5_K),
+    "IQ2_XS": (GGMLType.IQ2_XS, GGMLType.Q5_K),
+    "IQ2_S": (GGMLType.IQ2_S, GGMLType.Q5_K),
+    "IQ3_XXS": (GGMLType.IQ3_XXS, GGMLType.Q5_K),
+    "IQ3_S": (GGMLType.IQ3_S, GGMLType.Q5_K),
+    "IQ1_S": (GGMLType.IQ1_S, GGMLType.Q5_K),
+    "IQ1_M": (GGMLType.IQ1_M, GGMLType.Q5_K),
     "F16": (GGMLType.F16, GGMLType.F16),
     "F32": (GGMLType.F32, GGMLType.F32),
 }
