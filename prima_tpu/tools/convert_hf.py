@@ -249,6 +249,8 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
     archs = hf.get("architectures") or []
     if any("Bert" in a for a in archs):
         return _convert_bert(src_dir, dst_path, hf, ftype, logfile)
+    if "MambaForCausalLM" in archs:
+        return _convert_mamba(src_dir, dst_path, hf, ftype, logfile)
     if ("LlamaForCausalLM" in archs or "MistralForCausalLM" in archs
             or "MixtralForCausalLM" in archs):
         arch = "llama"  # Mixtral is llama with expert_count > 0
@@ -450,6 +452,81 @@ def _gptneox_name(hf_name: str) -> str | None:
             if rest == src:
                 return f"blk.{idx}.{dst}"
     return None
+
+
+_MAMBA_MAP = [
+    ("backbone.embeddings.weight", "token_embd.weight"),
+    ("backbone.norm_f.weight", "output_norm.weight"),
+    ("lm_head.weight", "output.weight"),
+]
+_MAMBA_LAYER_MAP = [
+    ("norm.weight", "attn_norm.weight"),
+    ("mixer.in_proj.weight", "ssm_in.weight"),
+    ("mixer.conv1d.weight", "ssm_conv1d.weight"),
+    ("mixer.conv1d.bias", "ssm_conv1d.bias"),
+    ("mixer.x_proj.weight", "ssm_x.weight"),
+    ("mixer.dt_proj.weight", "ssm_dt.weight"),
+    ("mixer.dt_proj.bias", "ssm_dt.bias"),
+    ("mixer.A_log", "ssm_a"),
+    ("mixer.D", "ssm_d"),
+    ("mixer.out_proj.weight", "ssm_out.weight"),
+]
+
+
+def _convert_mamba(src_dir: str, dst_path: str, hf: dict, ftype: str,
+                   logfile) -> int:
+    """MambaForCausalLM -> GGUF arch "mamba" (convert_hf_to_gguf.py
+    MambaModel semantics: ssm_a = -exp(A_log), conv weight squeezed)."""
+    arch = "mamba"
+    d_model = int(hf["hidden_size"])
+    dt_rank = hf.get("time_step_rank", "auto")
+    if dt_rank == "auto" or dt_rank is None:
+        dt_rank = -(-d_model // 16)  # ceil(d_model / 16)
+    w = GGUFWriter(dst_path, arch=arch)
+    w.add_kv("general.name", os.path.basename(os.path.normpath(src_dir)))
+    w.add_kv(f"{arch}.block_count", int(hf["num_hidden_layers"]))
+    w.add_kv(f"{arch}.embedding_length", d_model)
+    w.add_kv(f"{arch}.context_length", int(hf.get("max_position_embeddings",
+                                                  2 ** 20)))
+    # unused by the arch but expected by generic tooling
+    w.add_kv(f"{arch}.feed_forward_length", 0)
+    w.add_kv(f"{arch}.attention.head_count", 0)
+    w.add_kv(f"{arch}.ssm.conv_kernel", int(hf.get("conv_kernel", 4)))
+    w.add_kv(f"{arch}.ssm.inner_size", int(hf.get("intermediate_size",
+                                                  2 * d_model)))
+    w.add_kv(f"{arch}.ssm.state_size", int(hf.get("state_size", 16)))
+    w.add_kv(f"{arch}.ssm.time_step_rank", int(dt_rank))
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon",
+             float(hf.get("layer_norm_epsilon", 1e-5)))
+    w.add_kv(f"{arch}.vocab_size", int(hf["vocab_size"]))
+    _write_tokenizer(w, src_dir, hf)
+
+    n = 0
+    seen_lm_head = False
+    for hf_name, data in _iter_hf_tensors(src_dir):
+        name = None
+        for src, dst in _MAMBA_MAP:
+            if hf_name == src:
+                name = dst
+        if hf_name.startswith("backbone.layers."):
+            _, _, idx, rest = hf_name.split(".", 3)
+            for src, dst in _MAMBA_LAYER_MAP:
+                if rest == src:
+                    name = f"blk.{idx}.{dst}"
+        if name is None:
+            continue
+        if name == "output.weight":
+            seen_lm_head = True
+        if name.endswith("ssm_a"):
+            data = -np.exp(data)
+        if name.endswith("ssm_conv1d.weight"):
+            data = data.reshape(data.shape[0], -1)  # (d_inner, 1, k) -> 2D
+        w.add_tensor(name, np.ascontiguousarray(data, dtype=np.float32))
+        n += 1
+        print(f"[{n:4d}] {name} (F32)", file=logfile)
+    del seen_lm_head  # tied embeddings are the norm; loader falls back
+    w.write()
+    return n
 
 
 def _write_tokenizer(w: GGUFWriter, src_dir: str, hf: dict) -> None:
