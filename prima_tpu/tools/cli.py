@@ -172,6 +172,31 @@ def main(argv=None) -> int:
 
     if args.verbose:
         print(f"loading {args.model} ...", file=sys.stderr)
+
+    from ..gguf.reader import GGUFModel
+
+    probe = GGUFModel.open(args.model)
+    probe_arch = probe.arch
+    probe.close()
+    if probe_arch == "mamba":
+        # recurrent-state decode path (no KV cache / engine)
+        from ..models.mamba import MambaRuntime
+
+        rt = MambaRuntime.load(args.model)
+        prompt = args.prompt
+        if args.file:
+            prompt = open(args.file).read()
+        if args.escape:
+            prompt = prompt.encode().decode("unicode_escape")
+        toks = rt.tokenizer.encode(prompt, add_special=True, parse_special=True)
+        n = args.n_predict if args.n_predict > 0 else 128
+        sampler = make_sampler(args, rt, rt.cfg.n_vocab) if args.temp > 0 else None
+        out = rt.generate(toks, n_predict=n, sampler=sampler)
+        if not args.no_display_prompt:
+            sys.stdout.write(prompt)
+        sys.stdout.write(rt.tokenizer.decode(out) + "\n")
+        return 0
+
     model = load_model(args.model)
     opts = ForwardOptions(matmul_impl=args.matmul)
     import jax.numpy as _jnp

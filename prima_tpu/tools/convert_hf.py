@@ -251,6 +251,8 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
         return _convert_bert(src_dir, dst_path, hf, ftype, logfile)
     if "MambaForCausalLM" in archs:
         return _convert_mamba(src_dir, dst_path, hf, ftype, logfile)
+    if any("T5" in a for a in archs):
+        return _convert_t5(src_dir, dst_path, hf, ftype, logfile)
     if ("LlamaForCausalLM" in archs or "MistralForCausalLM" in archs
             or "MixtralForCausalLM" in archs):
         arch = "llama"  # Mixtral is llama with expert_count > 0
@@ -525,6 +527,79 @@ def _convert_mamba(src_dir: str, dst_path: str, hf: dict, ftype: str,
         n += 1
         print(f"[{n:4d}] {name} (F32)", file=logfile)
     del seen_lm_head  # tied embeddings are the norm; loader falls back
+    w.write()
+    return n
+
+
+def _t5_name(hf_name: str) -> str | None:
+    top = {"shared.weight": "token_embd.weight",
+           "encoder.final_layer_norm.weight": "enc.output_norm.weight",
+           "decoder.final_layer_norm.weight": "dec.output_norm.weight",
+           "lm_head.weight": "output.weight"}
+    if hf_name in top:
+        return top[hf_name]
+    parts = hf_name.split(".")
+    # encoder.block.N.layer.L.<Module>.<rest>
+    if len(parts) < 7 or parts[1] != "block" or parts[3] != "layer":
+        return None
+    side = {"encoder": "enc", "decoder": "dec"}.get(parts[0])
+    if side is None:
+        return None
+    blk, li, mod = parts[2], parts[4], parts[5]
+    rest = ".".join(parts[6:])
+    attn = {"q.weight": "q", "k.weight": "k", "v.weight": "v", "o.weight": "o"}
+    if mod == "SelfAttention":
+        if rest in attn:
+            return f"{side}.blk.{blk}.attn_{attn[rest]}.weight"
+        if rest == "relative_attention_bias.weight":
+            return f"{side}.blk.{blk}.attn_rel_b.weight"
+    if mod == "EncDecAttention" and rest in attn:
+        return f"{side}.blk.{blk}.cross_attn_{attn[rest]}.weight"
+    if mod == "DenseReluDense":
+        ffn = {"wi.weight": "ffn_up", "wi_0.weight": "ffn_gate",
+               "wi_1.weight": "ffn_up", "wo.weight": "ffn_down"}
+        if rest in ffn:
+            return f"{side}.blk.{blk}.{ffn[rest]}.weight"
+    if mod == "layer_norm" and rest == "weight":
+        if side == "enc":
+            return f"enc.blk.{blk}." + ("attn_norm" if li == "0"
+                                        else "ffn_norm") + ".weight"
+        return f"dec.blk.{blk}." + {"0": "attn_norm", "1": "cross_attn_norm",
+                                    "2": "ffn_norm"}[li] + ".weight"
+    return None
+
+
+def _convert_t5(src_dir: str, dst_path: str, hf: dict, ftype: str,
+                logfile) -> int:
+    """T5ForConditionalGeneration -> GGUF arch "t5"."""
+    arch = "t5"
+    w = GGUFWriter(dst_path, arch=arch)
+    w.add_kv("general.name", os.path.basename(os.path.normpath(src_dir)))
+    w.add_kv(f"{arch}.block_count", int(hf["num_layers"]))
+    w.add_kv(f"{arch}.encoder_block_count",
+             int(hf.get("num_layers", hf["num_layers"])))
+    w.add_kv(f"{arch}.embedding_length", int(hf["d_model"]))
+    w.add_kv(f"{arch}.feed_forward_length", int(hf["d_ff"]))
+    w.add_kv(f"{arch}.attention.head_count", int(hf["num_heads"]))
+    w.add_kv(f"{arch}.attention.key_length", int(hf["d_kv"]))
+    w.add_kv(f"{arch}.context_length", 512)
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon",
+             float(hf.get("layer_norm_epsilon", 1e-6)))
+    w.add_kv(f"{arch}.attention.relative_buckets_count",
+             int(hf.get("relative_attention_num_buckets", 32)))
+    w.add_kv(f"{arch}.decoder_start_token_id",
+             int(hf.get("decoder_start_token_id", 0)))
+    w.add_kv(f"{arch}.vocab_size", int(hf["vocab_size"]))
+    _write_tokenizer(w, src_dir, hf)
+
+    n = 0
+    for hf_name, data in _iter_hf_tensors(src_dir):
+        name = _t5_name(hf_name)
+        if name is None:
+            continue
+        w.add_tensor(name, np.ascontiguousarray(data, dtype=np.float32))
+        n += 1
+        print(f"[{n:4d}] {name} (F32)", file=logfile)
     w.write()
     return n
 

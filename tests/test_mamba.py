@@ -76,3 +76,21 @@ def test_mamba_generate_matches_hf_greedy(mamba_gguf):
             torch.tensor([prompt]), max_new_tokens=8, do_sample=False,
             pad_token_id=0)
     assert out == hf_out[0, len(prompt):].tolist()
+
+
+def test_mamba_cli(mamba_gguf, capsys):
+    """llama-cli runs mamba models; so does prima-cli (recurrent path)."""
+    import io
+    import sys as _sys
+
+    from prima_tpu.tools.cli import main as cli_main
+
+    dst, _ = mamba_gguf
+    old = _sys.stdout
+    _sys.stdout = cap = io.StringIO()
+    try:
+        rc = cli_main(["-m", dst, "-p", "hello", "-n", "6", "--temp", "0",
+                       "--no-display-prompt"])
+    finally:
+        _sys.stdout = old
+    assert rc == 0 and len(cap.getvalue().strip()) > 0
