@@ -83,7 +83,8 @@ class ModelConfig:
         arch = m.arch
         if arch not in ("llama", "qwen2", "gemma", "gemma2", "phi3",
                         "internlm2", "minicpm", "qwen2moe", "starcoder2",
-                        "olmo", "command-r", "phi2", "stablelm", "gptneox"):
+                        "olmo", "command-r", "phi2", "stablelm", "gptneox",
+                        "falcon"):
             raise NotImplementedError(
                 f"arch {arch!r}: supported archs are llama (incl. MoE/Mixtral),"
                 " qwen2, gemma, gemma2, phi3"
@@ -155,6 +156,14 @@ class ModelConfig:
             extra["parallel_block"] = True
             extra["ffn_gated"] = False
             extra["act"] = "gelu"
+        if arch == "falcon":
+            # LayerNorm+bias, fused qkv ([q;k;v] after the converter's
+            # "jploski" reorder), parallel attn+MLP; attn_norm_2 (when
+            # present, falcon-40b) norms the MLP input (build_falcon)
+            extra["norm_type"] = "ln"
+            extra["ffn_gated"] = False
+            extra["act"] = "gelu"
+            extra["parallel_block"] = True
         if arch == "gptneox":
             # LayerNorm+bias, gateless GELU MLP, optionally parallel residual
             # with its own ffn_norm (build_gptneox)

@@ -180,6 +180,13 @@ def load_params(
             "ffn_norm": get(p + "ffn_norm.weight", dense=True,
                             required=not (ln or cfg.parallel_block)),
         }
+        if (p + "attn_norm_2.weight") in t:
+            # falcon-40b style: a second LayerNorm feeding the parallel MLP
+            # (LLM_TENSOR_ATTN_NORM_2) — our parallel path reads "ffn_norm"
+            layer["ffn_norm"] = get(p + "attn_norm_2.weight", dense=True)
+            b2 = get(p + "attn_norm_2.bias", dense=True, required=False)
+            if b2 is not None:
+                layer["ffn_norm_b"] = b2
         if (p + "attn_qkv.weight") in t:  # phi3: fused qkv, split by rows
             ti = t[p + "attn_qkv.weight"]
             nq = h * hd

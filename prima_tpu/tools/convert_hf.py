@@ -272,6 +272,8 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
         arch = "stablelm"
     elif "GPTNeoXForCausalLM" in archs:
         arch = "gptneox"
+    elif "FalconForCausalLM" in archs:
+        arch = "falcon"
     elif "GemmaForCausalLM" in archs:
         arch = "gemma"
     elif "Gemma2ForCausalLM" in archs:
@@ -282,12 +284,14 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
         raise NotImplementedError(f"architectures {archs}")
 
     n_heads = hf["num_attention_heads"]
-    n_kv = hf.get("num_key_value_heads", n_heads)
+    n_kv = (hf.get("num_key_value_heads") or hf.get("num_kv_heads")
+            or n_heads)  # falcon names it num_kv_heads
     w = GGUFWriter(dst_path, arch=arch)
     w.add_kv("general.name", os.path.basename(os.path.normpath(src_dir)))
     w.add_kv(f"{arch}.block_count", hf["num_hidden_layers"])
     w.add_kv(f"{arch}.embedding_length", hf["hidden_size"])
-    w.add_kv(f"{arch}.feed_forward_length", hf["intermediate_size"])
+    w.add_kv(f"{arch}.feed_forward_length",
+             int(hf.get("intermediate_size") or 4 * hf["hidden_size"]))
     w.add_kv(f"{arch}.attention.head_count", n_heads)
     w.add_kv(f"{arch}.attention.head_count_kv", n_kv)
     w.add_kv(f"{arch}.context_length", hf.get("max_position_embeddings", 4096))
@@ -333,6 +337,9 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
                  float(hf.get("layer_norm_eps", 1e-5)))
         w.add_kv(f"{arch}.use_parallel_residual",
                  bool(hf.get("use_parallel_residual", True)))
+    if arch == "falcon":
+        w.add_kv(f"{arch}.attention.layer_norm_epsilon",
+                 float(hf.get("layer_norm_epsilon", 1e-5)))
     if arch == "qwen2moe":
         w.add_kv(f"{arch}.expert_count", int(hf["num_experts"]))
         w.add_kv(f"{arch}.expert_used_count",
@@ -370,6 +377,21 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
         print(f"[{n:4d}] {name} ({t.name})", file=logfile)
 
     for hf_name, data in _iter_hf_tensors(src_dir):
+        if arch == "falcon":
+            name = _falcon_name(hf_name)
+            if name is None:
+                continue
+            if "attn_qkv" in name:
+                # "jploski" reorder: per-kv-group [q...q, k, v] rows ->
+                # contiguous [all q; all k; all v] (FalconModel converter)
+                hd = hf["hidden_size"] // n_heads
+                qkv = data.reshape(n_kv, n_heads // n_kv + 2, hd, -1)
+                q = qkv[:, :-2].reshape(n_heads * hd, -1)
+                kk = qkv[:, -2].reshape(n_kv * hd, -1)
+                vv = qkv[:, -1].reshape(n_kv * hd, -1)
+                data = np.concatenate([q, kk, vv], axis=0)
+            emit(name, data)
+            continue
         if arch == "gptneox":
             name = _gptneox_name(hf_name)
             if name is None:
@@ -442,6 +464,38 @@ _GPTNEOX_LAYER_MAP = [
     ("mlp.dense_4h_to_h.weight", "ffn_down.weight"),
     ("mlp.dense_4h_to_h.bias", "ffn_down.bias"),
 ]
+
+
+_FALCON_MAP = [
+    ("transformer.word_embeddings.weight", "token_embd.weight"),
+    ("transformer.ln_f.weight", "output_norm.weight"),
+    ("transformer.ln_f.bias", "output_norm.bias"),
+    ("lm_head.weight", "output.weight"),
+]
+_FALCON_LAYER_MAP = [
+    ("input_layernorm.weight", "attn_norm.weight"),
+    ("input_layernorm.bias", "attn_norm.bias"),
+    ("ln_attn.weight", "attn_norm.weight"),  # falcon-40b two-norm form
+    ("ln_attn.bias", "attn_norm.bias"),
+    ("ln_mlp.weight", "attn_norm_2.weight"),
+    ("ln_mlp.bias", "attn_norm_2.bias"),
+    ("self_attention.query_key_value.weight", "attn_qkv.weight"),
+    ("self_attention.dense.weight", "attn_output.weight"),
+    ("mlp.dense_h_to_4h.weight", "ffn_up.weight"),
+    ("mlp.dense_4h_to_h.weight", "ffn_down.weight"),
+]
+
+
+def _falcon_name(hf_name: str) -> str | None:
+    for src, dst in _FALCON_MAP:
+        if hf_name == src:
+            return dst
+    if hf_name.startswith("transformer.h."):
+        _, _, idx, rest = hf_name.split(".", 3)
+        for src, dst in _FALCON_LAYER_MAP:
+            if rest == src:
+                return f"blk.{idx}.{dst}"
+    return None
 
 
 def _gptneox_name(hf_name: str) -> str | None:

@@ -292,3 +292,22 @@ def test_gptneox_parity(tmp_path, parallel):
                     [3, 11, 25, 7], expect_arch="gptneox",
                     rtol=2e-3, atol=2e-3)
     assert lm.cfg.parallel_block == parallel and lm.cfg.rope_dim == 4
+
+
+@pytest.mark.parametrize("new_arch", [True, False], ids=["multiquery", "mha"])
+def test_falcon_parity(tmp_path, new_arch):
+    """falcon: fused multi-query QKV ('jploski' reorder at conversion),
+    LayerNorm+bias, parallel attn+MLP (build_falcon)."""
+    cfg = transformers.FalconConfig(
+        vocab_size=128, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_kv_heads=2 if new_arch else 4,
+        new_decoder_architecture=new_arch, multi_query=new_arch,
+        parallel_attn=True, bias=False, layer_norm_epsilon=1e-5,
+        rope_theta=10000.0, max_position_embeddings=64, alibi=False,
+    )
+    lm = _roundtrip(tmp_path, cfg, transformers.FalconForCausalLM,
+                    [3, 11, 25, 7], expect_arch="falcon",
+                    rtol=2e-3, atol=2e-3)
+    assert lm.cfg.parallel_block and lm.cfg.norm_type == "ln"
+    if new_arch:
+        assert lm.params["layers"][0].get("ffn_norm") is not None
