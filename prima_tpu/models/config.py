@@ -69,6 +69,7 @@ class ModelConfig:
     ffn_gated: bool = True  # False: plain up -> act -> down MLP (starcoder2)
     parallel_block: bool = False  # command-r: attn + ffn share the norm input
     clamp_kqv: float = 0.0  # olmo: clamp q/k/v to +-clamp_kqv
+    pos_embd: bool = False  # gpt2/starcoder: learned position embeddings
 
     @property
     def n_embd_k_gqa(self) -> int:
@@ -84,7 +85,7 @@ class ModelConfig:
         if arch not in ("llama", "qwen2", "gemma", "gemma2", "phi3",
                         "internlm2", "minicpm", "qwen2moe", "starcoder2",
                         "olmo", "command-r", "phi2", "stablelm", "gptneox",
-                        "falcon"):
+                        "falcon", "gpt2", "starcoder"):
             raise NotImplementedError(
                 f"arch {arch!r}: supported archs are llama (incl. MoE/Mixtral),"
                 " qwen2, gemma, gemma2, phi3"
@@ -156,6 +157,14 @@ class ModelConfig:
             extra["parallel_block"] = True
             extra["ffn_gated"] = False
             extra["act"] = "gelu"
+        if arch in ("gpt2", "starcoder"):
+            # learned position embeddings (LLM_TENSOR_POS_EMBD), LayerNorm
+            # +bias, fused qkv with biases, gateless GELU MLP, no rope
+            # (build_gpt2 / build_starcoder)
+            extra["norm_type"] = "ln"
+            extra["ffn_gated"] = False
+            extra["act"] = "gelu"
+            extra["pos_embd"] = True
         if arch == "falcon":
             # LayerNorm+bias, fused qkv ([q;k;v] after the converter's
             # "jploski" reorder), parallel attn+MLP; attn_norm_2 (when
@@ -199,7 +208,7 @@ class ModelConfig:
             rms_eps=float(g("{arch}.attention.layer_norm_rms_epsilon",
                             g("{arch}.attention.layer_norm_epsilon", 1e-5))),
             rope_base=float(g("{arch}.rope.freq_base", 10000.0)),
-            rope_dim=rope_dim,
+            rope_dim=0 if arch in ("gpt2", "starcoder") else rope_dim,
             rope_type=(RopeType.NORM
                        if arch in ("llama", "internlm2", "minicpm", "olmo",
                                    "command-r")

@@ -165,6 +165,9 @@ def load_params(
     params: dict[str, Any] = {"layers": []}
     if with_embedding:
         params["tok_embd"] = get("token_embd.weight")
+        pe = get("position_embd.weight", dense=True, required=False)
+        if pe is not None:
+            params["pos_embd"] = pe
     for i in range(cfg.n_layers):
         if layer_filter is not None and not layer_filter(i):
             params["layers"].append(None)
@@ -669,8 +672,9 @@ def attention_block(
     q = q.reshape(b, s, h, hd)
     k = k.reshape(b, s, kvh, hd)
     v = v.reshape(b, s, kvh, hd)
-    q = apply_rope(q, positions, inv_freq, cfg.rope_type, mscale)
-    k = apply_rope(k, positions, inv_freq, cfg.rope_type, mscale)
+    if cfg.rope_dim:  # gpt2/starcoder: learned positions, no rope
+        q = apply_rope(q, positions, inv_freq, cfg.rope_type, mscale)
+        k = apply_rope(k, positions, inv_freq, cfg.rope_type, mscale)
 
     from ..ops.kvquant import update_kv
 
@@ -870,6 +874,8 @@ def forward(
         x = embed(params["tok_embd"], tokens, opts.dtype)
         if cfg.embd_scale != 1.0:  # gemma: sqrt(n_embd) input scaling
             x = x * np.float32(cfg.embd_scale)
+        if params.get("pos_embd") is not None:  # gpt2/starcoder learned pos
+            x = x + params["pos_embd"][positions].astype(x.dtype)
     else:
         assert hidden_in is not None
         x = hidden_in

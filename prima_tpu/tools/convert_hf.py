@@ -274,6 +274,10 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
         arch = "gptneox"
     elif "FalconForCausalLM" in archs:
         arch = "falcon"
+    elif "GPT2LMHeadModel" in archs:
+        arch = "gpt2"
+    elif "GPTBigCodeForCausalLM" in archs:
+        arch = "starcoder"
     elif "GemmaForCausalLM" in archs:
         arch = "gemma"
     elif "Gemma2ForCausalLM" in archs:
@@ -283,21 +287,29 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
     else:
         raise NotImplementedError(f"architectures {archs}")
 
-    n_heads = hf["num_attention_heads"]
+    n_heads = hf.get("num_attention_heads") or hf.get("n_head")
     n_kv = (hf.get("num_key_value_heads") or hf.get("num_kv_heads")
             or n_heads)  # falcon names it num_kv_heads
+    if archs and "GPTBigCodeForCausalLM" in archs and hf.get("multi_query", True):
+        n_kv = 1
     w = GGUFWriter(dst_path, arch=arch)
     w.add_kv("general.name", os.path.basename(os.path.normpath(src_dir)))
-    w.add_kv(f"{arch}.block_count", hf["num_hidden_layers"])
-    w.add_kv(f"{arch}.embedding_length", hf["hidden_size"])
+    w.add_kv(f"{arch}.block_count",
+             int(hf.get("num_hidden_layers") or hf.get("n_layer")))
+    w.add_kv(f"{arch}.embedding_length",
+             int(hf.get("hidden_size") or hf.get("n_embd")))
+    n_embd_eff = int(hf.get("hidden_size") or hf.get("n_embd"))
     w.add_kv(f"{arch}.feed_forward_length",
-             int(hf.get("intermediate_size") or 4 * hf["hidden_size"]))
+             int(hf.get("intermediate_size") or hf.get("n_inner")
+                 or 4 * n_embd_eff))
     w.add_kv(f"{arch}.attention.head_count", n_heads)
     w.add_kv(f"{arch}.attention.head_count_kv", n_kv)
-    w.add_kv(f"{arch}.context_length", hf.get("max_position_embeddings", 4096))
+    w.add_kv(f"{arch}.context_length",
+             int(hf.get("max_position_embeddings")
+                 or hf.get("n_positions") or 4096))
     w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", hf.get("rms_norm_eps", 1e-5))
     w.add_kv(f"{arch}.rope.freq_base", float(hf.get("rope_theta", 10000.0)))
-    head_dim_eff = int(hf.get("head_dim") or hf["hidden_size"] // n_heads)
+    head_dim_eff = int(hf.get("head_dim") or n_embd_eff // n_heads)
     rope_dim = head_dim_eff
     if hf.get("partial_rotary_factor"):  # phi2 / stablelm partial rope
         rope_dim = int(head_dim_eff * float(hf["partial_rotary_factor"]))
@@ -340,6 +352,11 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
     if arch == "falcon":
         w.add_kv(f"{arch}.attention.layer_norm_epsilon",
                  float(hf.get("layer_norm_epsilon", 1e-5)))
+    if arch in ("gpt2", "starcoder"):
+        w.add_kv(f"{arch}.attention.layer_norm_epsilon",
+                 float(hf.get("layer_norm_epsilon", 1e-5)))
+        if arch == "starcoder" and hf.get("multi_query", True):
+            pass  # head_count_kv written below from n_kv
     if arch == "qwen2moe":
         w.add_kv(f"{arch}.expert_count", int(hf["num_experts"]))
         w.add_kv(f"{arch}.expert_used_count",
@@ -391,6 +408,16 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
                 vv = qkv[:, -1].reshape(n_kv * hd, -1)
                 data = np.concatenate([q, kk, vv], axis=0)
             emit(name, data)
+            continue
+        if arch in ("gpt2", "starcoder"):
+            name = _gpt2_name(hf_name, arch)
+            if name is None:
+                continue
+            if arch == "gpt2" and name.endswith(".weight") and (
+                    "attn_qkv" in name or "attn_output" in name
+                    or "ffn_up" in name or "ffn_down" in name):
+                data = data.T  # HF gpt2 Conv1D stores (in, out)
+            emit(name, np.ascontiguousarray(data))
             continue
         if arch == "gptneox":
             name = _gptneox_name(hf_name)
@@ -484,6 +511,43 @@ _FALCON_LAYER_MAP = [
     ("mlp.dense_h_to_4h.weight", "ffn_up.weight"),
     ("mlp.dense_4h_to_h.weight", "ffn_down.weight"),
 ]
+
+
+_GPT2_MAP = [
+    ("wte.weight", "token_embd.weight"),
+    ("wpe.weight", "position_embd.weight"),
+    ("ln_f.weight", "output_norm.weight"),
+    ("ln_f.bias", "output_norm.bias"),
+    ("lm_head.weight", "output.weight"),
+]
+_GPT2_LAYER_MAP = [
+    ("ln_1.weight", "attn_norm.weight"),
+    ("ln_1.bias", "attn_norm.bias"),
+    ("attn.c_attn.weight", "attn_qkv.weight"),
+    ("attn.c_attn.bias", "attn_qkv.bias"),
+    ("attn.c_proj.weight", "attn_output.weight"),
+    ("attn.c_proj.bias", "attn_output.bias"),
+    ("ln_2.weight", "ffn_norm.weight"),
+    ("ln_2.bias", "ffn_norm.bias"),
+    ("mlp.c_fc.weight", "ffn_up.weight"),
+    ("mlp.c_fc.bias", "ffn_up.bias"),
+    ("mlp.c_proj.weight", "ffn_down.weight"),
+    ("mlp.c_proj.bias", "ffn_down.bias"),
+]
+
+
+def _gpt2_name(hf_name: str, arch: str) -> str | None:
+    if hf_name.startswith("transformer."):
+        hf_name = hf_name[len("transformer."):]
+    for src, dst in _GPT2_MAP:
+        if hf_name == src:
+            return dst
+    if hf_name.startswith("h."):
+        _, idx, rest = hf_name.split(".", 2)
+        for src, dst in _GPT2_LAYER_MAP:
+            if rest == src:
+                return f"blk.{idx}.{dst}"
+    return None
 
 
 def _falcon_name(hf_name: str) -> str | None:

@@ -311,3 +311,31 @@ def test_falcon_parity(tmp_path, new_arch):
     assert lm.cfg.parallel_block and lm.cfg.norm_type == "ln"
     if new_arch:
         assert lm.params["layers"][0].get("ffn_norm") is not None
+
+
+def test_gpt2_parity(tmp_path):
+    """gpt2: learned position embeddings, Conv1D-transposed fused qkv,
+    LN+bias, no rope (build_gpt2, src/llama.cpp:13417)."""
+    cfg = transformers.GPT2Config(
+        vocab_size=128, n_positions=64, n_embd=64, n_layer=2, n_head=4,
+        layer_norm_epsilon=1e-5, tie_word_embeddings=True,
+        attn_pdrop=0.0, embd_pdrop=0.0, resid_pdrop=0.0,
+    )
+    lm = _roundtrip(tmp_path, cfg, transformers.GPT2LMHeadModel,
+                    [3, 11, 25, 7], expect_arch="gpt2", rtol=2e-3, atol=2e-3)
+    assert lm.cfg.pos_embd and lm.cfg.rope_dim == 0
+    assert lm.params.get("pos_embd") is not None
+
+
+def test_starcoder_parity(tmp_path):
+    """starcoder v1 (GPTBigCode): multi-query (n_kv=1) fused qkv, learned
+    positions (build_starcoder)."""
+    cfg = transformers.GPTBigCodeConfig(
+        vocab_size=128, n_positions=64, n_embd=64, n_layer=2, n_head=4,
+        multi_query=True, layer_norm_epsilon=1e-5,
+        attn_pdrop=0.0, embd_pdrop=0.0, resid_pdrop=0.0,
+    )
+    lm = _roundtrip(tmp_path, cfg, transformers.GPTBigCodeForCausalLM,
+                    [3, 11, 25, 7], expect_arch="starcoder",
+                    rtol=2e-3, atol=2e-3)
+    assert lm.cfg.n_kv_heads == 1 and lm.cfg.pos_embd
