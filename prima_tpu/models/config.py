@@ -85,7 +85,7 @@ class ModelConfig:
         if arch not in ("llama", "qwen2", "gemma", "gemma2", "phi3",
                         "internlm2", "minicpm", "qwen2moe", "starcoder2",
                         "olmo", "command-r", "phi2", "stablelm", "gptneox",
-                        "falcon", "gpt2", "starcoder"):
+                        "falcon", "gpt2", "starcoder", "granite", "nemotron"):
             raise NotImplementedError(
                 f"arch {arch!r}: supported archs are llama (incl. MoE/Mixtral),"
                 " qwen2, gemma, gemma2, phi3"
@@ -157,6 +157,24 @@ class ModelConfig:
             extra["parallel_block"] = True
             extra["ffn_gated"] = False
             extra["act"] = "gelu"
+        if arch == "granite":
+            # llama with four scale knobs (LLM_ARCH_GRANITE,
+            # src/llama.cpp:6556-6560); logits are DIVIDED by logit_scale
+            extra["embd_scale"] = float(g("{arch}.embedding_scale", 1.0) or 1.0)
+            extra["residual_scale"] = float(
+                g("{arch}.residual_scale", 1.0) or 1.0)
+            ls = float(g("{arch}.logit_scale", 0.0) or 0.0)
+            if ls:
+                extra["logit_scale"] = 1.0 / ls
+            ats = float(g("{arch}.attention.scale", 0.0) or 0.0)
+            if ats:
+                extra["attn_scale"] = ats
+        if arch == "nemotron":
+            # layernorm1p folded into +1 weights at conversion; squared-ReLU
+            # MLP, partial rope (build_nemotron, src/llama.cpp:16369)
+            extra["norm_type"] = "ln"
+            extra["ffn_gated"] = False
+            extra["act"] = "relu2"
         if arch in ("gpt2", "starcoder"):
             # learned position embeddings (LLM_TENSOR_POS_EMBD), LayerNorm
             # +bias, fused qkv with biases, gateless GELU MLP, no rope
@@ -211,7 +229,7 @@ class ModelConfig:
             rope_dim=0 if arch in ("gpt2", "starcoder") else rope_dim,
             rope_type=(RopeType.NORM
                        if arch in ("llama", "internlm2", "minicpm", "olmo",
-                                   "command-r")
+                                   "command-r", "granite")
                        else RopeType.NEOX),
             rope_scaling=scaling,
             qkv_bias=arch in ("qwen2", "qwen2moe", "starcoder2", "phi2"),

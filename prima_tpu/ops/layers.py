@@ -146,7 +146,12 @@ def geglu(gate: jax.Array, up: jax.Array) -> jax.Array:
 
 
 def gated_act(gate: jax.Array, up: jax.Array, act: str) -> jax.Array:
-    return geglu(gate, up) if act == "gelu" else swiglu(gate, up)
+    if act == "gelu":
+        return geglu(gate, up)
+    if act == "relu2":  # nemotron LLM_FFN_RELU_SQR: sqr(relu(x))
+        r = jnp.maximum(gate.astype(jnp.float32), 0.0)
+        return (r * r * up.astype(jnp.float32)).astype(gate.dtype)
+    return swiglu(gate, up)
 
 
 def causal_mask(pos_q: jax.Array, t: int, seq_lens: jax.Array | None = None,

@@ -278,6 +278,10 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
         arch = "gpt2"
     elif "GPTBigCodeForCausalLM" in archs:
         arch = "starcoder"
+    elif "GraniteForCausalLM" in archs:
+        arch = "granite"
+    elif "NemotronForCausalLM" in archs:
+        arch = "nemotron"
     elif "GemmaForCausalLM" in archs:
         arch = "gemma"
     elif "Gemma2ForCausalLM" in archs:
@@ -355,6 +359,17 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
     if arch in ("gpt2", "starcoder"):
         w.add_kv(f"{arch}.attention.layer_norm_epsilon",
                  float(hf.get("layer_norm_epsilon", 1e-5)))
+    if arch == "granite":
+        w.add_kv(f"{arch}.embedding_scale",
+                 float(hf.get("embedding_multiplier", 1.0)))
+        w.add_kv(f"{arch}.residual_scale",
+                 float(hf.get("residual_multiplier", 1.0)))
+        w.add_kv(f"{arch}.logit_scale", float(hf.get("logits_scaling", 1.0)))
+        w.add_kv(f"{arch}.attention.scale",
+                 float(hf.get("attention_multiplier", 0.0)))
+    if arch == "nemotron":
+        w.add_kv(f"{arch}.attention.layer_norm_epsilon",
+                 float(hf.get("norm_eps", hf.get("layer_norm_eps", 1e-5))))
         if arch == "starcoder" and hf.get("multi_query", True):
             pass  # head_count_kv written below from n_kv
     if arch == "qwen2moe":
@@ -452,10 +467,12 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
         name = _gguf_name(hf_name, arch)
         if name is None:
             continue
-        if arch in ("llama", "olmo") and name.endswith(("attn_q.weight",)):
+        if arch in ("llama", "olmo", "granite") and name.endswith(("attn_q.weight",)):
             data = _permute_qk(data, n_heads)
-        elif arch in ("llama", "olmo") and name.endswith(("attn_k.weight",)):
+        elif arch in ("llama", "olmo", "granite") and name.endswith(("attn_k.weight",)):
             data = _permute_qk(data, n_kv)
+        elif arch == "nemotron" and name.endswith("norm.weight"):
+            data = data + 1.0  # layernorm1p folded in (NemotronModel)
         elif arch in ("gemma", "gemma2") and ("norm" in name):
             data = data + 1.0  # HF gemma norms compute (1 + w) * x_hat
         emit(name, data)

@@ -339,3 +339,37 @@ def test_starcoder_parity(tmp_path):
                     [3, 11, 25, 7], expect_arch="starcoder",
                     rtol=2e-3, atol=2e-3)
     assert lm.cfg.n_kv_heads == 1 and lm.cfg.pos_embd
+
+
+def test_granite_parity(tmp_path):
+    """granite: llama with embedding/residual/attention/logits multipliers
+    (LLM_ARCH_GRANITE, src/llama.cpp:6556)."""
+    cfg = transformers.GraniteConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        embedding_multiplier=6.0, residual_multiplier=0.5,
+        attention_multiplier=0.1, logits_scaling=4.0,
+        rope_theta=10000.0, max_position_embeddings=64,
+        tie_word_embeddings=False,
+    )
+    lm = _roundtrip(tmp_path, cfg, transformers.GraniteForCausalLM,
+                    [3, 11, 25, 7], expect_arch="granite",
+                    rtol=2e-3, atol=2e-3)
+    assert lm.cfg.embd_scale == 6.0 and lm.cfg.residual_scale == 0.5
+    assert lm.cfg.logit_scale == 0.25
+    assert abs(lm.cfg.attn_scale - 0.1) < 1e-6
+
+
+def test_nemotron_parity(tmp_path):
+    """nemotron: layernorm1p (+1 folded into weights at conversion),
+    squared-ReLU MLP, partial rope (build_nemotron)."""
+    cfg = transformers.NemotronConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        partial_rotary_factor=0.5, norm_eps=1e-5, rope_theta=10000.0,
+        max_position_embeddings=64, tie_word_embeddings=False,
+    )
+    lm = _roundtrip(tmp_path, cfg, transformers.NemotronForCausalLM,
+                    [3, 11, 25, 7], expect_arch="nemotron",
+                    rtol=2e-3, atol=2e-3)
+    assert lm.cfg.act == "relu2" and lm.cfg.rope_dim == 8
