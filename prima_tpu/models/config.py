@@ -85,7 +85,8 @@ class ModelConfig:
         if arch not in ("llama", "qwen2", "gemma", "gemma2", "phi3",
                         "internlm2", "minicpm", "qwen2moe", "starcoder2",
                         "olmo", "command-r", "phi2", "stablelm", "gptneox",
-                        "falcon", "gpt2", "starcoder", "granite", "nemotron"):
+                        "falcon", "gpt2", "starcoder", "granite", "nemotron",
+                        "olmoe"):
             raise NotImplementedError(
                 f"arch {arch!r}: supported archs are llama (incl. MoE/Mixtral),"
                 " qwen2, gemma, gemma2, phi3"
@@ -137,8 +138,8 @@ class ModelConfig:
             extra["residual_scale"] = float(
                 g("{arch}.residual_scale", 1.4 / n_layers ** 0.5))
             extra["logit_scale"] = float(g("{arch}.logit_scale", 256.0 / n_embd))
-        if arch == "qwen2moe":
-            extra["moe_norm_w"] = False  # build_qwen2moe passes norm_w=false
+        if arch in ("qwen2moe", "olmoe"):
+            extra["moe_norm_w"] = False  # norm_w=false in both builders
         if arch == "starcoder2":
             # LayerNorm + biased projections + gateless GELU MLP
             # (build_starcoder2, src/llama.cpp:14469)

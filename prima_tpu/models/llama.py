@@ -244,7 +244,9 @@ def load_params(
             layer["bq"] = get(p + "attn_q.bias", dense=True)
             layer["bk"] = get(p + "attn_k.bias", dense=True)
             layer["bv"] = get(p + "attn_v.bias", dense=True)
-        for bname, key in (("attn_norm.bias", "attn_norm_b"),
+        for bname, key in (("attn_q_norm.weight", "attn_q_norm"),
+                           ("attn_k_norm.weight", "attn_k_norm"),
+                           ("attn_norm.bias", "attn_norm_b"),
                            ("ffn_norm.bias", "ffn_norm_b"),
                            ("attn_output.bias", "bo"),
                            ("ffn_up.bias", "b_up"),
@@ -669,6 +671,9 @@ def attention_block(
     if cfg.clamp_kqv:  # olmo (build_olmo ggml_clamp)
         c = np.float32(cfg.clamp_kqv)
         q, k, v = (jnp.clip(a, -c, c) for a in (q, k, v))
+    if layer.get("attn_q_norm") is not None:  # olmoe: RMS over the full
+        q = rms_norm(q, layer["attn_q_norm"], cfg.rms_eps)  # q/k vectors
+        k = rms_norm(k, layer["attn_k_norm"], cfg.rms_eps)
     q = q.reshape(b, s, h, hd)
     k = k.reshape(b, s, kvh, hd)
     v = v.reshape(b, s, kvh, hd)

@@ -50,7 +50,9 @@ _LAYER_MAP = [
     ("mlp.down_proj.weight", "ffn_down.weight"),
     ("mlp.gate_up_proj.weight", "ffn_up.weight"),  # phi3 fused gate+up
     ("block_sparse_moe.gate.weight", "ffn_gate_inp.weight"),  # mixtral
-    ("mlp.gate.weight", "ffn_gate_inp.weight"),  # qwen2moe router
+    ("mlp.gate.weight", "ffn_gate_inp.weight"),  # qwen2moe/olmoe router
+    ("self_attn.q_norm.weight", "attn_q_norm.weight"),  # olmoe
+    ("self_attn.k_norm.weight", "attn_k_norm.weight"),
     ("mlp.shared_expert_gate.weight", "ffn_gate_inp_shexp.weight"),
     ("mlp.shared_expert.gate_proj.weight", "ffn_gate_shexp.weight"),
     ("mlp.shared_expert.up_proj.weight", "ffn_up_shexp.weight"),
@@ -282,6 +284,8 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
         arch = "granite"
     elif "NemotronForCausalLM" in archs:
         arch = "nemotron"
+    elif "OlmoeForCausalLM" in archs:
+        arch = "olmoe"
     elif "GemmaForCausalLM" in archs:
         arch = "gemma"
     elif "Gemma2ForCausalLM" in archs:
@@ -372,6 +376,10 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
                  float(hf.get("norm_eps", hf.get("layer_norm_eps", 1e-5))))
         if arch == "starcoder" and hf.get("multi_query", True):
             pass  # head_count_kv written below from n_kv
+    if arch == "olmoe":
+        w.add_kv(f"{arch}.expert_count", int(hf["num_experts"]))
+        w.add_kv(f"{arch}.expert_used_count",
+                 int(hf.get("num_experts_per_tok", 8)))
     if arch == "qwen2moe":
         w.add_kv(f"{arch}.expert_count", int(hf["num_experts"]))
         w.add_kv(f"{arch}.expert_used_count",

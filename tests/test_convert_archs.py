@@ -373,3 +373,19 @@ def test_nemotron_parity(tmp_path):
                     [3, 11, 25, 7], expect_arch="nemotron",
                     rtol=2e-3, atol=2e-3)
     assert lm.cfg.act == "relu2" and lm.cfg.rope_dim == 8
+
+
+def test_olmoe_parity(tmp_path):
+    """olmoe: full-vector q/k RMS norms + MoE with raw softmax router
+    weights (build_olmoe)."""
+    cfg = transformers.OlmoeConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=False,
+        rope_theta=10000.0, max_position_embeddings=64,
+        tie_word_embeddings=False, rms_norm_eps=1e-5,
+    )
+    lm = _roundtrip(tmp_path, cfg, transformers.OlmoeForCausalLM,
+                    [3, 11, 25, 7], expect_arch="olmoe", rtol=2e-3, atol=2e-3)
+    assert lm.cfg.n_expert == 4 and not lm.cfg.moe_norm_w
+    assert lm.params["layers"][0].get("attn_q_norm") is not None
