@@ -70,6 +70,8 @@ class ModelConfig:
     parallel_block: bool = False  # command-r: attn + ffn share the norm input
     clamp_kqv: float = 0.0  # olmo: clamp q/k/v to +-clamp_kqv
     pos_embd: bool = False  # gpt2/starcoder: learned position embeddings
+    alibi_max_bias: float = 0.0  # bloom/mpt: ALiBi attention biases
+    tok_embd_norm: bool = False  # bloom: LayerNorm right after the embedding
 
     @property
     def n_embd_k_gqa(self) -> int:
@@ -86,7 +88,7 @@ class ModelConfig:
                         "internlm2", "minicpm", "qwen2moe", "starcoder2",
                         "olmo", "command-r", "phi2", "stablelm", "gptneox",
                         "falcon", "gpt2", "starcoder", "granite", "nemotron",
-                        "olmoe"):
+                        "olmoe", "bloom", "mpt"):
             raise NotImplementedError(
                 f"arch {arch!r}: supported archs are llama (incl. MoE/Mixtral),"
                 " qwen2, gemma, gemma2, phi3"
@@ -176,6 +178,22 @@ class ModelConfig:
             extra["norm_type"] = "ln"
             extra["ffn_gated"] = False
             extra["act"] = "relu2"
+        if arch == "bloom":
+            # embedding LayerNorm, per-head-interleaved fused qkv
+            # (de-interleaved at conversion), ALiBi (f_max_alibi_bias = 8)
+            extra["norm_type"] = "ln"
+            extra["ffn_gated"] = False
+            extra["act"] = "gelu"
+            extra["alibi_max_bias"] = 8.0
+            extra["tok_embd_norm"] = True
+        if arch == "mpt":
+            extra["norm_type"] = "ln"
+            extra["ffn_gated"] = False
+            extra["act"] = "gelu"
+            extra["alibi_max_bias"] = float(
+                g("{arch}.attention.max_alibi_bias", 8.0) or 0.0)
+            extra["clamp_kqv"] = float(
+                g("{arch}.attention.clamp_kqv", 0.0) or 0.0)
         if arch in ("gpt2", "starcoder"):
             # learned position embeddings (LLM_TENSOR_POS_EMBD), LayerNorm
             # +bias, fused qkv with biases, gateless GELU MLP, no rope
@@ -227,7 +245,8 @@ class ModelConfig:
             rms_eps=float(g("{arch}.attention.layer_norm_rms_epsilon",
                             g("{arch}.attention.layer_norm_epsilon", 1e-5))),
             rope_base=float(g("{arch}.rope.freq_base", 10000.0)),
-            rope_dim=0 if arch in ("gpt2", "starcoder") else rope_dim,
+            rope_dim=(0 if arch in ("gpt2", "starcoder", "bloom", "mpt")
+                      else rope_dim),
             rope_type=(RopeType.NORM
                        if arch in ("llama", "internlm2", "minicpm", "olmo",
                                    "command-r", "granite")

@@ -168,6 +168,12 @@ def load_params(
         pe = get("position_embd.weight", dense=True, required=False)
         if pe is not None:
             params["pos_embd"] = pe
+        ten = get("token_embd_norm.weight", dense=True, required=False)
+        if ten is not None:
+            params["tok_embd_norm"] = ten
+            tnb = get("token_embd_norm.bias", dense=True, required=False)
+            if tnb is not None:
+                params["tok_embd_norm_b"] = tnb
     for i in range(cfg.n_layers):
         if layer_filter is not None and not layer_filter(i):
             params["layers"].append(None)
@@ -321,9 +327,21 @@ def forward_scan(params: dict, cfg: ModelConfig, tokens, positions,
     x = embed(params["tok_embd"], tokens, opts.dtype)
     if cfg.embd_scale != 1.0:
         x = x * np.float32(cfg.embd_scale)
+    if params.get("pos_embd") is not None:  # gpt2/starcoder learned pos
+        x = x + params["pos_embd"][positions].astype(x.dtype)
+    if params.get("tok_embd_norm") is not None:  # bloom embedding LN
+        from ..ops.layers import layer_norm
+
+        x = layer_norm(x, params["tok_embd_norm"],
+                       params.get("tok_embd_norm_b"), cfg.rms_eps)
     inv_freq, mscale = rope_freqs(cfg)
     t_cache = kv[0].shape[2]
-    mask = causal_mask(positions, t_cache)
+    if cfg.alibi_max_bias:  # bloom/mpt
+        from ..ops.layers import alibi_mask
+
+        mask = alibi_mask(positions, t_cache)
+    else:
+        mask = causal_mask(positions, t_cache)
 
     def body(xc, xs):
         layer, kvl = xs
@@ -688,14 +706,21 @@ def attention_block(
     v_cache = update_kv(v_cache, v, cache_pos)
 
     scale = cfg.attn_scale or 1.0 / np.sqrt(hd)
-    if opts.attn_impl == "pallas" and not cfg.attn_logit_softcap:
+    slopes = None
+    if cfg.alibi_max_bias:  # bloom/mpt
+        from ..ops.layers import alibi_slopes
+
+        slopes = jnp.asarray(alibi_slopes(h, cfg.alibi_max_bias))
+    if (opts.attn_impl == "pallas" and not cfg.attn_logit_softcap
+            and slopes is None):
         from ..ops.attention_pallas import flash_attention
 
         out = flash_attention(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
                               positions, scale)
     else:
         out = gqa_attention(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
-                            mask, scale, cfg.attn_logit_softcap)
+                            mask, scale, cfg.attn_logit_softcap,
+                            slopes=slopes)
     out = out.reshape(b, s, h * hd)
     if taps is not None:
         _tap(taps, tap_prefix + "attn_output.weight", out)
@@ -881,13 +906,23 @@ def forward(
             x = x * np.float32(cfg.embd_scale)
         if params.get("pos_embd") is not None:  # gpt2/starcoder learned pos
             x = x + params["pos_embd"][positions].astype(x.dtype)
+        if params.get("tok_embd_norm") is not None:  # bloom embedding LN
+            from ..ops.layers import layer_norm
+
+            x = layer_norm(x, params["tok_embd_norm"],
+                           params.get("tok_embd_norm_b"), cfg.rms_eps)
     else:
         assert hidden_in is not None
         x = hidden_in
 
     inv_freq, mscale = rope_freqs(cfg)
     t_cache = kv_caches[lo][0].shape[1] if kv_caches else 0
-    mask = causal_mask(positions, t_cache)
+    if cfg.alibi_max_bias:  # bloom/mpt: mask carries -|pos_i - j| distances
+        from ..ops.layers import alibi_mask
+
+        mask = alibi_mask(positions, t_cache)
+    else:
+        mask = causal_mask(positions, t_cache)
     # gemma2: sliding-window attention on even layers (build_gemma2:14357)
     mask_swa = (causal_mask(positions, t_cache, swa_window=cfg.swa_window)
                 if cfg.swa_window else None)

@@ -106,6 +106,28 @@ def apply_rope(
     return out.astype(x.dtype)
 
 
+def alibi_slopes(n_heads: int, max_bias: float) -> np.ndarray:
+    """Per-head ALiBi slopes, the ggml_soft_max_ext two-regime formula
+    (ggml.c:13811-13833)."""
+    n_log2 = 1 << int(math.floor(math.log2(n_heads)))
+    m0 = 2.0 ** (-max_bias / n_log2)
+    m1 = 2.0 ** (-max_bias / 2.0 / n_log2)
+    h = np.arange(n_heads)
+    return np.where(h < n_log2, m0 ** (h + 1),
+                    m1 ** (2 * (h - n_log2) + 1)).astype(np.float32)
+
+
+def alibi_mask(pos_q: jax.Array, t: int) -> jax.Array:
+    """Causal mask carrying -|pos_i - j| distances instead of zeros (the
+    reference fills KQ_mask this way when use_alibi, llama_set_inputs);
+    soft-max adds slope*mask per head."""
+    b, s = pos_q.shape
+    cols = jnp.arange(t)[None, None, :]
+    visible = cols <= pos_q[:, :, None]
+    dist = -jnp.abs(pos_q[:, :, None] - cols).astype(jnp.float32)
+    return jnp.where(visible, dist, -jnp.inf)[:, None]  # (b,1,s,t)
+
+
 def gqa_attention(
     q: jax.Array,  # (b, s, n_heads, hd)
     k: jax.Array,  # (b, t, n_kv, hd)
@@ -113,6 +135,7 @@ def gqa_attention(
     mask: jax.Array | None,  # (b, 1, s, t) additive, or None
     scale: float,
     logit_softcap: float = 0.0,
+    slopes: jax.Array | None = None,  # (n_heads,) ALiBi: score += slope*mask
 ) -> jax.Array:
     """Grouped-query attention, f32 softmax. Returns (b, s, n_heads, hd).
     logit_softcap > 0 applies gemma2's cap*tanh(s/cap) (build_gemma2)."""
@@ -125,7 +148,10 @@ def gqa_attention(
     if logit_softcap:
         scores = logit_softcap * jnp.tanh(scores / logit_softcap)
     if mask is not None:
-        scores = scores + mask[:, None]  # mask (b,1,s,t) -> (b,1,1,s,t)
+        m = mask[:, None]  # (b,1,1,s,t)
+        if slopes is not None:
+            m = m * slopes.reshape(1, n_kv, group, 1, 1)
+        scores = scores + m
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bngst,btnh->bsngh", probs.astype(v.dtype), v)
     return out.reshape(b, s, n_heads, hd)

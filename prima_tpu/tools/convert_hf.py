@@ -286,6 +286,10 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
         arch = "nemotron"
     elif "OlmoeForCausalLM" in archs:
         arch = "olmoe"
+    elif "BloomForCausalLM" in archs:
+        arch = "bloom"
+    elif "MptForCausalLM" in archs:
+        arch = "mpt"
     elif "GemmaForCausalLM" in archs:
         arch = "gemma"
     elif "Gemma2ForCausalLM" in archs:
@@ -295,7 +299,8 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
     else:
         raise NotImplementedError(f"architectures {archs}")
 
-    n_heads = hf.get("num_attention_heads") or hf.get("n_head")
+    n_heads = (hf.get("num_attention_heads") or hf.get("n_head")
+               or hf.get("n_heads"))  # mpt names it n_heads
     n_kv = (hf.get("num_key_value_heads") or hf.get("num_kv_heads")
             or n_heads)  # falcon names it num_kv_heads
     if archs and "GPTBigCodeForCausalLM" in archs and hf.get("multi_query", True):
@@ -303,10 +308,13 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
     w = GGUFWriter(dst_path, arch=arch)
     w.add_kv("general.name", os.path.basename(os.path.normpath(src_dir)))
     w.add_kv(f"{arch}.block_count",
-             int(hf.get("num_hidden_layers") or hf.get("n_layer")))
+             int(hf.get("num_hidden_layers") or hf.get("n_layer")
+                 or hf.get("n_layers")))
     w.add_kv(f"{arch}.embedding_length",
-             int(hf.get("hidden_size") or hf.get("n_embd")))
-    n_embd_eff = int(hf.get("hidden_size") or hf.get("n_embd"))
+             int(hf.get("hidden_size") or hf.get("n_embd")
+                 or hf.get("d_model")))
+    n_embd_eff = int(hf.get("hidden_size") or hf.get("n_embd")
+                     or hf.get("d_model"))
     w.add_kv(f"{arch}.feed_forward_length",
              int(hf.get("intermediate_size") or hf.get("n_inner")
                  or 4 * n_embd_eff))
@@ -374,6 +382,17 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
     if arch == "nemotron":
         w.add_kv(f"{arch}.attention.layer_norm_epsilon",
                  float(hf.get("norm_eps", hf.get("layer_norm_eps", 1e-5))))
+    if arch == "bloom":
+        w.add_kv(f"{arch}.attention.layer_norm_epsilon",
+                 float(hf.get("layer_norm_epsilon", 1e-5)))
+    if arch == "mpt":
+        ac = hf.get("attn_config") or {}
+        w.add_kv(f"{arch}.attention.layer_norm_epsilon", 1e-5)
+        w.add_kv(f"{arch}.attention.max_alibi_bias",
+                 float(ac.get("alibi_bias_max", 8.0) if ac.get("alibi", True)
+                       else 0.0))
+        if ac.get("clip_qkv"):
+            w.add_kv(f"{arch}.attention.clamp_kqv", float(ac["clip_qkv"]))
         if arch == "starcoder" and hf.get("multi_query", True):
             pass  # head_count_kv written below from n_kv
     if arch == "olmoe":
@@ -441,6 +460,30 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
                     or "ffn_up" in name or "ffn_down" in name):
                 data = data.T  # HF gpt2 Conv1D stores (in, out)
             emit(name, np.ascontiguousarray(data))
+            continue
+        if arch == "bloom":
+            name = _bloom_name(hf_name)
+            if name is None:
+                continue
+            if "attn_qkv" in name:
+                # per-head [q,k,v] -> contiguous [q;k;v] (BloomModel conv)
+                hd = n_embd_eff // n_heads
+                if name.endswith(".weight"):
+                    qkv = data.reshape(n_heads, 3, hd, n_embd_eff)
+                    data = np.concatenate(
+                        [qkv[:, j].reshape(-1, n_embd_eff) for j in range(3)],
+                        axis=0)
+                else:
+                    qkv = data.reshape(n_heads, 3, hd)
+                    data = np.concatenate(
+                        [qkv[:, j].reshape(-1) for j in range(3)], axis=0)
+            emit(name, data)
+            continue
+        if arch == "mpt":
+            name = _mpt_name(hf_name)
+            if name is None:
+                continue
+            emit(name, data)
             continue
         if arch == "gptneox":
             name = _gptneox_name(hf_name)
@@ -582,6 +625,79 @@ def _falcon_name(hf_name: str) -> str | None:
     if hf_name.startswith("transformer.h."):
         _, _, idx, rest = hf_name.split(".", 3)
         for src, dst in _FALCON_LAYER_MAP:
+            if rest == src:
+                return f"blk.{idx}.{dst}"
+    return None
+
+
+_BLOOM_MAP = [
+    ("word_embeddings.weight", "token_embd.weight"),
+    ("word_embeddings_layernorm.weight", "token_embd_norm.weight"),
+    ("word_embeddings_layernorm.bias", "token_embd_norm.bias"),
+    ("ln_f.weight", "output_norm.weight"),
+    ("ln_f.bias", "output_norm.bias"),
+    ("lm_head.weight", "output.weight"),
+]
+_BLOOM_LAYER_MAP = [
+    ("input_layernorm.weight", "attn_norm.weight"),
+    ("input_layernorm.bias", "attn_norm.bias"),
+    ("self_attention.query_key_value.weight", "attn_qkv.weight"),
+    ("self_attention.query_key_value.bias", "attn_qkv.bias"),
+    ("self_attention.dense.weight", "attn_output.weight"),
+    ("self_attention.dense.bias", "attn_output.bias"),
+    ("post_attention_layernorm.weight", "ffn_norm.weight"),
+    ("post_attention_layernorm.bias", "ffn_norm.bias"),
+    ("mlp.dense_h_to_4h.weight", "ffn_up.weight"),
+    ("mlp.dense_h_to_4h.bias", "ffn_up.bias"),
+    ("mlp.dense_4h_to_h.weight", "ffn_down.weight"),
+    ("mlp.dense_4h_to_h.bias", "ffn_down.bias"),
+]
+
+
+def _bloom_name(hf_name: str) -> str | None:
+    if hf_name.startswith("transformer."):
+        hf_name = hf_name[len("transformer."):]
+    for src, dst in _BLOOM_MAP:
+        if hf_name == src:
+            return dst
+    if hf_name.startswith("h."):
+        _, idx, rest = hf_name.split(".", 2)
+        for src, dst in _BLOOM_LAYER_MAP:
+            if rest == src:
+                return f"blk.{idx}.{dst}"
+    return None
+
+
+_MPT_MAP = [
+    ("wte.weight", "token_embd.weight"),
+    ("norm_f.weight", "output_norm.weight"),
+    ("norm_f.bias", "output_norm.bias"),
+]
+_MPT_LAYER_MAP = [
+    ("norm_1.weight", "attn_norm.weight"),
+    ("norm_1.bias", "attn_norm.bias"),
+    ("attn.Wqkv.weight", "attn_qkv.weight"),
+    ("attn.Wqkv.bias", "attn_qkv.bias"),
+    ("attn.out_proj.weight", "attn_output.weight"),
+    ("attn.out_proj.bias", "attn_output.bias"),
+    ("norm_2.weight", "ffn_norm.weight"),
+    ("norm_2.bias", "ffn_norm.bias"),
+    ("ffn.up_proj.weight", "ffn_up.weight"),
+    ("ffn.up_proj.bias", "ffn_up.bias"),
+    ("ffn.down_proj.weight", "ffn_down.weight"),
+    ("ffn.down_proj.bias", "ffn_down.bias"),
+]
+
+
+def _mpt_name(hf_name: str) -> str | None:
+    if hf_name.startswith("transformer."):
+        hf_name = hf_name[len("transformer."):]
+    for src, dst in _MPT_MAP:
+        if hf_name == src:
+            return dst
+    if hf_name.startswith("blocks."):
+        _, idx, rest = hf_name.split(".", 2)
+        for src, dst in _MPT_LAYER_MAP:
             if rest == src:
                 return f"blk.{idx}.{dst}"
     return None

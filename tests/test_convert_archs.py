@@ -389,3 +389,30 @@ def test_olmoe_parity(tmp_path):
                     [3, 11, 25, 7], expect_arch="olmoe", rtol=2e-3, atol=2e-3)
     assert lm.cfg.n_expert == 4 and not lm.cfg.moe_norm_w
     assert lm.params["layers"][0].get("attn_q_norm") is not None
+
+
+def test_bloom_parity(tmp_path):
+    """bloom: ALiBi attention, embedding LayerNorm, per-head-interleaved
+    fused qkv de-interleaved at conversion (build_bloom)."""
+    cfg = transformers.BloomConfig(
+        vocab_size=128, hidden_size=64, n_layer=2, n_head=4,
+        layer_norm_epsilon=1e-5, tie_word_embeddings=True,
+        attention_dropout=0.0, hidden_dropout=0.0,
+    )
+    lm = _roundtrip(tmp_path, cfg, transformers.BloomForCausalLM,
+                    [3, 11, 25, 7], expect_arch="bloom", rtol=2e-3, atol=2e-3)
+    assert lm.cfg.alibi_max_bias == 8.0 and lm.cfg.rope_dim == 0
+    assert lm.params.get("tok_embd_norm") is not None
+
+
+def test_mpt_parity(tmp_path):
+    """mpt: ALiBi, bias-free LayerNorms, contiguous fused qkv (build_mpt)."""
+    cfg = transformers.MptConfig(
+        vocab_size=128, d_model=64, n_layers=2, n_heads=4,
+        attn_config=transformers.models.mpt.configuration_mpt.MptAttentionConfig(
+            alibi=True, alibi_bias_max=8, attn_pdrop=0.0, clip_qkv=None),
+        tie_word_embeddings=True, no_bias=True, expansion_ratio=4,
+    )
+    lm = _roundtrip(tmp_path, cfg, transformers.MptForCausalLM,
+                    [3, 11, 25, 7], expect_arch="mpt", rtol=2e-3, atol=2e-3)
+    assert lm.cfg.alibi_max_bias == 8.0 and lm.cfg.rope_dim == 0
