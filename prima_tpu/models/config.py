@@ -88,7 +88,7 @@ class ModelConfig:
                         "internlm2", "minicpm", "qwen2moe", "starcoder2",
                         "olmo", "command-r", "phi2", "stablelm", "gptneox",
                         "falcon", "gpt2", "starcoder", "granite", "nemotron",
-                        "olmoe", "bloom", "mpt"):
+                        "olmoe", "bloom", "mpt", "gptj"):
             raise NotImplementedError(
                 f"arch {arch!r}: supported archs are llama (incl. MoE/Mixtral),"
                 " qwen2, gemma, gemma2, phi3"
@@ -178,6 +178,13 @@ class ModelConfig:
             extra["norm_type"] = "ln"
             extra["ffn_gated"] = False
             extra["act"] = "relu2"
+        if arch == "gptj":
+            # parallel attn+MLP off one LayerNorm, partial interleaved
+            # rotary, biased lm_head (build_gptj)
+            extra["norm_type"] = "ln"
+            extra["parallel_block"] = True
+            extra["ffn_gated"] = False
+            extra["act"] = "gelu"
         if arch == "bloom":
             # embedding LayerNorm, per-head-interleaved fused qkv
             # (de-interleaved at conversion), ALiBi (f_max_alibi_bias = 8)
@@ -249,7 +256,7 @@ class ModelConfig:
                       else rope_dim),
             rope_type=(RopeType.NORM
                        if arch in ("llama", "internlm2", "minicpm", "olmo",
-                                   "command-r", "granite")
+                                   "command-r", "granite", "gptj")
                        else RopeType.NEOX),
             rope_scaling=scaling,
             qkv_bias=arch in ("qwen2", "qwen2moe", "starcoder2", "phi2"),

@@ -290,6 +290,8 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
         arch = "bloom"
     elif "MptForCausalLM" in archs:
         arch = "mpt"
+    elif "GPTJForCausalLM" in archs:
+        arch = "gptj"
     elif "GemmaForCausalLM" in archs:
         arch = "gemma"
     elif "Gemma2ForCausalLM" in archs:
@@ -331,6 +333,8 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
         rope_dim = int(head_dim_eff * float(hf["partial_rotary_factor"]))
     elif hf.get("rotary_pct"):  # gptneox partial rope
         rope_dim = int(head_dim_eff * float(hf["rotary_pct"]))
+    elif hf.get("rotary_dim"):  # gptj
+        rope_dim = int(hf["rotary_dim"])
     w.add_kv(f"{arch}.rope.dimension_count", rope_dim)
     w.add_kv(f"{arch}.vocab_size", hf["vocab_size"])
     if hf.get("head_dim"):
@@ -383,6 +387,9 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
         w.add_kv(f"{arch}.attention.layer_norm_epsilon",
                  float(hf.get("norm_eps", hf.get("layer_norm_eps", 1e-5))))
     if arch == "bloom":
+        w.add_kv(f"{arch}.attention.layer_norm_epsilon",
+                 float(hf.get("layer_norm_epsilon", 1e-5)))
+    if arch == "gptj":
         w.add_kv(f"{arch}.attention.layer_norm_epsilon",
                  float(hf.get("layer_norm_epsilon", 1e-5)))
     if arch == "mpt":
@@ -485,6 +492,12 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
                 continue
             emit(name, data)
             continue
+        if arch == "gptj":
+            name = _gptj_name(hf_name)
+            if name is None:
+                continue
+            emit(name, data)
+            continue
         if arch == "gptneox":
             name = _gptneox_name(hf_name)
             if name is None:
@@ -579,6 +592,41 @@ _FALCON_LAYER_MAP = [
     ("mlp.dense_h_to_4h.weight", "ffn_up.weight"),
     ("mlp.dense_4h_to_h.weight", "ffn_down.weight"),
 ]
+
+
+_GPTJ_MAP = [
+    ("wte.weight", "token_embd.weight"),
+    ("ln_f.weight", "output_norm.weight"),
+    ("ln_f.bias", "output_norm.bias"),
+    ("lm_head.weight", "output.weight"),
+    ("lm_head.bias", "output.bias"),
+]
+_GPTJ_LAYER_MAP = [
+    ("ln_1.weight", "attn_norm.weight"),
+    ("ln_1.bias", "attn_norm.bias"),
+    ("attn.q_proj.weight", "attn_q.weight"),
+    ("attn.k_proj.weight", "attn_k.weight"),
+    ("attn.v_proj.weight", "attn_v.weight"),
+    ("attn.out_proj.weight", "attn_output.weight"),
+    ("mlp.fc_in.weight", "ffn_up.weight"),
+    ("mlp.fc_in.bias", "ffn_up.bias"),
+    ("mlp.fc_out.weight", "ffn_down.weight"),
+    ("mlp.fc_out.bias", "ffn_down.bias"),
+]
+
+
+def _gptj_name(hf_name: str) -> str | None:
+    if hf_name.startswith("transformer."):
+        hf_name = hf_name[len("transformer."):]
+    for src, dst in _GPTJ_MAP:
+        if hf_name == src:
+            return dst
+    if hf_name.startswith("h."):
+        _, idx, rest = hf_name.split(".", 2)
+        for src, dst in _GPTJ_LAYER_MAP:
+            if rest == src:
+                return f"blk.{idx}.{dst}"
+    return None
 
 
 _GPT2_MAP = [

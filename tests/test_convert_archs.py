@@ -416,3 +416,17 @@ def test_mpt_parity(tmp_path):
     lm = _roundtrip(tmp_path, cfg, transformers.MptForCausalLM,
                     [3, 11, 25, 7], expect_arch="mpt", rtol=2e-3, atol=2e-3)
     assert lm.cfg.alibi_max_bias == 8.0 and lm.cfg.rope_dim == 0
+
+
+def test_gptj_parity(tmp_path):
+    """gptj: parallel attn+MLP off one LayerNorm, partial interleaved
+    rotary, biased lm_head (build_gptj)."""
+    cfg = transformers.GPTJConfig(
+        vocab_size=128, n_positions=64, n_embd=64, n_layer=2, n_head=4,
+        rotary_dim=8, layer_norm_epsilon=1e-5, tie_word_embeddings=False,
+        attn_pdrop=0.0, embd_pdrop=0.0, resid_pdrop=0.0,
+    )
+    lm = _roundtrip(tmp_path, cfg, transformers.GPTJForCausalLM,
+                    [3, 11, 25, 7], expect_arch="gptj", rtol=2e-3, atol=2e-3)
+    assert lm.cfg.parallel_block and lm.cfg.rope_dim == 8
+    assert lm.params.get("output_b") is not None
