@@ -88,7 +88,7 @@ class ModelConfig:
                         "internlm2", "minicpm", "qwen2moe", "starcoder2",
                         "olmo", "command-r", "phi2", "stablelm", "gptneox",
                         "falcon", "gpt2", "starcoder", "granite", "nemotron",
-                        "olmoe", "bloom", "mpt", "gptj"):
+                        "olmoe", "bloom", "mpt", "gptj", "dbrx"):
             raise NotImplementedError(
                 f"arch {arch!r}: supported archs are llama (incl. MoE/Mixtral),"
                 " qwen2, gemma, gemma2, phi3"
@@ -178,6 +178,11 @@ class ModelConfig:
             extra["norm_type"] = "ln"
             extra["ffn_gated"] = False
             extra["act"] = "relu2"
+        if arch == "dbrx":
+            # LayerNorm (no bias), fused clamped qkv, MoE with normalized
+            # top-k weights (build_dbrx)
+            extra["norm_type"] = "ln"
+            extra["clamp_kqv"] = float(g("{arch}.attention.clamp_kqv", 0.0) or 0.0)
         if arch == "gptj":
             # parallel attn+MLP off one LayerNorm, partial interleaved
             # rotary, biased lm_head (build_gptj)

@@ -130,7 +130,8 @@ def _stack_expert_rows(qt, n_expert: int):
         return QTensor(qs=r(qt.qs), scales=r(qt.scales), mins=r(qt.mins),
                        sub=qt.sub, layout=qt.layout, q_offset=qt.q_offset,
                        shape=(qt.shape[0] // n_expert, qt.shape[1]),
-                       kperm=qt.kperm, d=r(qt.d), dmin=r(qt.dmin), gsub=qt.gsub)
+                       kperm=qt.kperm, d=r(qt.d), dmin=r(qt.dmin),
+                       gsub=qt.gsub, packed=qt.packed)
     if qt.ndim == 3 and qt.shape[0] == n_expert:
         return qt  # dense tensors keep their GGUF 3D shape
     return qt.reshape((n_expert, qt.shape[0] // n_expert) + qt.shape[1:])
@@ -189,6 +190,9 @@ def load_params(
             "ffn_norm": get(p + "ffn_norm.weight", dense=True,
                             required=not (ln or cfg.parallel_block)),
         }
+        if layer["ffn_norm"] is None and (p + "attn_out_norm.weight") in t:
+            # dbrx: the pre-MoE norm is named attn_out_norm
+            layer["ffn_norm"] = get(p + "attn_out_norm.weight", dense=True)
         if (p + "attn_norm_2.weight") in t:
             # falcon-40b style: a second LayerNorm feeding the parallel MLP
             # (LLM_TENSOR_ATTN_NORM_2) — our parallel path reads "ffn_norm"

@@ -292,6 +292,8 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
         arch = "mpt"
     elif "GPTJForCausalLM" in archs:
         arch = "gptj"
+    elif "DbrxForCausalLM" in archs:
+        arch = "dbrx"
     elif "GemmaForCausalLM" in archs:
         arch = "gemma"
     elif "Gemma2ForCausalLM" in archs:
@@ -392,6 +394,14 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
     if arch == "gptj":
         w.add_kv(f"{arch}.attention.layer_norm_epsilon",
                  float(hf.get("layer_norm_epsilon", 1e-5)))
+    if arch == "dbrx":
+        ac = hf.get("attn_config") or {}
+        fc = hf.get("ffn_config") or {}
+        w.add_kv(f"{arch}.attention.layer_norm_epsilon", 1e-5)
+        if ac.get("clip_qkv"):
+            w.add_kv(f"{arch}.attention.clamp_kqv", float(ac["clip_qkv"]))
+        w.add_kv(f"{arch}.expert_count", int(fc.get("moe_num_experts", 4)))
+        w.add_kv(f"{arch}.expert_used_count", int(fc.get("moe_top_k", 1)))
     if arch == "mpt":
         ac = hf.get("attn_config") or {}
         w.add_kv(f"{arch}.attention.layer_norm_epsilon", 1e-5)
@@ -489,6 +499,26 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
         if arch == "mpt":
             name = _mpt_name(hf_name)
             if name is None:
+                continue
+            emit(name, data)
+            continue
+        if arch == "dbrx":
+            fc = hf.get("ffn_config") or {}
+            n_exp = int(fc.get("moe_num_experts", 4))
+            ff = int(fc.get("ffn_hidden_size", 4 * n_embd_eff))
+            name = _dbrx_name(hf_name)
+            if name is None:
+                continue
+            if name.endswith(("ffn_gate_exps.weight", "ffn_up_exps.weight")):
+                data = data.reshape(n_exp, ff, n_embd_eff)
+                emit(name, data, ne=(n_embd_eff, ff, n_exp))
+                continue
+            if name.endswith("ffn_down_exps.weight"):
+                # HF stores w2 as (n_exp*ff, e) used untransposed: per-expert
+                # down weight = w2[e].T
+                data = np.ascontiguousarray(
+                    data.reshape(n_exp, ff, n_embd_eff).transpose(0, 2, 1))
+                emit(name, data, ne=(ff, n_embd_eff, n_exp))
                 continue
             emit(name, data)
             continue
@@ -592,6 +622,35 @@ _FALCON_LAYER_MAP = [
     ("mlp.dense_h_to_4h.weight", "ffn_up.weight"),
     ("mlp.dense_4h_to_h.weight", "ffn_down.weight"),
 ]
+
+
+_DBRX_MAP = [
+    ("transformer.wte.weight", "token_embd.weight"),
+    ("transformer.norm_f.weight", "output_norm.weight"),
+    ("lm_head.weight", "output.weight"),
+]
+_DBRX_LAYER_MAP = [
+    ("norm_attn_norm.norm_1.weight", "attn_norm.weight"),
+    ("norm_attn_norm.attn.Wqkv.weight", "attn_qkv.weight"),
+    ("norm_attn_norm.attn.out_proj.weight", "attn_output.weight"),
+    ("norm_attn_norm.norm_2.weight", "attn_out_norm.weight"),
+    ("ffn.router.layer.weight", "ffn_gate_inp.weight"),
+    ("ffn.experts.mlp.w1", "ffn_gate_exps.weight"),
+    ("ffn.experts.mlp.v1", "ffn_up_exps.weight"),
+    ("ffn.experts.mlp.w2", "ffn_down_exps.weight"),
+]
+
+
+def _dbrx_name(hf_name: str) -> str | None:
+    for src, dst in _DBRX_MAP:
+        if hf_name == src:
+            return dst
+    if hf_name.startswith("transformer.blocks."):
+        _, _, idx, rest = hf_name.split(".", 3)
+        for src, dst in _DBRX_LAYER_MAP:
+            if rest == src:
+                return f"blk.{idx}.{dst}"
+    return None
 
 
 _GPTJ_MAP = [

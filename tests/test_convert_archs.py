@@ -430,3 +430,21 @@ def test_gptj_parity(tmp_path):
                     [3, 11, 25, 7], expect_arch="gptj", rtol=2e-3, atol=2e-3)
     assert lm.cfg.parallel_block and lm.cfg.rope_dim == 8
     assert lm.params.get("output_b") is not None
+
+
+def test_dbrx_parity(tmp_path):
+    """dbrx: fused clamped qkv, LayerNorm without bias, MoE with fused
+    expert tensors and normalized top-k weights (build_dbrx)."""
+    cfg = transformers.DbrxConfig(
+        vocab_size=128, d_model=64, n_layers=2, n_heads=4, max_seq_len=64,
+        attn_config=transformers.models.dbrx.configuration_dbrx.DbrxAttentionConfig(
+            clip_qkv=8.0, kv_n_heads=2, rope_theta=10000.0, attn_pdrop=0.0),
+        ffn_config=transformers.models.dbrx.configuration_dbrx.DbrxFFNConfig(
+            ffn_hidden_size=48, moe_num_experts=4, moe_top_k=2,
+            moe_normalize_expert_weights=1.0, moe_jitter_eps=None),
+        resid_pdrop=0.0, emb_pdrop=0.0, tie_word_embeddings=False,
+    )
+    lm = _roundtrip(tmp_path, cfg, transformers.DbrxForCausalLM,
+                    [3, 11, 25, 7], expect_arch="dbrx", rtol=2e-3, atol=2e-3)
+    assert lm.cfg.n_expert == 4 and lm.cfg.clamp_kqv == 8.0
+    assert lm.cfg.moe_norm_w and lm.cfg.norm_type == "ln"
