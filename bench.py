@@ -7,8 +7,9 @@ Baseline: prima.cpp's best published Llama-3-8B Q4K token latency — 15 ms/toke
 on its 4-device home cluster (reference README.md:37-46, BASELINE.md) =
 66.67 tok/s. vs_baseline = our tok/s / 66.67.
 
-The decode step is HBM-bandwidth-bound: 4.75 bits/weight (nib4 quants +
-int8 scale codes + f32 superblock bases) must stream HBM->VMEM per token,
+The decode step is HBM-bandwidth-bound: 4.5 bits/weight (nib4 quants +
+packed 6-bit scale/min codes + f16 superblock base pairs — the native GGUF
+footprint) must stream HBM->VMEM per token,
 so speed-of-light on one v5e chip (~819 GB/s) is ~170 tok/s for the 8B
 model. Both the weight synthesis and the decode loop compile a SINGLE
 layer body (vmap / lax.scan over stacked layers), keeping remote

@@ -88,7 +88,8 @@ class ModelConfig:
                         "internlm2", "minicpm", "qwen2moe", "starcoder2",
                         "olmo", "command-r", "phi2", "stablelm", "gptneox",
                         "falcon", "gpt2", "starcoder", "granite", "nemotron",
-                        "olmoe", "bloom", "mpt", "gptj", "dbrx"):
+                        "olmoe", "bloom", "mpt", "gptj", "dbrx",
+                        "granitemoe"):
             raise NotImplementedError(
                 f"arch {arch!r}: supported archs are llama (incl. MoE/Mixtral),"
                 " qwen2, gemma, gemma2, phi3"
@@ -160,7 +161,7 @@ class ModelConfig:
             extra["parallel_block"] = True
             extra["ffn_gated"] = False
             extra["act"] = "gelu"
-        if arch == "granite":
+        if arch in ("granite", "granitemoe"):
             # llama with four scale knobs (LLM_ARCH_GRANITE,
             # src/llama.cpp:6556-6560); logits are DIVIDED by logit_scale
             extra["embd_scale"] = float(g("{arch}.embedding_scale", 1.0) or 1.0)
@@ -261,7 +262,8 @@ class ModelConfig:
                       else rope_dim),
             rope_type=(RopeType.NORM
                        if arch in ("llama", "internlm2", "minicpm", "olmo",
-                                   "command-r", "granite", "gptj")
+                                   "command-r", "granite", "granitemoe",
+                                   "gptj")
                        else RopeType.NEOX),
             rope_scaling=scaling,
             qkv_bias=arch in ("qwen2", "qwen2moe", "starcoder2", "phi2"),

@@ -282,6 +282,8 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
         arch = "starcoder"
     elif "GraniteForCausalLM" in archs:
         arch = "granite"
+    elif "GraniteMoeForCausalLM" in archs:
+        arch = "granitemoe"
     elif "NemotronForCausalLM" in archs:
         arch = "nemotron"
     elif "OlmoeForCausalLM" in archs:
@@ -377,7 +379,7 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
     if arch in ("gpt2", "starcoder"):
         w.add_kv(f"{arch}.attention.layer_norm_epsilon",
                  float(hf.get("layer_norm_epsilon", 1e-5)))
-    if arch == "granite":
+    if arch in ("granite", "granitemoe"):
         w.add_kv(f"{arch}.embedding_scale",
                  float(hf.get("embedding_multiplier", 1.0)))
         w.add_kv(f"{arch}.residual_scale",
@@ -412,6 +414,10 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
             w.add_kv(f"{arch}.attention.clamp_kqv", float(ac["clip_qkv"]))
         if arch == "starcoder" and hf.get("multi_query", True):
             pass  # head_count_kv written below from n_kv
+    if arch == "granitemoe":
+        w.add_kv(f"{arch}.expert_count", int(hf["num_local_experts"]))
+        w.add_kv(f"{arch}.expert_used_count",
+                 int(hf.get("num_experts_per_tok", 2)))
     if arch == "olmoe":
         w.add_kv(f"{arch}.expert_count", int(hf["num_experts"]))
         w.add_kv(f"{arch}.expert_used_count",
@@ -547,6 +553,22 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
                         [qkv[:, j].reshape(-1) for j in range(3)], axis=0)
             emit(name, data)
             continue
+        if arch == "granitemoe" and ".block_sparse_moe." in hf_name:
+            parts = hf_name.split(".")
+            li = parts[2]
+            ff = int(hf["intermediate_size"])
+            if hf_name.endswith("block_sparse_moe.input_linear.weight"):
+                gate = np.ascontiguousarray(data[:, :ff, :])
+                up = np.ascontiguousarray(data[:, ff:, :])
+                ne = (gate.shape[2], gate.shape[1], gate.shape[0])
+                emit(f"blk.{li}.ffn_gate_exps.weight", gate, ne=ne)
+                emit(f"blk.{li}.ffn_up_exps.weight", up, ne=ne)
+            elif hf_name.endswith("block_sparse_moe.output_linear.weight"):
+                ne = (data.shape[2], data.shape[1], data.shape[0])
+                emit(f"blk.{li}.ffn_down_exps.weight", data, ne=ne)
+            elif hf_name.endswith("block_sparse_moe.router.layer.weight"):
+                emit(f"blk.{li}.ffn_gate_inp.weight", data)
+            continue
         if ".block_sparse_moe.experts." in hf_name:  # mixtral expert weights
             parts = hf_name.split(".")
             li, ei, wname = int(parts[2]), int(parts[5]), parts[6]
@@ -561,9 +583,11 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
         name = _gguf_name(hf_name, arch)
         if name is None:
             continue
-        if arch in ("llama", "olmo", "granite") and name.endswith(("attn_q.weight",)):
+        if arch in ("llama", "olmo", "granite", "granitemoe") \
+                and name.endswith(("attn_q.weight",)):
             data = _permute_qk(data, n_heads)
-        elif arch in ("llama", "olmo", "granite") and name.endswith(("attn_k.weight",)):
+        elif arch in ("llama", "olmo", "granite", "granitemoe") \
+                and name.endswith(("attn_k.weight",)):
             data = _permute_qk(data, n_kv)
         elif arch == "nemotron" and name.endswith("norm.weight"):
             data = data + 1.0  # layernorm1p folded in (NemotronModel)

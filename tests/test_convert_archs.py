@@ -448,3 +448,21 @@ def test_dbrx_parity(tmp_path):
                     [3, 11, 25, 7], expect_arch="dbrx", rtol=2e-3, atol=2e-3)
     assert lm.cfg.n_expert == 4 and lm.cfg.clamp_kqv == 8.0
     assert lm.cfg.moe_norm_w and lm.cfg.norm_type == "ln"
+
+
+def test_granitemoe_parity(tmp_path):
+    """granitemoe: granite's scale knobs + MoE with fused gate|up expert
+    tensors split at conversion (LLM_ARCH_GRANITE_MOE)."""
+    cfg = transformers.GraniteMoeConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        embedding_multiplier=6.0, residual_multiplier=0.5,
+        attention_multiplier=0.1, logits_scaling=4.0,
+        rope_theta=10000.0, max_position_embeddings=64,
+        tie_word_embeddings=False,
+    )
+    lm = _roundtrip(tmp_path, cfg, transformers.GraniteMoeForCausalLM,
+                    [3, 11, 25, 7], expect_arch="granitemoe",
+                    rtol=2e-3, atol=2e-3)
+    assert lm.cfg.n_expert == 4 and lm.cfg.embd_scale == 6.0
