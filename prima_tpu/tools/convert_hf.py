@@ -255,6 +255,8 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
         return _convert_mamba(src_dir, dst_path, hf, ftype, logfile)
     if any("T5" in a for a in archs):
         return _convert_t5(src_dir, dst_path, hf, ftype, logfile)
+    if "DeepseekV2ForCausalLM" in archs:
+        return _convert_deepseek2(src_dir, dst_path, hf, ftype, logfile)
     if ("LlamaForCausalLM" in archs or "MistralForCausalLM" in archs
             or "MixtralForCausalLM" in archs):
         arch = "llama"  # Mixtral is llama with expert_count > 0
@@ -990,6 +992,111 @@ def _convert_t5(src_dir: str, dst_path: str, hf: dict, ftype: str,
         w.add_tensor(name, np.ascontiguousarray(data, dtype=np.float32))
         n += 1
         print(f"[{n:4d}] {name} (F32)", file=logfile)
+    w.write()
+    return n
+
+
+_DS2_ATTN_MAP = [
+    ("self_attn.q_proj.weight", "attn_q.weight"),
+    ("self_attn.q_a_proj.weight", "attn_q_a.weight"),
+    ("self_attn.q_a_layernorm.weight", "attn_q_a_norm.weight"),
+    ("self_attn.q_b_proj.weight", "attn_q_b.weight"),
+    ("self_attn.kv_a_proj_with_mqa.weight", "attn_kv_a_mqa.weight"),
+    ("self_attn.kv_a_layernorm.weight", "attn_kv_a_norm.weight"),
+    ("self_attn.kv_b_proj.weight", "attn_kv_b.weight"),
+    ("self_attn.o_proj.weight", "attn_output.weight"),
+    ("input_layernorm.weight", "attn_norm.weight"),
+    ("post_attention_layernorm.weight", "ffn_norm.weight"),
+    ("mlp.gate_proj.weight", "ffn_gate.weight"),
+    ("mlp.up_proj.weight", "ffn_up.weight"),
+    ("mlp.down_proj.weight", "ffn_down.weight"),
+    ("mlp.gate.weight", "ffn_gate_inp.weight"),
+    ("mlp.shared_experts.gate_proj.weight", "ffn_gate_shexp.weight"),
+    ("mlp.shared_experts.up_proj.weight", "ffn_up_shexp.weight"),
+    ("mlp.shared_experts.down_proj.weight", "ffn_down_shexp.weight"),
+]
+
+
+def _convert_deepseek2(src_dir: str, dst_path: str, hf: dict, ftype: str,
+                       logfile) -> int:
+    """DeepseekV2ForCausalLM -> GGUF arch "deepseek2" (MLA + MoE)."""
+    arch = "deepseek2"
+    w = GGUFWriter(dst_path, arch=arch)
+    w.add_kv("general.name", os.path.basename(os.path.normpath(src_dir)))
+    w.add_kv(f"{arch}.block_count", int(hf["num_hidden_layers"]))
+    w.add_kv(f"{arch}.embedding_length", int(hf["hidden_size"]))
+    w.add_kv(f"{arch}.feed_forward_length", int(hf["intermediate_size"]))
+    w.add_kv(f"{arch}.attention.head_count", int(hf["num_attention_heads"]))
+    w.add_kv(f"{arch}.attention.head_count_kv",
+             int(hf.get("num_key_value_heads", hf["num_attention_heads"])))
+    w.add_kv(f"{arch}.attention.key_length",
+             int(hf["qk_nope_head_dim"]) + int(hf["qk_rope_head_dim"]))
+    w.add_kv(f"{arch}.attention.value_length", int(hf["v_head_dim"]))
+    w.add_kv(f"{arch}.rope.dimension_count", int(hf["qk_rope_head_dim"]))
+    w.add_kv(f"{arch}.rope.freq_base", float(hf.get("rope_theta", 10000.0)))
+    w.add_kv(f"{arch}.context_length",
+             int(hf.get("max_position_embeddings", 4096)))
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon",
+             float(hf.get("rms_norm_eps", 1e-6)))
+    if hf.get("q_lora_rank"):
+        w.add_kv(f"{arch}.attention.q_lora_rank", int(hf["q_lora_rank"]))
+    w.add_kv(f"{arch}.attention.kv_lora_rank", int(hf["kv_lora_rank"]))
+    w.add_kv(f"{arch}.leading_dense_block_count",
+             int(hf.get("first_k_dense_replace", 0)))
+    w.add_kv(f"{arch}.expert_count", int(hf.get("n_routed_experts", 0) or 0))
+    w.add_kv(f"{arch}.expert_used_count",
+             int(hf.get("num_experts_per_tok", 0) or 0))
+    w.add_kv(f"{arch}.expert_shared_count",
+             int(hf.get("n_shared_experts", 0) or 0))
+    w.add_kv(f"{arch}.expert_feed_forward_length",
+             int(hf.get("moe_intermediate_size", 0) or 0))
+    w.add_kv(f"{arch}.expert_weights_scale",
+             float(hf.get("routed_scaling_factor", 1.0)))
+    w.add_kv(f"{arch}.vocab_size", int(hf["vocab_size"]))
+    _write_tokenizer(w, src_dir, hf)
+
+    n = 0
+    experts: dict = {}
+
+    def emit(name, data):
+        nonlocal n
+        w.add_tensor(name, np.ascontiguousarray(data, dtype=np.float32))
+        n += 1
+        print(f"[{n:4d}] {name} (F32)", file=logfile)
+
+    for hf_name, data in _iter_hf_tensors(src_dir):
+        if hf_name == "model.embed_tokens.weight":
+            emit("token_embd.weight", data)
+            continue
+        if hf_name == "model.norm.weight":
+            emit("output_norm.weight", data)
+            continue
+        if hf_name == "lm_head.weight":
+            emit("output.weight", data)
+            continue
+        if ".mlp.experts." in hf_name:
+            parts = hf_name.split(".")
+            li, ei, wname = int(parts[2]), int(parts[5]), parts[6]
+            wname = {"gate_proj": "ffn_gate_exps", "up_proj": "ffn_up_exps",
+                     "down_proj": "ffn_down_exps"}[wname]
+            experts.setdefault(li, {}).setdefault(wname, {})[ei] = data
+            continue
+        if hf_name.startswith("model.layers."):
+            _, _, idx, rest = hf_name.split(".", 3)
+            for src, dst in _DS2_ATTN_MAP:
+                if rest == src:
+                    emit(f"blk.{idx}.{dst}", data)
+                    break
+            continue
+    for li, ws in sorted(experts.items()):
+        for wname, exp in ws.items():
+            stacked = np.stack([exp[e] for e in sorted(exp)])
+            w.add_tensor(f"blk.{li}.{wname}.weight",
+                         np.ascontiguousarray(stacked, dtype=np.float32),
+                         ne=(stacked.shape[2], stacked.shape[1],
+                             stacked.shape[0]),
+                         ggml_type=GGMLType.F32)
+            n += 1
     w.write()
     return n
 
