@@ -89,7 +89,7 @@ class ModelConfig:
                         "olmo", "command-r", "phi2", "stablelm", "gptneox",
                         "falcon", "gpt2", "starcoder", "granite", "nemotron",
                         "olmoe", "bloom", "mpt", "gptj", "dbrx",
-                        "granitemoe"):
+                        "granitemoe", "xverse", "exaone", "orion"):
             raise NotImplementedError(
                 f"arch {arch!r}: supported archs are llama (incl. MoE/Mixtral),"
                 " qwen2, gemma, gemma2, phi3"
@@ -179,6 +179,8 @@ class ModelConfig:
             extra["norm_type"] = "ln"
             extra["ffn_gated"] = False
             extra["act"] = "relu2"
+        if arch == "orion":
+            extra["norm_type"] = "ln"  # build_orion uses LLM_NORM
         if arch == "dbrx":
             # LayerNorm (no bias), fused clamped qkv, MoE with normalized
             # top-k weights (build_dbrx)
@@ -263,7 +265,7 @@ class ModelConfig:
             rope_type=(RopeType.NORM
                        if arch in ("llama", "internlm2", "minicpm", "olmo",
                                    "command-r", "granite", "granitemoe",
-                                   "gptj")
+                                   "gptj", "xverse", "orion")
                        else RopeType.NEOX),
             rope_scaling=scaling,
             qkv_bias=arch in ("qwen2", "qwen2moe", "starcoder2", "phi2"),

@@ -17,6 +17,18 @@ def rms_norm(x, w, eps):
     return (x / np.sqrt(var + eps) * w).astype(np.float32)
 
 
+def layer_norm(x, w, b, eps):
+    xf = x.astype(np.float64)
+    mean = xf.mean(axis=-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(axis=-1, keepdims=True)
+    y = (xf - mean) / np.sqrt(var + eps)
+    if w is not None:
+        y = y * w
+    if b is not None:
+        y = y + b
+    return y.astype(np.float32)
+
+
 def rope(x, positions, base, rope_dim, rope_type):
     # x: (b, s, h, hd)
     half = rope_dim // 2
@@ -49,9 +61,15 @@ def forward_np(weights: dict, cfg: ModelConfig, tokens: np.ndarray) -> np.ndarra
     positions = np.broadcast_to(np.arange(s, dtype=np.float64), (b, s))
     rscale = np.float32(cfg.residual_scale)
 
+    def norm(v, wkey):
+        if cfg.norm_type == "ln":
+            return layer_norm(v, weights.get(wkey), weights.get(
+                wkey.replace(".weight", ".bias")), cfg.rms_eps)
+        return rms_norm(v, weights[wkey], cfg.rms_eps)
+
     for i in range(cfg.n_layers):
         p = f"blk.{i}."
-        xin = rms_norm(x, weights[p + "attn_norm.weight"], cfg.rms_eps)
+        xin = norm(x, p + "attn_norm.weight")
         q = xin @ weights[p + "attn_q.weight"].T
         k = xin @ weights[p + "attn_k.weight"].T
         v = xin @ weights[p + "attn_v.weight"].T
@@ -75,13 +93,13 @@ def forward_np(weights: dict, cfg: ModelConfig, tokens: np.ndarray) -> np.ndarra
         attn = np.einsum("bngst,btnh->bsngh", probs, v).reshape(b, s, h * hd)
         x = x + rscale * (attn @ weights[p + "attn_output.weight"].T)
 
-        xin = rms_norm(x, weights[p + "ffn_norm.weight"], cfg.rms_eps)
+        xin = norm(x, p + "ffn_norm.weight")
         gate = xin @ weights[p + "ffn_gate.weight"].T
         up = xin @ weights[p + "ffn_up.weight"].T
         act = gate / (1.0 + np.exp(-gate)) * up
         x = x + rscale * (act @ weights[p + "ffn_down.weight"].T)
 
-    x = rms_norm(x, weights["output_norm.weight"], cfg.rms_eps)
+    x = norm(x, "output_norm.weight")
     if cfg.logit_scale != 1.0:
         x = x * np.float32(cfg.logit_scale)
     w_out = weights.get("output.weight", weights["token_embd.weight"])

@@ -178,6 +178,29 @@ def main(argv=None) -> int:
     probe = GGUFModel.open(args.model)
     probe_arch = probe.arch
     probe.close()
+    if probe_arch in ("deepseek2", "t5"):
+        # correctness-tier runtimes (full-sequence recompute decode)
+        prompt = args.prompt
+        if args.file:
+            prompt = open(args.file).read()
+        if args.escape:
+            prompt = prompt.encode().decode("unicode_escape")
+        if probe_arch == "t5":
+            from ..models.t5 import T5Runtime
+
+            rt = T5Runtime.load(args.model)
+        else:
+            from ..models.deepseek2 import DeepseekV2Runtime
+
+            rt = DeepseekV2Runtime.load(args.model)
+        toks = rt.tokenizer.encode(prompt, add_special=True, parse_special=True)
+        n = args.n_predict if args.n_predict > 0 else 64
+        out = rt.generate(toks, n_predict=n)
+        if not args.no_display_prompt:
+            sys.stdout.write(prompt)
+        sys.stdout.write(rt.tokenizer.decode(out) + "\n")
+        return 0
+
     if probe_arch == "mamba":
         # recurrent-state decode path (no KV cache / engine)
         from ..models.mamba import MambaRuntime

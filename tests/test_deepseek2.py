@@ -71,3 +71,20 @@ def test_deepseek2_generate(ds2_gguf):
         hf_out = hf_model.generate(torch.tensor([prompt]), max_new_tokens=6,
                                    do_sample=False, pad_token_id=0)
     assert out == hf_out[0, len(prompt):].tolist()
+
+
+def test_deepseek2_cli(ds2_gguf):
+    import io
+    import sys as _sys
+
+    from prima_tpu.tools.cli import main as cli_main
+
+    dst, _ = ds2_gguf
+    old = _sys.stdout
+    _sys.stdout = cap = io.StringIO()
+    try:
+        rc = cli_main(["-m", dst, "-p", "hello", "-n", "4",
+                       "--no-display-prompt"])
+    finally:
+        _sys.stdout = old
+    assert rc == 0 and len(cap.getvalue().strip()) > 0

@@ -82,7 +82,8 @@ def make_tiny_gguf(path, arch="llama", n_vocab=256, n_embd=256, n_heads=4, n_kv=
 F32_OPTS = ForwardOptions(dtype=jnp.float32, logits_dtype=jnp.float32)
 
 
-@pytest.mark.parametrize("arch", ["llama", "qwen2", "internlm2", "minicpm"])
+@pytest.mark.parametrize("arch", ["llama", "qwen2", "internlm2", "minicpm",
+                                  "xverse", "exaone", "orion"])
 def test_forward_matches_numpy(tmp_path, arch):
     """internlm2 = llama numerics under another arch name; minicpm adds the
     embd/residual/logit scaling knobs (both verified against the scale-aware
