@@ -254,6 +254,16 @@ def _regex_to_gbnf(pattern: str, conv: "SchemaConverter") -> str:
                     break
             cls = body[pos : end + 1]
             pos = end + 1
+            # regex shorthand escapes are NOT GBNF class syntax — expand
+            # \d/\w/\s to their ranges (negated forms are inexpressible as
+            # positive ranges inside a class)
+            for esc in ("\\D", "\\W", "\\S"):
+                if esc in cls:
+                    raise ValueError(
+                        f"unsupported {esc} inside class in pattern {pattern!r}")
+            cls = (cls.replace("\\d", "0-9")
+                      .replace("\\w", "0-9a-zA-Z_")
+                      .replace("\\s", " \\t\\n\\r"))
             return cls
         if c == ".":
             pos += 1

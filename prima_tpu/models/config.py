@@ -91,8 +91,9 @@ class ModelConfig:
                         "olmoe", "bloom", "mpt", "gptj", "dbrx",
                         "granitemoe", "xverse", "exaone", "orion"):
             raise NotImplementedError(
-                f"arch {arch!r}: supported archs are llama (incl. MoE/Mixtral),"
-                " qwen2, gemma, gemma2, phi3"
+                f"arch {arch!r} is not in the decoder arch table (see "
+                "PARITY.md for the full list; mamba/t5/bert load through "
+                "their own runtime modules)"
             )
         g = m.arch_key
         n_embd = int(g("{arch}.embedding_length"))

@@ -131,6 +131,8 @@ class SpeculativeDecoder:
                 for j in range(s_len):
                     tok = sampler.sample_and_accept(logits[j])
                     accepted.append(tok)
+                    if t.eog_ids and tok in t.eog_ids:
+                        break  # stop at EOG like plain decoding
                     if j < len(draft) and tok == draft[j] \
                             and n_out + len(accepted) < n_predict:
                         stats.n_accepted += 1

@@ -53,13 +53,13 @@ class ServerContext:
             if entries:
                 raise ValueError("invalid adapter id")
             return
+        parsed = [(int(e["id"]), float(e["scale"])) for e in entries]
+        if any(not 0 <= i < len(self.loras) for i, _ in parsed):
+            raise ValueError("invalid adapter id")  # validate BEFORE mutating
         for rec in self.loras:
             rec["scale"] = 0.0
-        for entry in entries:
-            i = int(entry["id"])
-            if not 0 <= i < len(self.loras):
-                raise ValueError("invalid adapter id")
-            self.loras[i]["scale"] = float(entry["scale"])
+        for i, sc in parsed:
+            self.loras[i]["scale"] = sc
         params = self.base_params
         for rec in self.loras:
             if rec["scale"] != 0.0:

@@ -313,6 +313,11 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
             or n_heads)  # falcon names it num_kv_heads
     if archs and "GPTBigCodeForCausalLM" in archs and hf.get("multi_query", True):
         n_kv = 1
+    if (archs and "FalconForCausalLM" in archs
+            and not hf.get("new_decoder_architecture", False)
+            and hf.get("multi_query", False)):
+        n_kv = 1  # classic falcon-7b multi-query: HF config still reports
+        #           num_kv_heads == num_attention_heads
     w = GGUFWriter(dst_path, arch=arch)
     w.add_kv("general.name", os.path.basename(os.path.normpath(src_dir)))
     w.add_kv(f"{arch}.block_count",
@@ -331,7 +336,9 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
     w.add_kv(f"{arch}.context_length",
              int(hf.get("max_position_embeddings")
                  or hf.get("n_positions") or 4096))
-    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", hf.get("rms_norm_eps", 1e-5))
+    if hf.get("rms_norm_eps") is not None:
+        w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon",
+                 float(hf["rms_norm_eps"]))
     w.add_kv(f"{arch}.rope.freq_base", float(hf.get("rope_theta", 10000.0)))
     head_dim_eff = int(hf.get("head_dim") or n_embd_eff // n_heads)
     rope_dim = head_dim_eff
@@ -353,7 +360,7 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
                  float(hf.get("final_logit_softcapping", 30.0)))
         w.add_kv("gemma2.attention.sliding_window",
                  int(hf.get("sliding_window", 4096)))
-    if hf.get("num_local_experts"):  # mixtral
+    if hf.get("num_local_experts") and arch != "granitemoe":  # mixtral
         w.add_kv(f"{arch}.expert_count", int(hf["num_local_experts"]))
         w.add_kv(f"{arch}.expert_used_count",
                  int(hf.get("num_experts_per_tok", 2)))
@@ -414,8 +421,6 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
                        else 0.0))
         if ac.get("clip_qkv"):
             w.add_kv(f"{arch}.attention.clamp_kqv", float(ac["clip_qkv"]))
-        if arch == "starcoder" and hf.get("multi_query", True):
-            pass  # head_count_kv written below from n_kv
     if arch == "granitemoe":
         w.add_kv(f"{arch}.expert_count", int(hf["num_local_experts"]))
         w.add_kv(f"{arch}.expert_used_count",
@@ -967,9 +972,9 @@ def _convert_t5(src_dir: str, dst_path: str, hf: dict, ftype: str,
     arch = "t5"
     w = GGUFWriter(dst_path, arch=arch)
     w.add_kv("general.name", os.path.basename(os.path.normpath(src_dir)))
-    w.add_kv(f"{arch}.block_count", int(hf["num_layers"]))
-    w.add_kv(f"{arch}.encoder_block_count",
-             int(hf.get("num_layers", hf["num_layers"])))
+    w.add_kv(f"{arch}.block_count",
+             int(hf.get("num_decoder_layers") or hf["num_layers"]))
+    w.add_kv(f"{arch}.encoder_block_count", int(hf["num_layers"]))
     w.add_kv(f"{arch}.embedding_length", int(hf["d_model"]))
     w.add_kv(f"{arch}.feed_forward_length", int(hf["d_ff"]))
     w.add_kv(f"{arch}.attention.head_count", int(hf["num_heads"]))

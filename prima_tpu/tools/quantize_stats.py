@@ -23,6 +23,10 @@ from ..gguf.reader import GGUFModel
 from ..quant.dequant_np import dequantize, dequantize_tensor
 from ..quant.quantize_np import QUANTIZE_FNS, quantize
 
+_IQ_TYPES = {GGMLType.IQ1_S, GGMLType.IQ1_M, GGMLType.IQ2_XXS,
+             GGMLType.IQ2_XS, GGMLType.IQ2_S, GGMLType.IQ3_XXS,
+             GGMLType.IQ3_S}
+
 DEFAULT_TYPES = ["q4_0", "q4_1", "q5_0", "q5_1", "q8_0",
                  "q2_K", "q3_K", "q4_K", "q5_K", "q6_K"]
 
@@ -51,7 +55,8 @@ def main(argv=None) -> int:
     types = []
     for n in names:
         t = GGMLType[n.upper()]
-        if t not in QUANTIZE_FNS and t not in (GGMLType.F16, GGMLType.BF16):
+        if (t not in QUANTIZE_FNS and t not in _IQ_TYPES
+                and t not in (GGMLType.F16, GGMLType.BF16)):
             print(f"note: no encoder for {t.name}, skipping", file=sys.stderr)
             continue
         types.append(t)

@@ -99,3 +99,12 @@ def test_string_length_bounds():
     assert not _matches(s, '"abcd"')
     assert _matches({"type": "string", "minLength": 1}, '"x"')
     assert not _matches({"type": "string", "minLength": 1}, '""')
+
+
+def test_pattern_class_escapes():
+    """\\d/\\w/\\s inside [...] must expand to ranges, not literal letters."""
+    assert _matches({"type": "string", "pattern": "^[\\d]+$"}, '"123"')
+    assert not _matches({"type": "string", "pattern": "^[\\d]+$"}, '"ddd"')
+    assert _matches({"type": "string", "pattern": "^[\\w-]+$"}, '"a_b-9"')
+    with pytest.raises(ValueError):
+        json_schema_to_gbnf({"type": "string", "pattern": "^[\\D]+$"})
