@@ -175,6 +175,11 @@ def main():
         "vs_baseline": round(tok_s / baseline_tok_s, 3),
         "hbm_probe_gbs": round(hbm_gbs, 1),
         "effective_gbs": round(eff_gbs, 1),
+        # kernel weight-streaming rate over the moment's raw-read bandwidth:
+        # the throttle-invariant kernel-quality number (the shared TPU swings
+        # 2-10x; values >= 1 mean the fused kernel is at/above the observed
+        # memory speed-of-light)
+        "kernel_vs_probe": round(eff_gbs / hbm_gbs, 2) if hbm_gbs else None,
     }))
     return 0
 
