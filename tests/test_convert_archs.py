@@ -466,3 +466,55 @@ def test_granitemoe_parity(tmp_path):
                     [3, 11, 25, 7], expect_arch="granitemoe",
                     rtol=2e-3, atol=2e-3)
     assert lm.cfg.n_expert == 4 and lm.cfg.embd_scale == 6.0
+
+
+@pytest.mark.parametrize("family", ["gpt2", "bloom", "falcon"])
+def test_engine_greedy_matches_hf_generate(tmp_path, family):
+    """Incremental Engine decode (KV cache, learned-pos / ALiBi paths) must
+    reproduce HF greedy generation token-for-token."""
+    import jax.numpy as jnp
+
+    from prima_tpu.models.llama import ForwardOptions
+    from prima_tpu.models.loader import load_model
+    from prima_tpu.runtime.engine import Engine
+    from prima_tpu.tools.convert_hf import convert_hf_to_gguf
+
+    if family == "gpt2":
+        cfg = transformers.GPT2Config(
+            vocab_size=128, n_positions=64, n_embd=64, n_layer=2, n_head=4,
+            attn_pdrop=0.0, embd_pdrop=0.0, resid_pdrop=0.0)
+        model = transformers.GPT2LMHeadModel
+    elif family == "bloom":
+        cfg = transformers.BloomConfig(
+            vocab_size=128, hidden_size=64, n_layer=2, n_head=4,
+            attention_dropout=0.0, hidden_dropout=0.0)
+        model = transformers.BloomForCausalLM
+    else:
+        cfg = transformers.FalconConfig(
+            vocab_size=128, hidden_size=64, num_hidden_layers=2,
+            num_attention_heads=4, num_kv_heads=2,
+            new_decoder_architecture=True, multi_query=True,
+            parallel_attn=True, bias=False, alibi=False,
+            rope_theta=10000.0, max_position_embeddings=64)
+        model = transformers.FalconForCausalLM
+
+    d = str(tmp_path / "hf")
+    os.makedirs(d, exist_ok=True)
+    torch.manual_seed(0)
+    hf = model(cfg)
+    hf.eval()
+    hf.save_pretrained(d, safe_serialization=True)
+    _write_tokenizer_json(d, cfg.vocab_size)
+    dst = str(tmp_path / "m.gguf")
+    convert_hf_to_gguf(d, dst, "F32", logfile=open(os.devnull, "w"))
+
+    lm = load_model(dst, dtype=jnp.float32)
+    eng = Engine(lm.cfg, lm.params, n_slots=1, max_seq=48,
+                 opts=ForwardOptions(matmul_impl="xla", dtype=jnp.float32,
+                                     logits_dtype=jnp.float32))
+    prompt = [3, 11, 25, 7]
+    got = eng.run_to_completion(prompt, n_predict=8)
+    with torch.no_grad():
+        want = hf.generate(torch.tensor([prompt]), max_new_tokens=8,
+                           do_sample=False, pad_token_id=0)
+    assert got == want[0, len(prompt):].tolist()
