@@ -468,7 +468,8 @@ def test_granitemoe_parity(tmp_path):
     assert lm.cfg.n_expert == 4 and lm.cfg.embd_scale == 6.0
 
 
-@pytest.mark.parametrize("family", ["gpt2", "bloom", "falcon"])
+@pytest.mark.parametrize("family", ["gpt2", "bloom", "falcon", "stablelm",
+                                    "gptneox", "mpt"])
 def test_engine_greedy_matches_hf_generate(tmp_path, family):
     """Incremental Engine decode (KV cache, learned-pos / ALiBi paths) must
     reproduce HF greedy generation token-for-token."""
@@ -489,7 +490,7 @@ def test_engine_greedy_matches_hf_generate(tmp_path, family):
             vocab_size=128, hidden_size=64, n_layer=2, n_head=4,
             attention_dropout=0.0, hidden_dropout=0.0)
         model = transformers.BloomForCausalLM
-    else:
+    elif family == "falcon":
         cfg = transformers.FalconConfig(
             vocab_size=128, hidden_size=64, num_hidden_layers=2,
             num_attention_heads=4, num_kv_heads=2,
@@ -497,6 +498,29 @@ def test_engine_greedy_matches_hf_generate(tmp_path, family):
             parallel_attn=True, bias=False, alibi=False,
             rope_theta=10000.0, max_position_embeddings=64)
         model = transformers.FalconForCausalLM
+    elif family == "stablelm":
+        cfg = transformers.StableLmConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            partial_rotary_factor=0.25, use_qkv_bias=True,
+            use_parallel_residual=False, rope_theta=10000.0,
+            max_position_embeddings=64, tie_word_embeddings=False)
+        model = transformers.StableLmForCausalLM
+    elif family == "gptneox":
+        cfg = transformers.GPTNeoXConfig(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4, rotary_pct=0.25,
+            use_parallel_residual=True, rotary_emb_base=10000,
+            max_position_embeddings=64, tie_word_embeddings=False)
+        model = transformers.GPTNeoXForCausalLM
+    else:
+        cfg = transformers.MptConfig(
+            vocab_size=128, d_model=64, n_layers=2, n_heads=4,
+            attn_config=transformers.models.mpt.configuration_mpt
+            .MptAttentionConfig(alibi=True, alibi_bias_max=8,
+                                attn_pdrop=0.0, clip_qkv=None),
+            tie_word_embeddings=True, no_bias=True, expansion_ratio=4)
+        model = transformers.MptForCausalLM
 
     d = str(tmp_path / "hf")
     os.makedirs(d, exist_ok=True)
