@@ -22,8 +22,8 @@ import numpy as np
 
 from ..gguf.constants import GGMLType, TYPE_TRAITS
 from ..gguf.reader import GGUFModel, TensorInfo
-from ..ops.layers import (apply_rope, causal_mask, gated_act, gqa_attention,
-                          rms_norm, rope_freqs, swiglu)
+from ..ops.layers import (alibi_mask, apply_rope, causal_mask, gated_act,
+                          gqa_attention, rms_norm, rope_freqs, swiglu)
 from ..quant.dequant_jax import QTensor, dequant, qmatmul_xla
 from ..quant.device_format import SUPPORTED_TYPES, UQTensor as _UQ, to_device_format
 from .config import ModelConfig
@@ -322,7 +322,8 @@ def init_kv_stacked(cfg: ModelConfig, batch: int, max_seq: int,
 
 
 def forward_scan(params: dict, cfg: ModelConfig, tokens, positions,
-                 kv, cache_pos, opts=None, return_hidden: bool = False):
+                 kv, cache_pos, opts=None, return_hidden: bool = False,
+                 mask_positions: jax.Array | None = None):
     """Uniform-layer forward as ONE lax.scan over stacked layer params —
     XLA compiles a single layer body regardless of depth (the fast-compile
     path for benchmarks and uniform models; the indexable forward() remains
@@ -340,12 +341,11 @@ def forward_scan(params: dict, cfg: ModelConfig, tokens, positions,
                        params.get("tok_embd_norm_b"), cfg.rms_eps)
     inv_freq, mscale = rope_freqs(cfg)
     t_cache = kv[0].shape[2]
+    mpos = positions if mask_positions is None else mask_positions
     if cfg.alibi_max_bias:  # bloom/mpt
-        from ..ops.layers import alibi_mask
-
-        mask = alibi_mask(positions, t_cache)
+        mask = alibi_mask(mpos, t_cache)
     else:
-        mask = causal_mask(positions, t_cache)
+        mask = causal_mask(mpos, t_cache)
 
     def body(xc, xs):
         layer, kvl = xs
@@ -896,6 +896,7 @@ def forward(
     hidden_in: jax.Array | None = None,
     return_hidden: bool = False,
     taps: dict | None = None,
+    mask_positions: jax.Array | None = None,
 ):
     """Full or partial (layer-window) forward.
 
@@ -921,14 +922,16 @@ def forward(
 
     inv_freq, mscale = rope_freqs(cfg)
     t_cache = kv_caches[lo][0].shape[1] if kv_caches else 0
+    # Self-Extend compresses the LOGICAL (RoPE) positions below the physical
+    # write index; causal visibility must follow the physical cache order
+    # (main.cpp:618-640), so the mask may use separate positions.
+    mpos = positions if mask_positions is None else mask_positions
     if cfg.alibi_max_bias:  # bloom/mpt: mask carries -|pos_i - j| distances
-        from ..ops.layers import alibi_mask
-
-        mask = alibi_mask(positions, t_cache)
+        mask = alibi_mask(mpos, t_cache)
     else:
-        mask = causal_mask(positions, t_cache)
+        mask = causal_mask(mpos, t_cache)
     # gemma2: sliding-window attention on even layers (build_gemma2:14357)
-    mask_swa = (causal_mask(positions, t_cache, swa_window=cfg.swa_window)
+    mask_swa = (causal_mask(mpos, t_cache, swa_window=cfg.swa_window)
                 if cfg.swa_window else None)
 
     new_kv = list(kv_caches)

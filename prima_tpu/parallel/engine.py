@@ -91,6 +91,12 @@ class DistributedEngine:
                n_predict: int = -1, request_id: Any = None) -> DSlot:
         if not prompt_tokens:
             raise ValueError("empty prompt")
+        if len(prompt_tokens) >= self.max_seq - self.n_batch:
+            # leave decode headroom: dynamic_update_slice would CLAMP an
+            # overshooting write and silently corrupt cached cells
+            raise ValueError(
+                f"prompt ({len(prompt_tokens)}) exceeds max_seq - n_batch "
+                f"({self.max_seq - self.n_batch})")
         slot = self.find_idle_slot()
         if slot is None:
             raise RuntimeError("no idle slot")

@@ -66,7 +66,9 @@ class RingPlan:
 def _put_layer(layer_host: dict, device) -> dict:
     out = {}
     for name, t in layer_host.items():
-        if isinstance(t, UQTensor):
+        if t is None:  # tied-embedding heads pass output=None
+            out[name] = None
+        elif isinstance(t, UQTensor):
             out[name] = QTensor.from_host(t, device=device)
         else:
             out[name] = jax.device_put(np.asarray(t, dtype=np.float32), device)

@@ -134,8 +134,13 @@ class TcpRingWorker:
 def relay_loop(node: RingNode) -> None:
     """Forwarder role (common/common.cpp:1832-1873): a device the scheduler
     removed keeps relaying ring traffic so the ring is never re-wired."""
+    next_is_master = (node.rank + 1) % node.world == 0
     while True:
         msg = node.recv_prev(timeout=None)
+        if msg.get("tag") == "meta" and next_is_master:
+            # the master never consumes meta (it originated it); forwarding
+            # it would desync TcpRingMaster's recv_prev stream
+            continue
         node.send_next(msg)
         if msg.get("tag") == "act":
             send_tensor(node.send_sock, recv_tensor(node.recv_sock))

@@ -70,6 +70,9 @@ class Slot:
     ga_i: int = 0
     pos_delta: int = 0  # logical (RoPE) position - physical write index
     pos_map: Any = None  # per-cell logical positions (lazy)
+    # context-shift history: (n_keep, n_discard) per shift, in order — the
+    # dropped middle spans needed to reconstruct the cached token list
+    shifts: list = field(default_factory=list)
 
     @property
     def n_past(self) -> int:
@@ -132,6 +135,9 @@ class Engine:
         assert grp_attn_n >= 1
         assert grp_attn_n == 1 or grp_attn_w % grp_attn_n == 0, \
             "grp_attn_w must be a multiple of grp_attn_n (main.cpp:221)"
+        assert not (ctx_shift and grp_attn_n > 1), \
+            "context shift and Self-Extend are mutually exclusive (main.cpp " \
+            "performs the shift only in the ga_n == 1 branch)"
         self.grp_attn_n = grp_attn_n
         self.grp_attn_w = grp_attn_w
         # perf counters (llama_perf_context analogue)
@@ -141,14 +147,16 @@ class Engine:
         opts_ = self.opts
         use_scan_ = self.use_scan
 
-        def _fwd(params, caches, tokens, positions, cache_pos):
+        def _fwd(params, caches, tokens, positions, cache_pos,
+                 mask_positions=None):
             if use_scan_:
                 from ..models.llama import forward_scan
 
                 return forward_scan(params, cfg_, tokens, positions, caches,
-                                    cache_pos, opts_)
+                                    cache_pos, opts_,
+                                    mask_positions=mask_positions)
             return forward(params, cfg_, tokens, positions, caches,
-                           cache_pos, opts_)
+                           cache_pos, opts_, mask_positions=mask_positions)
 
         slot_axis = 1 if self.use_scan else 0
 
@@ -160,7 +168,9 @@ class Engine:
             take = (lambda a: a[:, slot][:, None]) if use_scan_ else (lambda a: a[slot][None])
             row = jax.tree.map(take, caches)
             positions = rope0 + jnp.arange(s_len, dtype=jnp.int32)[None]
-            _logits, row = _fwd(params, row, tokens[None], positions, pos0[None])
+            phys = pos0 + jnp.arange(s_len, dtype=jnp.int32)[None]
+            _logits, row = _fwd(params, row, tokens[None], positions,
+                                pos0[None], mask_positions=phys)
             if use_scan_:
                 caches = jax.tree.map(
                     lambda c, r: c.at[:, slot].set(r[:, 0]), caches, row)
@@ -170,9 +180,12 @@ class Engine:
 
         @jax.jit
         def _decode(params, caches, tokens, cache_pos, rope_pos):
-            # tokens: (B, 1); cache_pos: (B,) — batched one-token step
+            # tokens: (B, 1); cache_pos: (B,) — batched one-token step.
+            # RoPE uses the (possibly Self-Extend-compressed) logical
+            # positions; causal visibility follows the physical write index.
             positions = rope_pos[:, None]
-            logits, caches = _fwd(params, caches, tokens, positions, cache_pos)
+            logits, caches = _fwd(params, caches, tokens, positions, cache_pos,
+                                  mask_positions=cache_pos[:, None])
             return logits[:, -1], caches
 
         @functools.partial(jax.jit, static_argnames=("s_len",))
@@ -234,6 +247,7 @@ class Engine:
         slot.ga_i = 0
         slot.pos_delta = 0
         slot.pos_map = None
+        slot.shifts = []
         for t in prompt_tokens:
             slot.sampler.accept(t, accept_grammar=False)
         if slot.n_prompt_done >= len(slot.prompt) - 1:
@@ -298,10 +312,14 @@ class Engine:
         self._apply_self_extend(slot)
         target = len(slot.prompt) - 1
         chunk = slot.prompt[slot.n_prompt_done : min(slot.n_prompt_done + self.n_batch, target)]
+        pos0 = np.int32(self.kv.used(slot.id))
         s_len = _bucket(len(chunk), self.n_batch)
+        if int(pos0) + s_len > self.kv.max_seq:
+            # a padded bucket would make dynamic_update_slice CLAMP the write
+            # start, silently corrupting earlier cache cells — shrink to fit
+            s_len = self.kv.max_seq - int(pos0)
         padded = np.zeros(s_len, dtype=np.int32)
         padded[: len(chunk)] = chunk
-        pos0 = np.int32(self.kv.used(slot.id))
         rope0 = np.int32(int(pos0) + slot.pos_delta)
         self.kv.caches = self._prefill(
             self.params, self.kv.caches, jnp.asarray(padded), pos0, rope0,
@@ -340,6 +358,9 @@ class Engine:
                     used = self.kv.used(slot.id)
                     n_discard = max((used - self.n_keep) // 2, 1)
                     self.kv.context_shift(slot.id, self.n_keep, n_discard)
+                    # record for state save: the token history must drop the
+                    # same middle span the cache dropped
+                    slot.shifts.append((self.n_keep, n_discard))
         if self.grp_attn_n > 1:
             for slot in active:
                 if slot.pos_map is None:

@@ -80,9 +80,10 @@ def _try_draft_static(nc_static: NgramCache, ng) -> int:
 
 
 def _try_draft(nc_primary: NgramCache, ngrams, part_static: dict,
-               min_sample, min_percent) -> int:
+               min_sample, min_percent, ngram_min: int) -> int:
     """Largest-n first; candidate tokens are weighted by 100x their static-
-    cache count (ngram-cache.cpp:98-143)."""
+    cache count (ngram-cache.cpp:98-143). The threshold tables are indexed
+    by ngram SIZE - 1 (ngram i has size ngram_min + i)."""
     drafted = -1
     for i in range(len(ngrams) - 1, -1, -1):
         if drafted != -1:
@@ -90,15 +91,16 @@ def _try_draft(nc_primary: NgramCache, ngrams, part_static: dict,
         part = nc_primary.get(ngrams[i])
         if not part:
             continue
+        size_idx = ngram_min + i - 1
         max_tok, max_cp, max_cs, sum_cp = -1, 0, 0, 0
         for tok, cp in part.items():
             cs = 100 * part_static.get(tok, 0) or 1
             if cp * cs > max_cp * max_cs:
                 max_tok, max_cp, max_cs = tok, cp, cs
             sum_cp += cp
-        if sum_cp < min_sample[i]:
+        if sum_cp < min_sample[size_idx]:
             continue
-        if 100 * max_cp < min_percent[i] * sum_cp:
+        if 100 * max_cp < min_percent[size_idx] * sum_cp:
             continue
         drafted = max_tok
     return drafted
@@ -130,10 +132,11 @@ def draft(inp, drafted: list[int], n_draft: int, ngram_min: int,
             )
         if tok == -1:
             tok = _try_draft(nc_context, ngrams_cd, part_static,
-                             _MIN_SAMPLE_LAX, _MIN_PERCENT_LAX)
+                             _MIN_SAMPLE_LAX, _MIN_PERCENT_LAX, ngram_min)
         if tok == -1:
             tok = _try_draft(nc_dynamic, ngrams_cd, part_static,
-                             _MIN_SAMPLE_STRICT, _MIN_PERCENT_STRICT)
+                             _MIN_SAMPLE_STRICT, _MIN_PERCENT_STRICT,
+                             ngram_min)
         if tok == -1:
             tok = _try_draft_static(nc_static, ng_static)
         if tok == -1:
@@ -226,11 +229,10 @@ class LookupDecoder:
         stats = LookupStats()
         t = self.target
 
+        # submit() already accepts the prompt into the sampler penalty window
         t_slot = t.submit(prompt_tokens, sampler=sampler, n_predict=-1)
         while t_slot.state.name == "PREFILL":
             t._advance_prefill(t_slot)
-        for tok in prompt_tokens:
-            sampler.accept(tok, accept_grammar=False)
 
         all_tokens = list(prompt_tokens)
         update(self.nc_context, self.ngram_min, self.ngram_max,

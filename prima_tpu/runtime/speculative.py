@@ -143,9 +143,28 @@ class SpeculativeDecoder:
 
                 # target consumed j+1 positions; roll back the unaccepted tail
                 t.kv.cache_pos[0] = int(pos0) + len(accepted)
-                # draft cache: roll back to the verified history [prompt..out]
-                d.kv.cache_pos[0] = min(d.kv.used(0),
-                                        len(prompt_tokens) + n_out - 1)
+                # draft cache must hold exactly the verified history
+                # [prompt .. out[:-1]] (next round's input is out[-1]);
+                # with n_draft == 0 the draft engine is never consulted
+                hist = len(prompt_tokens) + n_out - 1
+                if self.n_draft <= 0:
+                    pass
+                elif d.kv.used(0) > hist:
+                    d.kv.cache_pos[0] = hist
+                elif d.kv.used(0) < hist:
+                    # full-acceptance round: the draft never consumed the
+                    # last drafted token — feed it so its conditioning
+                    # history stays complete (at most one token short)
+                    assert hist - d.kv.used(0) == 1 and len(accepted) >= 2
+                    d.slots[0].generated = [accepted[-2]]
+                    feed = np.zeros((d.n_slots, 1), dtype=np.int32)
+                    feed[0, 0] = accepted[-2]
+                    cp = d.kv.cache_pos.copy()
+                    _lg, d.kv.caches = d._decode(
+                        d.params, d.kv.caches, jnp.asarray(feed),
+                        jnp.asarray(cp), jnp.asarray(cp))
+                    stats.n_draft_calls += 1
+                    d.kv.cache_pos[0] += 1
 
                 yield accepted[: n_predict - (n_out - len(accepted))]
 

@@ -34,7 +34,11 @@ def slot_save(engine, slot_id: int, path: str) -> int:
     """Save one slot's sequence state; returns tokens saved."""
     used = engine.kv.used(slot_id)
     slot = engine.slots[slot_id]
-    tokens = (slot.prompt + slot.generated)[: used + 1]
+    tokens = list(slot.prompt + slot.generated)
+    for n_keep, n_discard in getattr(slot, "shifts", []):
+        # replay context shifts: the cache dropped these middle spans
+        tokens = tokens[:n_keep] + tokens[n_keep + n_discard:]
+    tokens = tokens[: used + 1]
     from .kv import StackedKVCache, _materialize_row, _materialize_srow
 
     arrays = {}

@@ -62,3 +62,17 @@ def test_zero_draft_degenerates_to_plain(models):
     plain = _engine(cfg, tparams).run_to_completion(prompt, n_predict=6)
     assert out == plain
     assert stats.n_drafted == 0
+
+
+def test_acceptance_stays_full_with_identical_draft(tmp_path):
+    """Regression: on full-acceptance rounds the draft cache must ingest the
+    last drafted token, or its history desyncs and acceptance collapses."""
+    cfg = tiny_config(n_layers=2, n_embd=64, n_heads=4, n_kv_heads=2,
+                      head_dim=16, n_ff=128, n_vocab=64, rope_dim=16)
+    params = synth_params(cfg, seed=5)
+    spec = SpeculativeDecoder(_engine(cfg, params), _engine(cfg, params),
+                              n_draft=4)
+    out, stats = spec.generate([3, 5, 7], n_predict=24)
+    assert len(out) == 24
+    # identical models: every drafted token must be accepted, every round
+    assert stats.n_accepted == stats.n_drafted
