@@ -59,6 +59,7 @@ _NP_DTYPE = {
     GGUFValueType.UINT64: np.uint64,
     GGUFValueType.INT64: np.int64,
     GGUFValueType.FLOAT64: np.float64,
+    GGUFValueType.BOOL: np.uint8,
 }
 
 
@@ -261,7 +262,12 @@ class GGUFModel:
         m = re.match(r"^(.*)-(\d{5})-of-(\d{5})\.gguf$", path)
         if not m:
             raise ValueError(f"{path}: split.count={count} but filename lacks split pattern")
-        base, _, total = m.group(1), int(m.group(2)), int(m.group(3))
+        base, idx, total = m.group(1), int(m.group(2)), int(m.group(3))
+        if idx != 1:
+            # caller passed a later shard: restart from shard 00001 so the
+            # tensor set is complete and nothing is registered twice
+            first.close()
+            first = GGUFReader(f"{base}-{1:05d}-of-{total:05d}.gguf")
         readers = [first]
         for i in range(2, total + 1):
             readers.append(GGUFReader(f"{base}-{i:05d}-of-{total:05d}.gguf"))

@@ -70,6 +70,7 @@ _NP_TO_VTYPE = {
     np.dtype(np.uint64): GGUFValueType.UINT64,
     np.dtype(np.int64): GGUFValueType.INT64,
     np.dtype(np.float64): GGUFValueType.FLOAT64,
+    np.dtype(np.bool_): GGUFValueType.BOOL,
 }
 
 
@@ -96,11 +97,15 @@ def _pack_payload(value: Any, vtype: GGUFValueType) -> bytes:
             body = b"".join(_pack_string(v) for v in value)
         else:
             etype = _infer_vtype(first)
-            # widen mixed int arrays
-            if etype in (GGUFValueType.UINT32, GGUFValueType.INT32) and any(
-                isinstance(v, int) and (v >= 2**31 or v < -(2**31)) for v in value
-            ):
-                etype = GGUFValueType.INT64
+            # normalize mixed-int arrays: a non-negative first element infers
+            # UINT32 which cannot hold later negatives, and large magnitudes
+            # need 64 bits
+            if etype in (GGUFValueType.UINT32, GGUFValueType.INT32):
+                ints = [v for v in value if isinstance(v, int)]
+                if any(v < 0 for v in ints):
+                    etype = GGUFValueType.INT32
+                if any(v >= 2**31 or v < -(2**31) for v in ints):
+                    etype = GGUFValueType.INT64
             body = b"".join(struct.pack(_SCALAR_PACK[etype], v) for v in value)
         return struct.pack("<IQ", int(etype), len(value)) + body
     return struct.pack(_SCALAR_PACK[vtype], int(value) if vtype == GGUFValueType.BOOL else value)

@@ -129,8 +129,10 @@ def _f16_bits_to_f32(bits: jax.Array) -> jax.Array:
     s = (bits >> 15) & 1
     e = (bits >> 10) & 31
     m = bits & 1023
+    # e == 31 (inf/NaN) maps to f32 exponent 255 so bad data propagates
+    e32 = jnp.where(e == 31, 255, e + 112)
     normal = jax.lax.bitcast_convert_type(
-        ((s << 31) | ((e + 112) << 23) | (m << 13)).astype(jnp.int32),
+        ((s << 31) | (e32 << 23) | (m << 13)).astype(jnp.int32),
         jnp.float32)
     sub = ((1 - 2 * s) * m).astype(jnp.float32) * np.float32(2.0 ** -24)
     return jnp.where(e > 0, normal, sub)

@@ -137,7 +137,10 @@ def make_qkx3_quants(x: np.ndarray, weights: np.ndarray, nmax: int,
     best_mad = np.sum(w * diff * diff, axis=1)
 
     for step in range(nstep + 1):
-        isc = (rmin + rdelta * step + nmax) / rng
+        # the reference uses the LIVE updated min in both the candidate
+        # iscale denominator and the shift (make_qkx3_quants)
+        rng_live = np.where(flat, 1.0, np.maximum(mx - mn, 1e-30))
+        isc = (rmin + rdelta * step + nmax) / rng_live
         l = np.clip(_nearest_int(isc[:, None] * (x - mn[:, None])), 0, nmax)
         sum_l = np.sum(w * l, axis=1)
         sum_l2 = np.sum(w * l * l, axis=1)

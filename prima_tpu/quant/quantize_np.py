@@ -479,5 +479,6 @@ def quantize(x: np.ndarray, ggml_type: GGMLType) -> np.ndarray:
               GGMLType.IQ1_M: quantize_iq1_m}.get(ggml_type)
         if iq is None:
             raise NotImplementedError(f"quantization to {ggml_type.name}")
-        return iq(x)  # unweighted: sqrt(sigma2+x^2) default weights
+        # unweighted: sqrt(sigma2+x^2) default weights
+        return iq(np.atleast_2d(np.asarray(x, dtype=np.float32)))
     return fn(x)

@@ -188,18 +188,25 @@ def assign_layers(
         W = L // k
         # initial classes from an even split
         w_guess = [W // M + (1 if i < W % M else 0) for i in range(M)]
-        classes = [_device_class(p, cost, max(w_guess[i], 1), n_ctx)
+        # classes condition on the TOTAL layers a device owns across the k
+        # cycles (k*w), matching the capacity rows in _solve_fixed_k
+        classes = [_device_class(p, cost, k * max(w_guess[i], 1), n_ctx)
                    for i, p in enumerate(profiles)]
         it = 0
+        last = None
         while True:
             it += 1
             try:
                 w, n, obj = _solve_fixed_k(profiles, cost, k, n_ctx, classes,
                                            master_priority, xi)
             except InfeasibleError:
-                w = None
+                if last is None:
+                    w = None
+                else:  # rollback to the last feasible iterate (@1428-1443)
+                    w, n, obj = last
                 break
-            new_classes = [_device_class(p, cost, max(int(w[i]), 1), n_ctx)
+            last = (w, n, obj)
+            new_classes = [_device_class(p, cost, k * max(int(w[i]), 1), n_ctx)
                            for i, p in enumerate(profiles)]
             if new_classes == classes or it >= 8:
                 break

@@ -40,7 +40,7 @@ class Tokenizer:
 
     # -- encode -------------------------------------------------------------
 
-    def _encode_fragment(self, text: str, is_first: bool) -> list[int]:
+    def _encode_fragment(self, text: str) -> list[int]:
         if not text:
             return []
         if self._bpe is not None:
@@ -81,10 +81,17 @@ class Tokenizer:
         v = self.vocab
         out: list[int] = []
         if self._wpm:
-            # BERT sequences are [CLS] text [SEP] (llama_tokenize_internal)
+            # BERT sequences are [CLS] text [SEP] (llama_tokenize_internal);
+            # special-token literals partition like every other vocab type
             if add_special and v.cls_id >= 0:
                 out.append(v.cls_id)
-            out.extend(wpm_encode(v, text))
+            specials = self._specials_all if parse_special else self._specials_user
+            if specials:
+                for frag, tid in self._partition_specials(text, specials):
+                    out.append(tid) if tid is not None else out.extend(
+                        wpm_encode(v, frag))
+            else:
+                out.extend(wpm_encode(v, text))
             if add_special and v.sep_id >= 0:
                 out.append(v.sep_id)
             return out
@@ -92,15 +99,13 @@ class Tokenizer:
             out.append(v.bos_id)
         specials = self._specials_all if parse_special else self._specials_user
         if specials:
-            first = True
             for frag, tid in self._partition_specials(text, specials):
                 if tid is not None:
                     out.append(tid)
                 else:
-                    out.extend(self._encode_fragment(frag, first))
-                first = False
+                    out.extend(self._encode_fragment(frag))
         else:
-            out.extend(self._encode_fragment(text, True))
+            out.extend(self._encode_fragment(text))
         if add_special and v.add_eos and v.eos_id >= 0:
             out.append(v.eos_id)
         return out

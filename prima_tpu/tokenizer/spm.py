@@ -89,4 +89,8 @@ def spm_decode_token(v: Vocab, tid: int) -> bytes:
         return bytes([int(text[3:5], 16)])
     if t in (TokenType.CONTROL, TokenType.UNKNOWN):
         return b""
+    if t == TokenType.USER_DEFINED:
+        # copied verbatim, no whitespace unescape
+        # (llama_token_to_piece_impl, src/llama-vocab.cpp:1792)
+        return text.encode("utf-8")
     return text.replace(_WS, " ").encode("utf-8")
