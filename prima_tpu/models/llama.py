@@ -350,7 +350,8 @@ def forward_scan(params: dict, cfg: ModelConfig, tokens, positions,
     def body(xc, xs):
         layer, kvl = xs
         xc, kv_new = decode_layer(layer, cfg, xc, positions, kvl, cache_pos,
-                                  mask, inv_freq, mscale, opts)
+                                  mask, inv_freq, mscale, opts,
+                                  mask_pos=mask_positions)
         return xc, kv_new
 
     x, kv_out = jax.lax.scan(body, x, (params["layers"], kv))
@@ -674,6 +675,7 @@ def attention_block(
     mscale: float,
     opts: ForwardOptions,
     *,
+    mask_pos: jax.Array | None = None,
     taps: dict | None = None,
     tap_prefix: str = "",
 ):
@@ -716,11 +718,14 @@ def attention_block(
 
         slopes = jnp.asarray(alibi_slopes(h, cfg.alibi_max_bias))
     if (opts.attn_impl == "pallas" and not cfg.attn_logit_softcap
-            and slopes is None):
+            and not cfg.swa_window and slopes is None):
         from ..ops.attention_pallas import flash_attention
 
+        # visibility follows the PHYSICAL cache order (mask_pos), which only
+        # differs from the RoPE positions under Self-Extend
         out = flash_attention(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
-                              positions, scale)
+                              positions if mask_pos is None else mask_pos,
+                              scale)
     else:
         out = gqa_attention(q, k_cache.astype(q.dtype), v_cache.astype(q.dtype),
                             mask, scale, cfg.attn_logit_softcap,
@@ -839,6 +844,7 @@ def decode_layer(
     mscale,
     opts: ForwardOptions,
     *,
+    mask_pos: jax.Array | None = None,
     taps: dict | None = None,
     tap_prefix: str = "",
 ):
@@ -846,7 +852,7 @@ def decode_layer(
                          cfg)
     attn_out, kv = attention_block(
         layer, cfg, attn_in, positions, kv, cache_pos, mask, inv_freq, mscale, opts,
-        taps=taps, tap_prefix=tap_prefix,
+        mask_pos=mask_pos, taps=taps, tap_prefix=tap_prefix,
     )
     if cfg.parallel_block:
         # command-r/phi2: ffn shares the attention norm input; gptneox-style
@@ -941,7 +947,8 @@ def forward(
         m = mask_swa if (mask_swa is not None and i % 2 == 0) else mask
         x, new_kv[i] = decode_layer(
             layer, cfg, x, positions, new_kv[i], cache_pos, m, inv_freq,
-            mscale, opts, taps=taps, tap_prefix=f"blk.{i}.",
+            mscale, opts, mask_pos=mask_positions, taps=taps,
+            tap_prefix=f"blk.{i}.",
         )
 
     if hi < cfg.n_layers or return_hidden:

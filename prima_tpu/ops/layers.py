@@ -63,12 +63,16 @@ def rope_freqs(cfg: ModelConfig) -> tuple[jax.Array, float]:
     elif s.kind == "yarn":
         freq_scale = 1.0 / s.factor
         orig = s.orig_ctx or cfg.n_ctx_train
+        # corr dims are PAIR indices (ggml compares them against i0/2)
         low = max(0.0, math.floor(_yarn_corr_dim(cfg.rope_dim, orig, s.beta_fast, base)))
-        high = min(cfg.rope_dim - 1.0, math.ceil(_yarn_corr_dim(cfg.rope_dim, orig, s.beta_slow, base)))
-        ramp = _yarn_ramp(low / 2.0, high / 2.0, jnp.arange(half, dtype=jnp.float32))
-        # interpolate between scaled (long-range) and original (short-range) freqs
+        high = min(cfg.rope_dim / 2.0 - 1.0,
+                   math.ceil(_yarn_corr_dim(cfg.rope_dim, orig, s.beta_slow, base)))
+        # ramp == 1 below `low`: those high-frequency dims EXTRAPOLATE (keep
+        # the original freq); dims above `high` interpolate (freq_scale)
+        # — ggml rope_yarn: theta = interp*(1-ramp_mix) + extrap*ramp_mix
+        ramp = _yarn_ramp(low, high, jnp.arange(half, dtype=jnp.float32))
         inv_freq_interp = inv_freq * freq_scale
-        inv_freq = inv_freq_interp * ramp + inv_freq * (1.0 - ramp)
+        inv_freq = inv_freq_interp * (1.0 - ramp) + inv_freq * ramp
         mscale = float(s.attn_factor * (1.0 + 0.1 * math.log(s.factor))) if s.factor > 1 else s.attn_factor
     return inv_freq, mscale
 

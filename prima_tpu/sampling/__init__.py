@@ -194,7 +194,10 @@ class Sampler:
             self.grammar.accept(token)
 
     def _dist(self, logits: np.ndarray, ids: np.ndarray) -> int:
-        probs = softmax(logits[ids])
+        # float64 renormalize: Generator.choice rejects float32 rounding
+        # residue in the sum-to-1 check
+        probs = softmax(logits[ids]).astype(np.float64)
+        probs /= probs.sum()
         return int(ids[self.rng.choice(len(ids), p=probs)])
 
     def sample(self, logits: np.ndarray) -> int:
@@ -251,6 +254,7 @@ class Sampler:
         if not keep.any():
             keep[0] = True
         ids, probs = ids[keep], probs[keep]
+        probs = probs.astype(np.float64)
         probs = probs / probs.sum()
         j = int(self.rng.choice(len(ids), p=probs))
         tok = int(ids[j])
@@ -277,6 +281,7 @@ class Sampler:
             if abs(eps) > 1e-9 else float(len(ids))
         k = int(np.clip(k, 1, len(ids)))
         ids, probs = ids[:k], probs[:k]
+        probs = probs.astype(np.float64)
         probs = probs / probs.sum()
         j = int(self.rng.choice(len(ids), p=probs))
         tok = int(ids[j])

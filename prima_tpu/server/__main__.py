@@ -34,6 +34,8 @@ def main(argv=None) -> int:
                     dest="draft_max", help="max tokens drafted per round")
     ap.add_argument("--draft-p-min", type=float, default=0.75,
                     help="draft confidence floor")
+    ap.add_argument("--slot-save-path", default=env("SLOT_SAVE_PATH"),
+                    help="confine /slots save/restore files to this dir")
     args = ap.parse_args(argv)
 
     from ..gguf.reader import GGUFModel
@@ -97,7 +99,8 @@ def main(argv=None) -> int:
                                   p_min=args.draft_p_min)
 
     httpd, _ctx = serve(model, engine, args.host, args.port, args.alias,
-                        loras=loras, spec=spec)
+                        loras=loras, spec=spec,
+                        slot_save_dir=args.slot_save_path)
     if loras:
         _ctx.set_lora_scales(
             [{"id": r["id"], "scale": r["scale"]} for r in loras])

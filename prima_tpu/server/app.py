@@ -28,7 +28,8 @@ from .scheduler import EngineWorker, GenerationRequest
 
 class ServerContext:
     def __init__(self, model: LoadedModel, engine: Engine, alias: str = "prima-tpu",
-                 loras: list | None = None, spec=None):
+                 loras: list | None = None, spec=None,
+                 slot_save_dir: str | None = None):
         self.model = model
         self.engine = engine
         self.alias = alias
@@ -42,6 +43,9 @@ class ServerContext:
         # (engine.params may hold the scan-mode stacked form).
         self.loras = loras or []
         self.base_params = model.params if self.loras else None
+        # like the reference's --slot-save-path: when set, slot files are
+        # confined to this directory (plain filenames only)
+        self.slot_save_dir = slot_save_dir
 
     def set_lora_scales(self, entries: list[dict]) -> None:
         """POST /lora-adapters semantics (server.cpp:3443): reset every
@@ -288,6 +292,10 @@ def make_handler(ctx: ServerContext):
                 prompt_tokens = tok.encode(prompt_text, add_special=True, parse_special=True)
             if not prompt_tokens:
                 prompt_tokens = [tok.vocab.bos_id if tok.vocab.bos_id >= 0 else 0]
+            if len(prompt_tokens) >= ctx.engine.max_seq:
+                raise ValueError(
+                    f"prompt ({len(prompt_tokens)} tokens) exceeds the "
+                    f"context size ({ctx.engine.max_seq})")
             return GenerationRequest(
                 prompt_tokens=prompt_tokens,
                 sampler=ctx.make_sampler(body),
@@ -432,20 +440,33 @@ def make_handler(ctx: ServerContext):
             action = (q.get("action") or [""])[0]
             if slot_id < 0 or slot_id >= ctx.engine.n_slots:
                 return self._error(404, f"no slot {slot_id}")
+            # engine state is worker-thread-owned: run every mutation at a
+            # safe point between steps (ctx.worker.run), like set_lora_scales
             if action == "erase":
-                ctx.engine.kv.seq_rm(slot_id, 0)
-                ctx.engine.slots[slot_id].prompt = []
+                def _erase():
+                    ctx.engine.kv.seq_rm(slot_id, 0)
+                    ctx.engine.slots[slot_id].prompt = []
+
+                ctx.worker.run(_erase)
                 self._json(200, {"id_slot": slot_id, "erased": True})
             elif action in ("save", "restore"):
+                import os as _os
+
                 from ..runtime.state import slot_save, slot_restore
 
                 fname = body.get("filename") or f"slot{slot_id}.bin"
-                fpath = fname  # server cwd; the reference uses --slot-save-path
+                if ctx.slot_save_dir is not None:
+                    # confined mode (--slot-save-path): plain filenames only
+                    if _os.path.basename(fname) != fname or fname.startswith("."):
+                        return self._error(400, "invalid filename")
+                    fname = _os.path.join(ctx.slot_save_dir, fname)
                 if action == "save":
-                    n = slot_save(ctx.engine, slot_id, fpath)
+                    n = ctx.worker.run(
+                        lambda: slot_save(ctx.engine, slot_id, fname))
                     self._json(200, {"id_slot": slot_id, "filename": fname, "n_saved": n})
                 else:
-                    n = slot_restore(ctx.engine, slot_id, fpath)
+                    n = ctx.worker.run(
+                        lambda: slot_restore(ctx.engine, slot_id, fname))
                     self._json(200, {"id_slot": slot_id, "filename": fname, "n_restored": n})
             else:
                 self._error(400, f"unknown slot action {action!r}")
@@ -471,14 +492,16 @@ def _finish(reason: str | None) -> str:
 
 def _usage(req: GenerationRequest) -> dict:
     return {"prompt_tokens": len(req.prompt_tokens),
-            "completion_tokens": len(req.text.split()),  # approximation
-            "total_tokens": len(req.prompt_tokens)}
+            "completion_tokens": len(req.tokens_out),
+            "total_tokens": len(req.prompt_tokens) + len(req.tokens_out)}
 
 
 def serve(model: LoadedModel, engine: Engine, host: str = "127.0.0.1", port: int = 8080,
           alias: str = "prima-tpu", loras: list | None = None, spec=None,
+          slot_save_dir: str | None = None,
           ) -> tuple[ThreadingHTTPServer, ServerContext]:
-    ctx = ServerContext(model, engine, alias, loras=loras, spec=spec)
+    ctx = ServerContext(model, engine, alias, loras=loras, spec=spec,
+                        slot_save_dir=slot_save_dir)
     ctx.start()
     httpd = ThreadingHTTPServer((host, port), make_handler(ctx))
     return httpd, ctx

@@ -60,7 +60,9 @@ def _llama2(messages: list[dict], add_generation_prompt: bool) -> str:
                 system = ""
             out.append(f"[INST] {content} [/INST]")
         else:
-            out.append(f" {m['content']} ")
+            # space_around_response variant + the closing </s>
+            # (llama_chat_apply_template_internal, src/llama.cpp:24135)
+            out.append(f" {m['content']} </s>")
     return "".join(out)
 
 

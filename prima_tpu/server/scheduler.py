@@ -119,7 +119,12 @@ class EngineWorker:
         if self.spec is not None:
             req.cancelled = True  # honored between verify rounds
             return True
-        ok = self.engine.cancel(request_id)
+        # engine state is owned by the worker thread; route the mutation
+        # there unless we ARE the worker (stop-string path inside _emit)
+        if threading.current_thread() is self.thread:
+            ok = self.engine.cancel(request_id)
+        else:
+            ok = self.run(lambda: self.engine.cancel(request_id))
         if ok:
             self._finish(req, "cancelled")
         return ok
@@ -135,9 +140,16 @@ class EngineWorker:
                 req = self.pending.get_nowait()
             except queue.Empty:
                 return
-            self.engine.submit(req.prompt_tokens, sampler=req.sampler,
-                               n_predict=req.n_predict, request_id=req.request_id,
-                               n_probs=req.n_probs)
+            try:
+                self.engine.submit(req.prompt_tokens, sampler=req.sampler,
+                                   n_predict=req.n_predict,
+                                   request_id=req.request_id,
+                                   n_probs=req.n_probs)
+            except Exception as e:  # e.g. over-long prompt: fail THIS
+                req.done_reason = "error"  # request, not the worker thread
+                req.error = str(e)
+                req.events.put(StreamEvent("", True, "error"))
+                continue
             with self._lock:
                 self.active[req.request_id] = req
             self._buffers[req.request_id] = b""
@@ -147,6 +159,7 @@ class EngineWorker:
         with self._lock:
             self.active.pop(req.request_id, None)
         self._buffers.pop(req.request_id, None)
+        self._texts.pop(req.request_id, None)
         req.done_reason = reason
         req.events.put(StreamEvent("", True, reason))
 

@@ -169,3 +169,29 @@ def test_embed_rows_nmse():
     got = dequant_rows(qt, jnp.asarray(ids), jnp.float32)
     want = dequantize(raw, GGMLType.Q4_K, k)[ids]
     assert nmse(got, want) < 1e-12
+
+
+def test_yarn_freqs_match_hf():
+    """YaRN NTK-by-parts: low (high-frequency) dims extrapolate at the
+    ORIGINAL freq, high dims interpolate by 1/factor — regression for an
+    inverted blend + double-halved correction dims."""
+    transformers = pytest.importorskip("transformers")
+    from transformers.modeling_rope_utils import _compute_yarn_parameters
+
+    from prima_tpu.models.config import RopeScaling, tiny_config
+    from prima_tpu.ops.layers import rope_freqs
+
+    cfg = transformers.LlamaConfig(
+        hidden_size=512, num_attention_heads=4, rope_theta=10000.0,
+        max_position_embeddings=16384,
+        rope_scaling={"rope_type": "yarn", "factor": 4.0,
+                      "original_max_position_embeddings": 4096,
+                      "beta_fast": 32.0, "beta_slow": 1.0})
+    inv_hf, _ = _compute_yarn_parameters(cfg, "cpu")
+    c = tiny_config(n_embd=512, n_heads=4, head_dim=128, rope_dim=128,
+                    rope_base=10000.0, n_ctx_train=16384)
+    c.rope_scaling = RopeScaling(kind="yarn", factor=4.0, orig_ctx=4096,
+                                 beta_fast=32.0, beta_slow=1.0,
+                                 attn_factor=1.0)
+    ours, _ = rope_freqs(c)
+    np.testing.assert_allclose(np.asarray(ours), inv_hf.numpy(), rtol=1e-6)
