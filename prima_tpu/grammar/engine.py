@@ -54,15 +54,21 @@ class GrammarMatcher:
 
     # -- stack mechanics ------------------------------------------------------
 
-    def _expand(self, stack: tuple) -> list[tuple]:
+    def _expand(self, stack: tuple, _depth: int = 0) -> list[tuple]:
         """Expand until the top symbol is a char class (or the stack is empty,
         meaning the grammar accepts the end of input)."""
+        if _depth > 512:
+            # left-recursive or pathologically nested grammar: fail with a
+            # catchable error like the reference's left-recursion detection
+            from .gbnf import GBNFError
+
+            raise GBNFError("grammar expansion too deep (left recursion?)")
         if not stack:
             return [stack]
         rid, alt, idx = stack[-1]
         seq = self.g.rules[rid][alt]
         if idx >= len(seq):  # this frame exhausted: pop and continue parent
-            return self._expand(stack[:-1])
+            return self._expand(stack[:-1], _depth + 1)
         sym = seq[idx]
         if sym[0] == "char":
             return [stack]
@@ -71,7 +77,7 @@ class GrammarMatcher:
         base = stack[:-1] + ((rid, alt, idx + 1),)
         target = sym[1]
         for a in range(len(self.g.rules[target])):
-            out.extend(self._expand(base + ((target, a, 0),)))
+            out.extend(self._expand(base + ((target, a, 0),), _depth + 1))
         return out
 
     def _advance_char(self, stacks: frozenset, cp: int) -> frozenset:
@@ -109,18 +115,19 @@ class GrammarMatcher:
 
     def _try_advance(self, stacks: frozenset, partial: bytes, data: bytes):
         buf = partial + data
-        # decode complete codepoints, keep trailing partial sequence
+        # decode complete codepoints, keep trailing partial sequence: scan
+        # BACKWARD for the last lead byte — only ITS sequence can be cut off
         end = len(buf)
         cut = end
-        for i in range(max(0, end - 4), end):
+        for i in range(end - 1, max(-1, end - 5), -1):
             b = buf[i]
-            if b >= 0xC0:  # lead byte
+            if b < 0x80:
+                break  # ASCII: everything before is complete
+            if b >= 0xC0:  # lead byte of the trailing sequence
                 need = 2 if b < 0xE0 else 3 if b < 0xF0 else 4
                 if i + need > end:
                     cut = i
                 break
-            if b < 0x80:
-                cut = end
         try:
             text = buf[:cut].decode("utf-8")
         except UnicodeDecodeError:
@@ -145,6 +152,8 @@ class GrammarMatcher:
         return stacks, rest
 
     def _class_intersects(self, stack: tuple, lo: int, hi: int) -> bool:
+        if lo > hi:  # dead UTF-8 partial (e.g. overlong prefix): no feasible
+            return False  # completion exists
         rid, alt, idx = stack[-1]
         _, ranges, neg = self.g.rules[rid][alt][idx]
         if not neg:

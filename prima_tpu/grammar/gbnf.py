@@ -139,10 +139,12 @@ class _Parser:
         self.pos += 1
         return ("char", tuple(ranges), neg)
 
-    def _sequence(self) -> list[tuple]:
+    def _sequence(self, nested: bool = False) -> list[tuple]:
         seq: list[tuple] = []
         while True:
-            self._ws(newlines=False)
+            # a newline ends a top-level rule body but is plain whitespace
+            # inside a parenthesized group (parse_space's is_nested flag)
+            self._ws(newlines=nested)
             c = self._peek()
             if c == '"':
                 syms = self._literal()
@@ -150,7 +152,7 @@ class _Parser:
                 syms = [self._char_class()]
             elif c == "(":
                 self.pos += 1
-                alts = self._alternates()
+                alts = self._alternates(nested=True)
                 self._expect(")")
                 syms = [("ref", self._new_rule(alts))]
             elif c and (c.isalnum() or c in "-_"):
@@ -225,14 +227,14 @@ class _Parser:
                 syms.append(("ref", rid))
         return syms
 
-    def _alternates(self) -> list[tuple]:
-        alts = [tuple(self._sequence())]
-        self._ws(newlines=False)
+    def _alternates(self, nested: bool = False) -> list[tuple]:
+        alts = [tuple(self._sequence(nested))]
+        self._ws(newlines=nested)
         while self._peek() == "|":
             self.pos += 1
-            self._ws()
-            alts.append(tuple(self._sequence()))
-            self._ws(newlines=False)
+            self._ws()  # newline allowed after '|' (parse_space(.., true))
+            alts.append(tuple(self._sequence(nested)))
+            self._ws(newlines=nested)
         return alts
 
     def parse(self) -> Grammar:
@@ -241,7 +243,7 @@ class _Parser:
             name = self._name()
             self._ws(newlines=False)
             self._expect("::=")
-            self._ws(newlines=False)
+            self._ws()  # newline allowed right after '::=' (parse_rule)
             rid = self._rule_id(name)
             self.rules[rid] = self._alternates()
             self._ws()

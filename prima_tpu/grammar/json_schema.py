@@ -90,12 +90,14 @@ class SchemaConverter:
             return self._add_rule(name, '"\\"__never__\\""')
 
         if "$ref" in schema:
-            target = schema["$ref"].rsplit("/", 1)[-1]
+            # prefix keeps user definition names out of the primitive-rule
+            # namespace (a $defs entry named "string" must not hijack it)
+            target = "def-" + schema["$ref"].rsplit("/", 1)[-1]
             if target in self._names:
                 return target
             self._names.add(target)  # reserve to break recursion
             resolved = self._resolve_ref(schema["$ref"])
-            body_name = self.visit(resolved, target + "-def")
+            body_name = self.visit(resolved, target + "-body")
             self.rules[target] = body_name
             return target
 
@@ -133,6 +135,8 @@ class SchemaConverter:
                 else:
                     tail = " ".join([f'("," space {item_rule})?'] * (int(max_items) - min_items))
                 body = f'"[" space {head} {tail} "]" space'
+            elif int(max_items) == 0:  # only the empty array is valid
+                body = '"[" space "]" space'
             else:  # minItems 0, bounded maxItems
                 n_opt = max(int(max_items) - 1, 0)
                 tail = " ".join([f'("," space {item_rule})?'] * n_opt)
@@ -185,11 +189,19 @@ def _object_body(props, required, conv: "SchemaConverter") -> str:
         inner = " ".join(parts)
         return f'"{{" space {inner} "}}" space'
     if opt:
-        # all optional: any prefix combination (simplified: each optional in
-        # order, first without comma)
-        first = opt[0][1]
-        rest = " ".join(f'("," space {kv})?' for _, kv, _r in opt[1:])
-        return f'"{{" space ({first} {rest})? "}}" space'
+        # all optional: ANY non-empty subset in declaration order —
+        # U_i ::= kv_i ("," space (U_{i+1} | ... | U_n))?  (the reference
+        # converter's optional-subset alternation)
+        u_names: list[str] = [""] * len(opt)
+        for i in range(len(opt) - 1, -1, -1):
+            key, kv, _r = opt[i]
+            tail = ""
+            if i + 1 < len(opt):
+                alts = " | ".join(u_names[i + 1:])
+                tail = f' ("," space ({alts}))?'
+            u_names[i] = conv._add_rule(f"opt-{key}", kv + tail)
+        inner = " | ".join(u_names)
+        return f'"{{" space ({inner})? "}}" space'
     return '"{" space "}" space'
 
 

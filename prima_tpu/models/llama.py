@@ -772,10 +772,11 @@ def ffn_block(layer: dict, x: jax.Array, opts: ForwardOptions,
     if taps is not None:
         _tap(taps, tap_prefix + "ffn_down.weight", act)
     out = linear_l(layer, "w_down", act, opts.matmul_impl)
-    if layer.get("b_down") is not None:
-        out = out + layer["b_down"].astype(out.dtype)
     if opts.tp_axis is not None:
         out = jax.lax.psum(out, opts.tp_axis)  # column-parallel w_down
+    if layer.get("b_down") is not None:
+        # replicated bias added ONCE, after the tp reduction (like bo)
+        out = out + layer["b_down"].astype(out.dtype)
     return out
 
 

@@ -25,6 +25,7 @@ prefetch-overlap, manage_graph_tensors @18152).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from dataclasses import dataclass
 from typing import Any, Callable
@@ -289,12 +290,9 @@ def make_pipe_forward(
     """
     opts = opts or ForwardOptions()
     cfg_local = tp_local_config(cfg, spec.n_tp)
-    opts_local = ForwardOptions(
-        matmul_impl=opts.matmul_impl,
-        dtype=opts.dtype,
-        logits_dtype=opts.logits_dtype,
-        tp_axis="tp" if spec.n_tp > 1 else None,
-    )
+    # forward ALL option fields (attn_impl etc.), only overriding tp_axis
+    opts_local = dataclasses.replace(
+        opts, tp_axis="tp" if spec.n_tp > 1 else None)
 
     body = functools.partial(_pipe_body, cfg_local=cfg_local, spec=spec, opts=opts_local)
     data_spec = P(None, "dp", None, None)
@@ -313,10 +311,22 @@ def make_pipe_forward(
             check_vma=False,
         )
         x = embed(params["tok_embd"], tokens, opts.dtype)  # (M, B, S, E)
+        if cfg.embd_scale != 1.0:  # gemma-family input scaling
+            x = x * np.float32(cfg.embd_scale)
         hidden, kc, vc = pipe(params["pipe"], x, positions, cache_pos, kv[0], kv[1])
-        h = rms_norm(hidden, params["output_norm"], cfg.rms_eps)
+        from ..models.llama import model_norm
+
+        h = model_norm(hidden, params.get("output_norm"),
+                       params.get("output_norm_b"), cfg)
+        if cfg.logit_scale != 1.0:
+            h = h * np.float32(cfg.logit_scale)
         w_out = params["output"] if params.get("output") is not None else params["tok_embd"]
         logits = linear(h, w_out, opts.matmul_impl).astype(opts.logits_dtype)
+        if params.get("output_b") is not None:
+            logits = logits + params["output_b"].astype(logits.dtype)
+        if cfg.final_logit_softcap:  # gemma2
+            cap = np.float32(cfg.final_logit_softcap)
+            logits = cap * jnp.tanh(logits / cap)
         return logits, (kc, vc)
 
     return fwd

@@ -26,7 +26,10 @@ from .sharding import shard_uq_cols, shard_uq_rows
 # layer-weight name -> how it shards over tp
 ROW_PARALLEL = ("wq", "wk", "wv", "w_gate", "w_up")
 COL_PARALLEL = ("wo", "w_down")
-ROW_PARALLEL_DENSE = ("bq", "bk", "bv")  # biases follow their projection
+# biases follow their projection: row-sharded with the output dim; the
+# output-side biases (bo, b_down) stay replicated and are added AFTER the
+# tp psum in attention_block / ffn_block
+ROW_PARALLEL_DENSE = ("bq", "bk", "bv", "b_up")
 REPLICATED_DENSE = ("attn_norm", "ffn_norm")
 
 

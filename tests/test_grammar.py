@@ -204,3 +204,28 @@ def test_braced_repetition():
     assert ok('root ::= ("x" "y"){2} "!"', "xyxy!")
     with pytest.raises(GBNFError):
         parse_gbnf('root ::= "a"{3,2}')
+
+
+def test_multiline_grammar_and_nested_newlines():
+    """The reference's shipped multi-line grammars must parse (newlines are
+    plain whitespace after '::=', after '|', and inside groups)."""
+    g = parse_gbnf(
+        'root ::=\n  "a" (\n  "b" |\n  "c"\n  ) "d"\n'
+        'other ::= "x"\n')
+    m = GrammarMatcher(g)
+    assert m.advance_text(b"abd") and m.is_complete()
+
+
+def test_utf8_boundary_complete_plus_partial():
+    """A token carrying a complete multi-byte char followed by a partial one
+    must stay viable (regression: the boundary scan broke at the FIRST lead
+    byte in the window)."""
+    m = _matcher('root ::= "é€"')
+    tok = "é".encode() + "€".encode()[:2]
+    assert m.advance_text(tok)
+    assert m.advance_text("€".encode()[2:]) and m.is_complete()
+
+
+def test_left_recursion_clean_error():
+    with pytest.raises(GBNFError):
+        GrammarMatcher(parse_gbnf('root ::= root "a" | "a"'))

@@ -108,3 +108,25 @@ def test_pattern_class_escapes():
     assert _matches({"type": "string", "pattern": "^[\\w-]+$"}, '"a_b-9"')
     with pytest.raises(ValueError):
         json_schema_to_gbnf({"type": "string", "pattern": "^[\\D]+$"})
+
+
+def test_all_optional_object_any_subset():
+    """Any subset of optional properties (in declaration order) is valid."""
+    s = {"type": "object", "properties": {
+        "a": {"type": "integer"}, "b": {"type": "integer"},
+        "c": {"type": "integer"}}}
+    assert _matches(s, '{"b": 1}')
+    assert _matches(s, '{"c": 2}')
+    assert _matches(s, '{"a": 1, "c": 2}')
+    assert _matches(s, '{}')
+
+
+def test_max_items_zero_and_ref_namespace():
+    assert _matches({"type": "array", "maxItems": 0}, "[]")
+    assert not _matches({"type": "array", "maxItems": 0}, "[1]")
+    s = {"$defs": {"string": {"type": "integer"}}, "type": "object",
+         "properties": {"a": {"$ref": "#/$defs/string"},
+                        "b": {"type": "string"}},
+         "required": ["a", "b"]}
+    assert _matches(s, '{"a": 3, "b": "x"}')
+    assert not _matches(s, '{"a": "x", "b": "x"}')
