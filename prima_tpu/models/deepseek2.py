@@ -47,6 +47,17 @@ class DeepseekV2Config:
     n_vocab: int
     rms_eps: float
     rope_base: float
+    # YaRN rope-scaling metadata ({arch}.rope.scaling.*). Real DS2/DS2-Lite
+    # GGUFs ship factor~40 + yarn_log_multiplier; the reference pre-scales
+    # kq_scale by mscale^2 and cancels the rope magnitude scale
+    # (build_deepseek2, src/llama.cpp:15456-15460).
+    rope_scaling: str = "none"
+    rope_factor: float = 1.0
+    rope_orig_ctx: int = 0
+    rope_attn_factor: float = 1.0
+    yarn_log_mul: float = 0.0
+    beta_fast: float = 32.0
+    beta_slow: float = 1.0
 
     @classmethod
     def from_gguf(cls, m: GGUFModel) -> "DeepseekV2Config":
@@ -75,6 +86,18 @@ class DeepseekV2Config:
                           len(tokens) if tokens is not None else 0)),
             rms_eps=float(g("{arch}.attention.layer_norm_rms_epsilon", 1e-6)),
             rope_base=float(g("{arch}.rope.freq_base", 10000.0)),
+            rope_scaling=str(g("{arch}.rope.scaling.type", "none") or "none"),
+            rope_factor=float(g("{arch}.rope.scaling.factor", 1.0) or 1.0),
+            rope_orig_ctx=int(
+                g("{arch}.rope.scaling.original_context_length", 0) or 0),
+            rope_attn_factor=float(
+                g("{arch}.rope.scaling.attention_factor", 1.0) or 1.0),
+            yarn_log_mul=float(
+                g("{arch}.rope.scaling.yarn_log_multiplier", 0.0) or 0.0),
+            beta_fast=float(
+                g("{arch}.rope.scaling.yarn_beta_fast", 32.0) or 32.0),
+            beta_slow=float(
+                g("{arch}.rope.scaling.yarn_beta_slow", 1.0) or 1.0),
         )
 
 
@@ -126,14 +149,54 @@ def load_deepseek2_params(m: GGUFModel, cfg: DeepseekV2Config,
     return params
 
 
-def _rope_interleaved(x: jax.Array, pos: np.ndarray, base: float) -> jax.Array:
+def _rope_params(cfg: DeepseekV2Config) -> tuple[np.ndarray, float, float]:
+    """(inv_freq over rope dims, rope magnitude scale, kq_scale).
+
+    YaRN handling mirrors build_deepseek2 (src/llama.cpp:15456-15460): the
+    attention scale is pre-multiplied by mscale^2 (mscale uses the GGUF
+    yarn_log_multiplier) and rope is run with attn_factor_scaled =
+    1/(1 + 0.1*ln(1/freq_scale)), which cancels ggml rope_yarn's own
+    (1 + 0.1*ln(1/freq_scale)) magnitude factor.
+    """
+    import math
+
+    from ..ops.layers import _yarn_corr_dim, _yarn_ramp
+
+    d = cfg.qk_rope
+    half = d // 2
+    qk = cfg.qk_nope + cfg.qk_rope
+    inv = 1.0 / (cfg.rope_base ** (np.arange(half, dtype=np.float32) * 2.0 / d))
+    if cfg.rope_scaling != "yarn" or cfg.rope_factor <= 0:
+        return inv, 1.0, 1.0 / math.sqrt(qk)
+    freq_scale = 1.0 / cfg.rope_factor
+    mscale = cfg.rope_attn_factor * (
+        1.0 + cfg.yarn_log_mul * math.log(1.0 / freq_scale))
+    kq_scale = mscale * mscale / math.sqrt(qk)
+    attn_factor_scaled = cfg.rope_attn_factor / (
+        1.0 + 0.1 * math.log(1.0 / freq_scale))
+    orig = cfg.rope_orig_ctx or 4096
+    low = max(0.0, math.floor(_yarn_corr_dim(d, orig, cfg.beta_fast,
+                                             cfg.rope_base)))
+    high = min(d / 2.0 - 1.0, math.ceil(_yarn_corr_dim(d, orig, cfg.beta_slow,
+                                                       cfg.rope_base)))
+    ramp = np.asarray(_yarn_ramp(low, high,
+                                 jnp.arange(half, dtype=jnp.float32)))
+    inv_yarn = inv * freq_scale * (1.0 - ramp) + inv * ramp
+    # net rope magnitude: ggml rope_yarn multiplies the passed attn_factor
+    # by (1 + 0.1*ln(1/freq_scale)) when ext_factor != 0
+    rope_mscale = attn_factor_scaled * (
+        1.0 + 0.1 * math.log(1.0 / freq_scale))
+    return inv_yarn.astype(np.float32), float(rope_mscale), float(kq_scale)
+
+
+def _rope_interleaved(x: jax.Array, pos: np.ndarray, inv: np.ndarray,
+                      mscale: float = 1.0) -> jax.Array:
     """NORM (adjacent-pair) rope over the full last dim of x (b,s,h,d)."""
     d = x.shape[-1]
     half = d // 2
-    inv = 1.0 / (base ** (np.arange(half, dtype=np.float32) * 2.0 / d))
     theta = pos[..., None].astype(np.float32) * inv  # (b,s,half)
-    cos = jnp.cos(theta)[:, :, None, :]
-    sin = jnp.sin(theta)[:, :, None, :]
+    cos = (jnp.cos(theta) * mscale)[:, :, None, :]
+    sin = (jnp.sin(theta) * mscale)[:, :, None, :]
     xr = x.reshape(x.shape[:-1] + (half, 2))
     x0, x1 = xr[..., 0], xr[..., 1]
     y0 = x0 * cos - x1 * sin
@@ -153,7 +216,7 @@ def deepseek2_forward(params: dict, cfg: DeepseekV2Config,
     qk = cfg.qk_nope + cfg.qk_rope
     pos = np.broadcast_to(np.arange(s, dtype=np.int32), (b, s))
     x = params["tok_embd"][tokens]
-    kq_scale = 1.0 / np.sqrt(np.float32(qk))
+    rope_inv, rope_mscale, kq_scale = _rope_params(cfg)
     mask = np.triu(np.full((s, s), -np.inf, np.float32), 1)
 
     for i, layer in enumerate(params["layers"]):
@@ -174,8 +237,8 @@ def deepseek2_forward(params: dict, cfg: DeepseekV2Config,
             b, s, h, cfg.qk_nope + cfg.v_head_dim)
         k_nope, v = kv[..., :cfg.qk_nope], kv[..., cfg.qk_nope:]
 
-        q_pe = _rope_interleaved(q_pe, pos, cfg.rope_base)
-        k_pe = _rope_interleaved(k_pe, pos, cfg.rope_base)
+        q_pe = _rope_interleaved(q_pe, pos, rope_inv, rope_mscale)
+        k_pe = _rope_interleaved(k_pe, pos, rope_inv, rope_mscale)
         qs = jnp.concatenate([q_nope, q_pe], axis=-1)
         ks = jnp.concatenate(
             [k_nope, jnp.broadcast_to(k_pe, k_nope.shape[:-1] + (cfg.qk_rope,))],

@@ -47,6 +47,13 @@ _DEEPSEEK_CODER = [
     r"""\p{N}""",
 ]
 
+# starcoder family: isolate digits first, then the GPT-2 pattern
+# (reference src/llama-vocab.cpp STARCODER/REFACT/COMMAND_R/SMOLLM/
+# CODESHELL/EXAONE case)
+_STARCODER = [r"""\p{N}""", _GPT2]
+# poro/bloom/gpt3-finnish (reference PORO/BLOOM/GPT3_FINNISH case)
+_BLOOM = [r""" ?[^(\s|.,!?…。，、।۔،)]+"""]
+
 _PRE_REGEX: dict[str, list[str]] = {
     "default": [_GPT2],
     "gpt-2": [_GPT2],
@@ -55,16 +62,29 @@ _PRE_REGEX: dict[str, list[str]] = {
     "llama-v3": [_LLAMA3],
     "llama-bpe": [_LLAMA3],
     "smaug-bpe": [_LLAMA3],
+    "dbrx": [_LLAMA3],
+    "chatglm-bpe": [_LLAMA3],
     "qwen2": [_QWEN2],
     "deepseek-r1-qwen": [_QWEN2],
     "stablelm2": [_QWEN2],
     "falcon": _FALCON,
     "deepseek-llm": _DEEPSEEK_LLM,
     "deepseek-coder": _DEEPSEEK_CODER,
+    "deepseek-v3": _DEEPSEEK_LLM,
     "mpt": [_GPT2],
-    "starcoder": [_GPT2],
-    "refact": [_GPT2],
+    "olmo": [_GPT2],
+    "jais": [_GPT2],
     "gpt-neox": [_GPT2],
+    "starcoder": _STARCODER,
+    "refact": _STARCODER,
+    "command-r": _STARCODER,
+    "smollm": _STARCODER,
+    "codeshell": _STARCODER,
+    "exaone": _STARCODER,
+    "poro-chat": _BLOOM,
+    "bloom": _BLOOM,
+    "gpt3-finnish": _BLOOM,
+    "viking": _BLOOM + [r"""\p{N}"""],
 }
 
 

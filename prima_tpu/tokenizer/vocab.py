@@ -117,8 +117,13 @@ class Vocab:
                 v.eot_id = tid
         if v.token_to_id.get("<|eom_id|>", -1) >= 0:
             v.eom_id = v.token_to_id["<|eom_id|>"]
-        if v.pre == "llama3":
+        # LLAMA_VOCAB_PRE_TYPE_LLAMA3 pre-type aliases (reference
+        # src/llama-vocab.cpp llama3/llama-v3/llama-bpe/smaug-bpe mapping,
+        # llama.cpp:6746-6751): whole-word vocab lookup before BPE merges,
+        # and BOS always prepended.
+        if v.pre in ("llama3", "llama-v3", "llama-bpe", "smaug-bpe"):
             v.ignore_merges = True
+            v.add_bos = True
         return v
 
     def byte_token(self, b: int) -> int:

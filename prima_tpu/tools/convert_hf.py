@@ -1146,11 +1146,56 @@ def _write_tokenizer(w: GGUFWriter, src_dir: str, hf: dict) -> None:
                               "requires sentencepiece, not available)")
 
 
+# Per-source-architecture BPE pre-tokenizer type, mirroring the reference's
+# convert_hf_to_gguf.py get_vocab_base_pre() assignments (which key the
+# pre-type off the *tokenizer*, per model family). Keys are lowercased HF
+# `architectures` substrings; order matters (first match wins).
+_PRE_BY_ARCH = (
+    ("qwen2", "qwen2"),
+    ("qwen", "qwen2"),
+    ("starcoder2", "starcoder"),
+    ("starcoder", "starcoder"),
+    ("gptbigcode", "starcoder"),
+    ("falcon", "falcon"),
+    ("mpt", "mpt"),
+    ("gptneox", "gpt-neox"),
+    ("olmoe", "olmo"),
+    ("olmo", "olmo"),
+    ("dbrx", "dbrx"),
+    ("bloom", "bloom"),
+    ("gptj", "gpt-2"),
+    ("gpt2", "gpt-2"),
+    ("stablelm", "stablelm2"),
+    ("phi3", "phi-3"),  # actually SPM in most phi-3 ships; BPE variants use this
+    ("phi", "phi-2"),
+    ("cohere", "command-r"),
+    ("deepseekv2", "deepseek-llm"),
+    ("deepseekv3", "deepseek-v3"),
+    ("deepseek", "deepseek-llm"),
+    ("nemotron", "nemotron"),
+    ("granite", "llama-bpe"),
+    ("smaug", "smaug-bpe"),
+    ("mixtral", "llama-bpe"),
+)
+
+
 def _detect_pre(hf: dict) -> str:
     archs = str(hf.get("architectures", "")).lower()
-    if "qwen2" in archs:
-        return "qwen2"
-    return "llama3" if hf.get("vocab_size", 0) >= 100000 else "gpt-2"
+    for key, pre in _PRE_BY_ARCH:
+        if key in archs:
+            return pre
+    # Llama family: Llama-3+ tokenizers are BPE with >=100k vocab; earlier
+    # llamas are SPM (this path is only reached for BPE tokenizer.json).
+    if "llama" in archs or "mistral" in archs:
+        if hf.get("vocab_size", 0) >= 100000:
+            return "llama-bpe"
+        return "default"
+    import warnings
+    warnings.warn(
+        f"unknown pre-tokenizer for architectures={hf.get('architectures')}; "
+        "falling back to 'gpt-2' regex — tokenization may differ from "
+        "reference-converted GGUFs", stacklevel=2)
+    return "gpt-2"
 
 
 def main(argv=None) -> int:
