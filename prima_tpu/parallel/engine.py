@@ -1,9 +1,10 @@
 """Distributed inference engine: continuous batching over the piped ring.
 
 The reference's hardest interaction (SURVEY §7 hard part 5): server slots
-share the ring so the pipeline never idles. Here the slot pool is the
-pipeline's microbatch grid — slot (m, b) is row b of microbatch m — and one
-step() drives a full piped-ring pass for every active slot:
+share the ring so the pipeline never idles (update_slots + llama_decode(ctx,
+batch_view, true), examples/server/server.cpp:1996-2451). Here the slot pool
+is the pipeline's microbatch grid — slot (m, b) is row b of microbatch m —
+and one step() drives a full piped-ring pass for every active slot:
 
   prefill pass: each PREFILL slot contributes its next prompt chunk
   decode pass:  every DECODE slot advances one token
@@ -12,13 +13,18 @@ Parked rows ride along (their KV writes land at/after their cache_pos and
 are overwritten before the causal mask ever admits them — same invariant as
 the single-chip engine). The per-shape jitted pipeline functions are cached
 by sequence-length bucket.
+
+The engine exposes the SAME surface as runtime.engine.Engine (n_slots,
+slots[flat_id], kv with seq ops, embed, perf counters, ctx-shift), so the
+server's EngineWorker drives a mesh-distributed model unchanged — the
+analogue of the reference server calling llama_decode on a distributed ctx
+(server.cpp:2431).
 """
 
 from __future__ import annotations
 
-import functools
+import time as _time
 from dataclasses import dataclass, field
-from enum import Enum
 from typing import Any
 
 import jax
@@ -28,14 +34,16 @@ import numpy as np
 from ..models.config import ModelConfig
 from ..models.llama import ForwardOptions
 from ..sampling import Sampler, SamplerParams
-from .pipeline import PipeSpec, init_pipe_kv, make_pipe_forward
 from ..runtime.engine import SlotState, StepEvent, _bucket
+from .pipe_kv import PipeKV
+from .pipeline import PipeSpec, make_pipe_forward
 
 
 @dataclass
 class DSlot:
     m: int
     b: int
+    n_slots_b: int = 1  # batch_per_micro (for flat id)
     state: SlotState = SlotState.IDLE
     prompt: list[int] = field(default_factory=list)
     n_prompt_done: int = 0
@@ -44,19 +52,25 @@ class DSlot:
     n_predict: int = -1
     request_id: Any = None
     stop_reason: str | None = None
+    n_probs: int = 0
+    shifts: list = field(default_factory=list)
 
     @property
-    def id(self) -> tuple[int, int]:
-        return (self.m, self.b)
+    def id(self) -> int:
+        """Flat slot id (server-visible, like the reference's slot.id)."""
+        return self.m * self.n_slots_b + self.b
 
 
 class DistributedEngine:
     """Engine-compatible surface over the (dp, pp, tp) mesh pipeline."""
 
+    use_scan = False  # stacked-scan is a single-chip concept
+
     def __init__(self, cfg: ModelConfig, params: dict, spec: PipeSpec, mesh,
                  batch_per_micro: int = 1, max_seq: int = 2048, n_batch: int = 64,
                  opts: ForwardOptions | None = None, kv_dtype=jnp.bfloat16,
-                 eog_ids: set[int] | None = None):
+                 eog_ids: set[int] | None = None, ctx_shift: bool = False,
+                 n_keep: int = 0):
         self.cfg = cfg
         self.params = params
         self.spec = spec
@@ -66,17 +80,33 @@ class DistributedEngine:
         self.max_seq = max_seq
         self.n_batch = n_batch
         self.eog_ids = eog_ids or set()
-        self.kv = init_pipe_kv(cfg, spec, mesh, batch_per_micro, max_seq, kv_dtype)
-        self.cache_pos = np.zeros((self.M, self.B), np.int32)
-        self.slots = [DSlot(m, b) for m in range(self.M) for b in range(self.B)]
+        self.ctx_shift = ctx_shift
+        self.n_keep = n_keep
+        self.kv = PipeKV(cfg, spec, mesh, batch_per_micro, max_seq, kv_dtype)
+        self.slots = [DSlot(m, b, batch_per_micro)
+                      for m in range(self.M) for b in range(self.B)]
         self.n_decode_calls = 0
-        self._fwd_cache: dict[int, Any] = {}
+        self.perf = {"n_prompt": 0, "n_decode": 0, "t_prompt_s": 0.0,
+                     "t_decode_s": 0.0}
+        self._fwd_cache: dict[tuple, Any] = {}
 
-    def _fwd(self, s_len: int):
-        fn = self._fwd_cache.get(s_len)
+    @property
+    def n_slots(self) -> int:
+        return self.M * self.B
+
+    @property
+    def cache_pos(self) -> np.ndarray:
+        """(M, B) view of the flat per-slot cache positions."""
+        return self.kv.cache_pos.reshape(self.M, self.B)
+
+    def _fwd(self, s_len: int, return_hidden: bool = False):
+        key = (s_len, return_hidden)
+        fn = self._fwd_cache.get(key)
         if fn is None:
-            fn = jax.jit(make_pipe_forward(self.cfg, self.spec, self.mesh, self.opts))
-            self._fwd_cache[s_len] = fn
+            fn = jax.jit(make_pipe_forward(self.cfg, self.spec, self.mesh,
+                                           self.opts,
+                                           return_hidden=return_hidden))
+            self._fwd_cache[key] = fn
         return fn
 
     # -- request management --------------------------------------------------
@@ -88,7 +118,8 @@ class DistributedEngine:
         return None
 
     def submit(self, prompt_tokens: list[int], sampler: Sampler | None = None,
-               n_predict: int = -1, request_id: Any = None) -> DSlot:
+               n_predict: int = -1, request_id: Any = None,
+               reuse_prefix: bool = True, n_probs: int = 0) -> DSlot:
         if not prompt_tokens:
             raise ValueError("empty prompt")
         if len(prompt_tokens) >= self.max_seq - self.n_batch:
@@ -100,18 +131,27 @@ class DistributedEngine:
         slot = self.find_idle_slot()
         if slot is None:
             raise RuntimeError("no idle slot")
-        self.cache_pos[slot.m, slot.b] = 0
+        # prompt-prefix reuse (cache_prompt / slot_prompt_similarity)
+        common = 0
+        if reuse_prefix and slot.prompt:
+            limit = min(len(slot.prompt), len(prompt_tokens) - 1,
+                        self.kv.used(slot.id))
+            while common < limit and slot.prompt[common] == prompt_tokens[common]:
+                common += 1
+        self.kv.seq_rm(slot.id, p0=common)
         slot.state = SlotState.PREFILL
         slot.prompt = list(prompt_tokens)
-        slot.n_prompt_done = 0
+        slot.n_prompt_done = common
         slot.generated = []
         slot.sampler = sampler or Sampler(SamplerParams(temp=0.0))
         slot.n_predict = n_predict
         slot.request_id = request_id
         slot.stop_reason = None
+        slot.n_probs = n_probs
+        slot.shifts = []
         for t in prompt_tokens:
             slot.sampler.accept(t, accept_grammar=False)
-        if len(prompt_tokens) == 1:
+        if slot.n_prompt_done >= len(slot.prompt) - 1:
             slot.state = SlotState.DECODE
         return slot
 
@@ -127,15 +167,16 @@ class DistributedEngine:
 
     def _run_pass(self, s_len: int, tokens: np.ndarray, positions: np.ndarray):
         fwd = self._fwd(s_len)
-        logits, self.kv = fwd(self.params, jnp.asarray(tokens),
-                              jnp.asarray(positions), jnp.asarray(self.cache_pos),
-                              self.kv)
+        logits, self.kv.arrays = fwd(
+            self.params, jnp.asarray(tokens), jnp.asarray(positions),
+            jnp.asarray(self.cache_pos), self.kv.arrays)
         self.n_decode_calls += 1
         return np.asarray(logits, dtype=np.float32)
 
     def step(self) -> list[StepEvent]:
         events: list[StepEvent] = []
 
+        t0 = _time.perf_counter()
         prefill = [s for s in self.slots if s.state == SlotState.PREFILL]
         if prefill:
             chunk_len = min(self.n_batch,
@@ -154,31 +195,57 @@ class DistributedEngine:
             self._run_pass(s_len, tokens, positions)
             for s in prefill:
                 n = took[s.id]
-                self.cache_pos[s.m, s.b] += n
+                self.kv.cache_pos[s.id] += n
                 s.n_prompt_done += n
+                self.perf["n_prompt"] += n
                 if s.n_prompt_done >= len(s.prompt) - 1:
                     s.state = SlotState.DECODE
+            self.perf["t_prompt_s"] += _time.perf_counter() - t0
 
         active = [s for s in self.slots if s.state == SlotState.DECODE]
         if not active:
             return events
 
+        # context-shift instead of stopping when a slot's cache fills
+        # (main.cpp:584-617 — the KV mutation runs ONCE on the sharded
+        # cache; no ring-wide signal protocol needed, see pipe_kv.py)
+        if self.ctx_shift:
+            for s in active:
+                if self.kv.used(s.id) >= self.max_seq - self.n_batch:
+                    used = self.kv.used(s.id)
+                    n_discard = max((used - self.n_keep) // 2, 1)
+                    self.kv.context_shift(s.id, self.n_keep, n_discard)
+                    s.shifts.append((self.n_keep, n_discard))
+
+        t0 = _time.perf_counter()
         tokens = np.zeros((self.M, self.B, 1), np.int32)
         for s in active:
             tokens[s.m, s.b, 0] = s.generated[-1] if s.generated else s.prompt[-1]
         positions = self.cache_pos[..., None].copy()
         logits = self._run_pass(1, tokens, positions)
         for s in active:
-            self.cache_pos[s.m, s.b] += 1
+            self.kv.cache_pos[s.id] += 1
+        self.perf["t_decode_s"] += _time.perf_counter() - t0
+        self.perf["n_decode"] += len(active)
 
         for s in active:
-            tok = s.sampler.sample_and_accept(logits[s.m, s.b, -1])
+            row = logits[s.m, s.b, -1]
+            tok = s.sampler.sample_and_accept(row)
             s.generated.append(tok)
+            lp = None
+            if s.n_probs > 0:
+                from ..sampling import softmax as _softmax
+
+                probs = np.log(np.maximum(_softmax(row), 1e-30))
+                top = np.argsort(-row)[: s.n_probs]
+                ids = list(dict.fromkeys([int(t) for t in top] + [tok]))
+                lp = [(int(t), float(probs[t])) for t in ids]
             done, reason = self._check_stop(s, tok)
             if done:
                 s.state = SlotState.IDLE
                 s.stop_reason = reason
-            events.append(StepEvent(s.id, s.request_id, tok, done, reason))
+            events.append(StepEvent(s.id, s.request_id, tok, done, reason,
+                                    logprobs=lp))
         return events
 
     def _check_stop(self, slot: DSlot, tok: int) -> tuple[bool, str | None]:
@@ -189,9 +256,47 @@ class DistributedEngine:
         # stop n_batch early: a parked row must never sit within s_len of the
         # cache end while another slot prefills (dynamic_update_slice clamps
         # its start index and would overwrite the parked tail)
-        if self.cache_pos[slot.m, slot.b] >= self.max_seq - self.n_batch:
+        if not self.ctx_shift and \
+                self.kv.used(slot.id) >= self.max_seq - self.n_batch:
             return True, "context_full"
         return False, None
+
+    # -- aux surfaces (server parity) ------------------------------------------
+
+    def embed(self, prompt_tokens: list[int], pooling: str = "mean") -> np.ndarray:
+        """/v1/embeddings through the full pipeline (hidden-state output)."""
+        from ..models.llama import model_norm
+        from .pipeline import init_pipe_kv
+
+        s_len = _bucket(len(prompt_tokens),
+                        max(self.n_batch, len(prompt_tokens)))
+        tokens = np.zeros((self.M, self.B, s_len), np.int32)
+        tokens[0, 0, : len(prompt_tokens)] = prompt_tokens
+        positions = np.broadcast_to(np.arange(s_len, dtype=np.int32),
+                                    (self.M, self.B, s_len)).copy()
+        kv = init_pipe_kv(self.cfg, self.spec, self.mesh, self.B, s_len,
+                          jnp.bfloat16)
+        fwd = self._fwd(s_len, return_hidden=True)
+        hidden, _ = fwd(self.params, jnp.asarray(tokens),
+                        jnp.asarray(positions),
+                        jnp.zeros((self.M, self.B), jnp.int32), kv)
+        hidden = model_norm(hidden, self.params.get("output_norm"),
+                            self.params.get("output_norm_b"), self.cfg)
+        h = np.asarray(hidden[0, 0, : len(prompt_tokens)], dtype=np.float32)
+        if pooling == "last":
+            return h[-1]
+        if pooling == "cls":
+            return h[0]
+        return h.mean(axis=0)
+
+    def perf_summary(self) -> str:
+        p = self.perf
+        pp = p["n_prompt"] / p["t_prompt_s"] if p["t_prompt_s"] > 0 else 0.0
+        tg = p["n_decode"] / p["t_decode_s"] if p["t_decode_s"] > 0 else 0.0
+        return (f"prompt eval: {p['n_prompt']} tokens in {p['t_prompt_s']:.2f}s "
+                f"({pp:.1f} tok/s) | decode: {p['n_decode']} tokens in "
+                f"{p['t_decode_s']:.2f}s ({tg:.1f} tok/s) | "
+                f"{self.n_decode_calls} decode calls")
 
     def run_to_completion(self, prompt_tokens: list[int], **kw) -> list[int]:
         slot = self.submit(prompt_tokens, **kw)

@@ -1,0 +1,230 @@
+"""Sequence ops over the piped-ring pipeline's KV cache.
+
+The reference replicates KV mutations ring-wide with tagged ZMQ signals
+(llama_send_kv_cache_* src/llama.cpp:22610-22745, applied per-device in the
+decode loop @18329-18376). On a TPU mesh the cache is ONE logical array
+sharded over (pp, dp, tp) — a mutation is a single jitted sharded program,
+executed once by the host scheduler; the lockstep-replication protocol is
+subsumed by SPMD (the "deterministic replay" design of PARITY.md, realized).
+
+Layout reminder (init_pipe_kv): k/v are (PP, K, W, M*B, T, kvh, hd) with
+  P("pp", None, None, "dp", None, "tp", None)
+and layer li lives at (d, c, w) with v = li // W, c = v // n_pp, d = v %
+n_pp, w = li % W (PipeSpec.window_layers). Slot (m, b) is cache row m*B+b.
+
+Mutations mirror runtime/kv.py's KVCache surface (seq_rm / seq_cp /
+context_shift / seq_add / seq_div / rope_shift / save-restore
+materialization) so the server and engine drive single-chip and distributed
+caches identically.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import ModelConfig
+from ..ops.layers import rope_freqs
+from .pipeline import PipeSpec, init_pipe_kv
+
+
+@functools.partial(jax.jit, static_argnames=("rope_type",))
+def _rope_delta_nd(k: jax.Array, delta: jax.Array, inv_freq: jax.Array,
+                   rope_type: str) -> jax.Array:
+    """Rotate cached K by per-position `delta` (T,). k: (..., T, kvh, hd)."""
+    half = inv_freq.shape[0]
+    theta = delta[:, None].astype(jnp.float32) * inv_freq  # (T, half)
+    cos = jnp.cos(theta)[:, None, :]  # (T, 1, half)
+    sin = jnp.sin(theta)[:, None, :]
+    kf = k.astype(jnp.float32)
+    rot = 2 * half
+    x_rot, x_pass = kf[..., :rot], kf[..., rot:]
+    if rope_type == "norm":
+        xr = x_rot.reshape(x_rot.shape[:-1] + (half, 2))
+        x0, x1 = xr[..., 0], xr[..., 1]
+        y = jnp.stack([x0 * cos - x1 * sin, x0 * sin + x1 * cos],
+                      axis=-1).reshape(x_rot.shape)
+    else:
+        x0, x1 = x_rot[..., :half], x_rot[..., half:]
+        y = jnp.concatenate([x0 * cos - x1 * sin, x0 * sin + x1 * cos],
+                            axis=-1)
+    out = jnp.concatenate([y, x_pass], axis=-1) if x_pass.shape[-1] else y
+    return out.astype(k.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("rope_type",))
+def _remap_row(k, v, row, src, delta, inv_freq, *, rope_type="neox"):
+    """Gather-then-rotate one slot row across all (PP, K, W) windows."""
+    k_row = jnp.take(k[:, :, :, row], src, axis=3)  # (PP,K,W,T,kvh,hd)
+    k_row = _rope_delta_nd(k_row, delta, inv_freq, rope_type)
+    v_row = jnp.take(v[:, :, :, row], src, axis=3)
+    return (k.at[:, :, :, row].set(k_row), v.at[:, :, :, row].set(v_row))
+
+
+@jax.jit
+def _copy_row(k, v, dst, src):
+    return (k.at[:, :, :, dst].set(k[:, :, :, src]),
+            v.at[:, :, :, dst].set(v[:, :, :, src]))
+
+
+@functools.partial(jax.jit, static_argnames=("rope_type",))
+def _rotate_row(k, row, delta, inv_freq, *, rope_type="neox"):
+    k_row = _rope_delta_nd(k[:, :, :, row], delta, inv_freq, rope_type)
+    return k.at[:, :, :, row].set(k_row)
+
+
+@dataclass
+class PipeKV:
+    """KVCache-compatible wrapper over the pipe cache arrays."""
+
+    cfg: ModelConfig
+    spec: PipeSpec
+    mesh: object
+    batch_per_micro: int
+    max_seq: int
+    dtype: object = jnp.bfloat16
+    arrays: tuple = None  # (k, v) — (PP, K, W, M*B, T, kvh, hd)
+    cache_pos: np.ndarray = None  # (n_slots,) flat, row-major (m, b)
+
+    def __post_init__(self):
+        if self.arrays is None:
+            self.arrays = init_pipe_kv(self.cfg, self.spec, self.mesh,
+                                       self.batch_per_micro, self.max_seq,
+                                       self.dtype)
+        n = self.spec.microbatches * self.batch_per_micro
+        if self.cache_pos is None:
+            self.cache_pos = np.zeros(n, dtype=np.int32)
+        self._inv_freq, _ = rope_freqs(self.cfg)
+
+    # -- identity ------------------------------------------------------------
+
+    @property
+    def n_slots(self) -> int:
+        return self.spec.microbatches * self.batch_per_micro
+
+    def _row(self, slot) -> int:
+        if isinstance(slot, tuple):
+            return slot[0] * self.batch_per_micro + slot[1]
+        return int(slot)
+
+    def used(self, slot) -> int:
+        return int(self.cache_pos[self._row(slot)])
+
+    # -- mutations (llama_send_kv_cache_* analogues) ---------------------------
+
+    def clear(self) -> None:
+        self.cache_pos[:] = 0
+
+    def seq_rm(self, slot, p0: int = 0, p1: int = -1) -> None:
+        r = self._row(slot)
+        if p1 < 0 or p1 >= int(self.cache_pos[r]):
+            self.cache_pos[r] = min(int(self.cache_pos[r]), max(p0, 0))
+        else:
+            self.cache_pos[r] = max(p0, 0)
+
+    def seq_cp(self, dst, src) -> None:
+        k, v = self.arrays
+        self.arrays = _copy_row(k, v, self._row(dst), self._row(src))
+        self.cache_pos[self._row(dst)] = self.cache_pos[self._row(src)]
+
+    def seq_keep(self, slot) -> None:
+        r = self._row(slot)
+        keep = int(self.cache_pos[r])
+        self.cache_pos[:] = 0
+        self.cache_pos[r] = keep
+
+    def remap(self, slot, src: np.ndarray, delta: np.ndarray,
+              new_used: int) -> None:
+        r = self._row(slot)
+        k, v = self.arrays
+        self.arrays = _remap_row(
+            k, v, r, jnp.asarray(np.minimum(src, self.max_seq - 1)),
+            jnp.asarray(delta.astype(np.int32)), self._inv_freq,
+            rope_type=self.cfg.rope_type)
+        self.cache_pos[r] = new_used
+
+    def context_shift(self, slot, n_keep: int, n_discard: int) -> None:
+        used = self.used(slot)
+        assert n_keep + n_discard <= used
+        move = used - n_keep - n_discard
+        idx = np.arange(self.max_seq, dtype=np.int32)
+        src = np.where(idx < n_keep, idx, idx + n_discard)
+        delta = np.where((idx >= n_keep) & (idx < n_keep + move),
+                         -n_discard, 0)
+        self.remap(slot, src, delta, n_keep + move)
+
+    def seq_add(self, slot, p0: int, p1: int, delta: int,
+                move: bool = True) -> None:
+        if delta == 0:
+            return
+        used = self.used(slot)
+        p1 = min(p1, used)
+        idx = np.arange(self.max_seq, dtype=np.int32)
+        if move:
+            inrange = (idx >= p0 + delta) & (idx < p1 + delta)
+            src = np.where(inrange, idx - delta, idx)
+            d = np.where(inrange, delta, 0)
+            self.remap(slot, src, d,
+                       max(used + (delta if p1 == used else 0), 0))
+        else:
+            d = np.where((idx >= p0) & (idx < p1), delta, 0)
+            self.remap(slot, idx, d, used)
+
+    def rope_shift(self, slot, delta: np.ndarray) -> None:
+        if not np.any(delta):
+            return
+        k, v = self.arrays
+        k = _rotate_row(k, self._row(slot),
+                        jnp.asarray(delta.astype(np.int32)), self._inv_freq,
+                        rope_type=self.cfg.rope_type)
+        self.arrays = (k, v)
+
+    def seq_div(self, slot, p0: int, p1: int, divisor: int) -> None:
+        if divisor <= 1:
+            return
+        idx = np.arange(self.max_seq, dtype=np.int32)
+        inrange = (idx >= p0) & (idx < p1)
+        newpos = np.where(inrange, idx // divisor, idx)
+        self.rope_shift(slot, (newpos - idx).astype(np.int32))
+
+    # -- save/restore materialization (runtime/state.py hooks) ----------------
+
+    def _layer_coords(self, li: int) -> tuple[int, int, int]:
+        W, n = self.spec.window, self.spec.n_pp
+        v = li // W
+        return v % n, v // n, li % W  # (d, c, w)
+
+    def materialize_slot(self, slot, used: int) -> tuple[np.ndarray, np.ndarray]:
+        """Dense (L, used, kvh, hd) f32 K and V for one slot, in layer order."""
+        r = self._row(slot)
+        k, v = self.arrays
+        ks = np.asarray(k[:, :, :, r, :used], np.float32)  # (PP,K,W,used,..)
+        vs = np.asarray(v[:, :, :, r, :used], np.float32)
+        L = self.cfg.n_layers
+        outk = np.empty((L,) + ks.shape[3:], np.float32)
+        outv = np.empty_like(outk)
+        for li in range(L):
+            d, c, w = self._layer_coords(li)
+            outk[li] = ks[d, c, w]
+            outv[li] = vs[d, c, w]
+        return outk, outv
+
+    def restore_slot(self, slot, ks: np.ndarray, vs: np.ndarray,
+                     used: int) -> None:
+        r = self._row(slot)
+        PP, K, W = self.spec.n_pp, self.spec.k_cycles, self.spec.window
+        k_pipe = np.zeros((PP, K, W) + ks.shape[1:], np.float32)
+        v_pipe = np.zeros_like(k_pipe)
+        for li in range(self.cfg.n_layers):
+            d, c, w = self._layer_coords(li)
+            k_pipe[d, c, w] = ks[li]
+            v_pipe[d, c, w] = vs[li]
+        k, v = self.arrays
+        k = k.at[:, :, :, r, :used].set(jnp.asarray(k_pipe).astype(k.dtype))
+        v = v.at[:, :, :, r, :used].set(jnp.asarray(v_pipe).astype(v.dtype))
+        self.arrays = (k, v)
+        self.cache_pos[r] = used

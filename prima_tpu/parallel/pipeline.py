@@ -279,6 +279,7 @@ def make_pipe_forward(
     spec: PipeSpec,
     mesh: Mesh,
     opts: ForwardOptions | None = None,
+    return_hidden: bool = False,
 ):
     """Build the jitted distributed forward: (params, tokens, positions,
     cache_pos, kv) -> (logits, kv).
@@ -314,6 +315,8 @@ def make_pipe_forward(
         if cfg.embd_scale != 1.0:  # gemma-family input scaling
             x = x * np.float32(cfg.embd_scale)
         hidden, kc, vc = pipe(params["pipe"], x, positions, cache_pos, kv[0], kv[1])
+        if return_hidden:
+            return hidden, (kc, vc)
         from ..models.llama import model_norm
 
         h = model_norm(hidden, params.get("output_norm"),

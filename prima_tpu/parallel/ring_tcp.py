@@ -8,6 +8,23 @@ activation hops rank to rank around the ring k times (piped-ring), and the
 last window's output returns straight to rank 0 (the master-socket
 shortcut) for the output head.
 
+Beyond the reference's plane, this one is a *runtime*, not a demo:
+
+  * batched ubatches — server slots ride the ring in GROUPS (the piped
+    microbatches): group g's activation train overlaps the master's compute
+    for group g+1, so the master never sits idle while workers run (the
+    reference's prefetch-overlap, src/llama.cpp:18503-18575, realized as
+    ubatch pipelining).
+  * full sampler chain + continuous batching on rank 0 (TcpRingEngine is
+    Engine-compatible: the server's EngineWorker drives it unchanged).
+  * KV mutations replicate ring-wide as tagged messages (the
+    llama_send_kv_cache_* protocol, src/llama.cpp:22610-22745): truncation
+    is master-metadata-only (workers get cache_pos per meta); remap ops
+    (context-shift/self-extend) and seq_cp broadcast src/delta vectors that
+    every rank applies to its own windows' cache.
+  * bf16 activations on the wire (half the reference's f32 traffic); f32
+    remains for the final logits-bearing hop.
+
 On a real TPU pod the SPMD pipeline (parallel/pipeline.py) replaces this
 with ICI/DCN collectives; this plane exists for heterogeneous hosts that
 only share a network — exactly prima.cpp's home-cluster regime — and for
@@ -18,6 +35,7 @@ from __future__ import annotations
 
 import struct
 from dataclasses import dataclass
+from typing import Any
 
 import numpy as np
 
@@ -27,8 +45,9 @@ from .bootstrap import RingConfig, RingNode, _recv_exact, _recv_msg, _send_msg
 from .ring_host import RingPlan
 
 _THDR = struct.Struct("<III")  # ndim, dtype code, nbytes
-_DTYPES = {0: np.float32, 1: np.int32, 2: np.uint8}
-_DTYPE_CODES = {np.dtype(np.float32): 0, np.dtype(np.int32): 1, np.dtype(np.uint8): 2}
+_DTYPES = {0: np.float32, 1: np.int32, 2: np.uint8, 3: np.uint16}
+_DTYPE_CODES = {np.dtype(np.float32): 0, np.dtype(np.int32): 1,
+                np.dtype(np.uint8): 2, np.dtype(np.uint16): 3}
 
 
 def send_tensor(sock, a: np.ndarray) -> None:
@@ -46,6 +65,22 @@ def recv_tensor(sock) -> np.ndarray:
     return np.frombuffer(data, dtype=_DTYPES[code]).reshape(shape).copy()
 
 
+def send_act(sock, a: np.ndarray, wire_bf16: bool = True) -> None:
+    """Activation hop: bf16 on the wire (the reference sends f32 —
+    ring_tcp halves that; bf16 matches the compute dtype anyway)."""
+    if wire_bf16 and a.dtype == np.float32:
+        send_tensor(sock, (a.view(np.uint32) >> 16).astype(np.uint16))
+    else:
+        send_tensor(sock, a)
+
+
+def recv_act(sock) -> np.ndarray:
+    a = recv_tensor(sock)
+    if a.dtype == np.uint16:  # bf16 wire format
+        return (a.astype(np.uint32) << 16).view(np.float32)
+    return a
+
+
 @dataclass
 class RingContext:
     node: RingNode
@@ -58,18 +93,25 @@ class RingContext:
         return self.rank == 0
 
 
+def _group_rows(n_slots: int, n_groups: int) -> int:
+    assert n_slots % n_groups == 0, (n_slots, n_groups)
+    return n_slots // n_groups
+
+
 class TcpRingWorker:
-    """Worker ranks: the llama_decode(empty batch) service loop."""
+    """Worker ranks: the llama_decode(empty batch) service loop, batched
+    and grouped. Protocol tags: meta / act / kv / stop."""
 
     def __init__(self, ctx: RingContext, cfg: ModelConfig, params: dict,
                  max_seq: int = 2048, opts: ForwardOptions | None = None,
-                 kv_dtype=None):
+                 kv_dtype=None, n_slots: int = 1, n_groups: int = 1):
         import functools
 
         import jax
         import jax.numpy as jnp
 
         from ..models.llama import forward, init_kv_caches
+        from ..runtime.kv import KVCache
 
         self.ctx = ctx
         self.cfg = cfg
@@ -81,8 +123,15 @@ class TcpRingWorker:
         owned = set()
         for lo, hi in ranges:
             owned.update(range(lo, hi))
-        self.kv = init_kv_caches(cfg, 1, max_seq, kv_dtype,
-                                 layer_filter=lambda i: i in owned)
+        bg = _group_rows(n_slots, n_groups)
+        self.n_groups = n_groups
+        # per-group KVCache wrappers: remap/seq_cp ops run on every rank
+        self.kvc = [
+            KVCache(cfg, bg, max_seq, kv_dtype,
+                    caches=init_kv_caches(cfg, bg, max_seq, kv_dtype,
+                                          layer_filter=lambda i: i in owned))
+            for _ in range(n_groups)
+        ]
         cfg_, opts_ = cfg, self.opts
 
         @functools.partial(jax.jit, static_argnames=("lo", "hi"))
@@ -92,20 +141,42 @@ class TcpRingWorker:
 
         self._window_fn = window_fn
 
-    def _compute_window(self, c: int, x: np.ndarray, positions: np.ndarray,
+    def _compute_window(self, g: int, c: int, x: np.ndarray,
+                        positions: np.ndarray,
                         cache_pos: np.ndarray) -> np.ndarray:
         import jax.numpy as jnp
 
         lo, hi = self.ranges[c]
         xj = jnp.asarray(x, dtype=self.opts.dtype)
-        out, self.kv = self._window_fn(self.params, self.kv, xj,
-                                       jnp.asarray(positions), jnp.asarray(cache_pos),
-                                       lo=lo, hi=hi)
+        out, self.kvc[g].caches = self._window_fn(
+            self.params, self.kvc[g].caches, xj, jnp.asarray(positions),
+            jnp.asarray(cache_pos), lo=lo, hi=hi)
         return np.asarray(out, dtype=np.float32)
+
+    def _apply_kv_op(self, msg: dict) -> None:
+        """llama_send_kv_cache_* analogue: apply a replicated mutation."""
+        g = int(msg.get("group", 0))
+        kvc = self.kvc[g]
+        op = msg["op"]
+        if op == "remap":
+            kvc.remap(int(msg["slot"]),
+                      np.asarray(msg["src"], np.int32),
+                      np.asarray(msg["delta"], np.int32),
+                      int(msg["new_used"]))
+        elif op == "seq_cp":
+            kvc.seq_cp(int(msg["dst"]), int(msg["src"]))
+        elif op == "rope_shift":
+            kvc.rope_shift(int(msg["slot"]),
+                           np.asarray(msg["delta"], np.int32))
+        elif op == "clear":
+            kvc.clear()
+        else:
+            raise ValueError(f"unknown kv op {op}")
 
     def serve(self) -> None:
         """Blocks until STOP (the reference's infinite llama_decode loop)."""
         node = self.ctx.node
+        metas: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         while True:
             msg = node.recv_prev(timeout=None)
             tag = msg.get("tag")
@@ -113,22 +184,33 @@ class TcpRingWorker:
                 if (node.rank + 1) % node.world != msg.get("from", 0):
                     node.send_next(msg)
                 return
-            assert tag == "meta", tag
-            if (node.rank + 1) % node.world != 0:
-                node.send_next(msg)  # forward metadata around the ring
-            positions = np.asarray(msg["positions"], np.int32)
-            cache_pos = np.asarray(msg["cache_pos"], np.int32)
-            for c in range(self.ctx.plan.k):
-                hdr = node.recv_prev(timeout=None)
-                assert hdr["tag"] == "act" and hdr["cycle"] == c
-                x = recv_tensor(node.recv_sock)
-                x = self._compute_window(c, x, positions, cache_pos)
-                last = (self.ctx.rank == self.ctx.world - 1
-                        and c == self.ctx.plan.k - 1)
-                # ring hop — the master shortcut IS the ring hop for the
-                # final window (next of rank n-1 is rank 0)
-                node.send_next({"tag": "act", "cycle": c, "final": last})
-                send_tensor(node.send_sock, x)
+            if tag == "kv":
+                self._apply_kv_op(msg)
+                if (node.rank + 1) % node.world != 0:
+                    node.send_next(msg)  # relay until the last worker
+                continue
+            if tag == "meta":
+                g = int(msg.get("group", 0))
+                pos = np.asarray(msg["positions"], np.int32)
+                if pos.ndim == 1:
+                    pos = pos[None]
+                metas[g] = (pos, np.asarray(msg["cache_pos"], np.int32))
+                if (node.rank + 1) % node.world != 0:
+                    node.send_next(msg)
+                continue
+            assert tag == "act", tag
+            g = int(msg.get("group", 0))
+            c = int(msg["cycle"])
+            x = recv_act(node.recv_sock)
+            positions, cache_pos = metas[g]
+            x = self._compute_window(g, c, x, positions, cache_pos)
+            last = (self.ctx.rank == self.ctx.world - 1
+                    and c == self.ctx.plan.k - 1)
+            # ring hop — the master shortcut IS the ring hop for the
+            # final window (next of rank n-1 is rank 0)
+            node.send_next({"tag": "act", "cycle": c, "group": g,
+                            "final": last})
+            send_act(node.send_sock, x)
 
 
 def relay_loop(node: RingNode) -> None:
@@ -137,9 +219,9 @@ def relay_loop(node: RingNode) -> None:
     next_is_master = (node.rank + 1) % node.world == 0
     while True:
         msg = node.recv_prev(timeout=None)
-        if msg.get("tag") == "meta" and next_is_master:
-            # the master never consumes meta (it originated it); forwarding
-            # it would desync TcpRingMaster's recv_prev stream
+        if msg.get("tag") in ("meta", "kv") and next_is_master:
+            # the master never consumes meta/kv (it originated them);
+            # forwarding would desync the master's recv stream
             continue
         node.send_next(msg)
         if msg.get("tag") == "act":
@@ -148,35 +230,39 @@ def relay_loop(node: RingNode) -> None:
             return
 
 
-class TcpRingMaster:
-    """Rank 0: embedding + first windows + output head + sampling."""
+class _MasterCore:
+    """Rank 0 compute: embedding + master windows + output head, grouped."""
 
     def __init__(self, ctx: RingContext, cfg: ModelConfig, params: dict,
-                 max_seq: int = 2048, opts: ForwardOptions | None = None,
-                 kv_dtype=None):
+                 max_seq: int, opts: ForwardOptions, kv_dtype,
+                 n_slots: int, n_groups: int):
         import functools
 
         import jax
         import jax.numpy as jnp
 
-        from ..models.llama import embed, forward, init_kv_caches, linear
-        from ..ops.layers import rms_norm
+        from ..models.llama import forward, linear, init_kv_caches, model_norm
+        from ..runtime.kv import KVCache
 
         self.ctx = ctx
         self.cfg = cfg
         self.params = params
-        self.opts = opts or ForwardOptions()
-        kv_dtype = kv_dtype if kv_dtype is not None else jnp.bfloat16
+        self.opts = opts
         self.max_seq = max_seq
-        ranges = ctx.plan.layer_ranges()[0]
-        self.ranges = ranges
+        kv_dtype = kv_dtype if kv_dtype is not None else jnp.bfloat16
+        self.ranges = ctx.plan.layer_ranges()[0]
         owned = set()
-        for lo, hi in ranges:
+        for lo, hi in self.ranges:
             owned.update(range(lo, hi))
-        self.kv = init_kv_caches(cfg, 1, max_seq, kv_dtype,
-                                 layer_filter=lambda i: i in owned)
-        self.cache_pos = np.zeros(1, np.int32)
-        cfg_, opts_ = cfg, self.opts
+        bg = _group_rows(n_slots, n_groups)
+        self.n_groups, self.bg = n_groups, bg
+        self.kvc = [
+            KVCache(cfg, bg, max_seq, kv_dtype,
+                    caches=init_kv_caches(cfg, bg, max_seq, kv_dtype,
+                                          layer_filter=lambda i: i in owned))
+            for _ in range(n_groups)
+        ]
+        cfg_, opts_ = cfg, opts
 
         @functools.partial(jax.jit, static_argnames=("lo", "hi"))
         def first_window(params, kv, tokens, positions, cache_pos, lo, hi):
@@ -190,7 +276,8 @@ class TcpRingMaster:
 
         @jax.jit
         def head_fn(params, x):
-            x = rms_norm(x, params["output_norm"], cfg_.rms_eps)
+            x = model_norm(x, params.get("output_norm"),
+                           params.get("output_norm_b"), cfg_)
             w = params["output"] if params.get("output") is not None else params["tok_embd"]
             return linear(x, w, opts_.matmul_impl).astype(opts_.logits_dtype)
 
@@ -198,36 +285,394 @@ class TcpRingMaster:
         self._mid = mid_window
         self._head = head_fn
 
-    def decode(self, tokens: np.ndarray, positions: np.ndarray) -> np.ndarray:
-        """One distributed ubatch; returns last-position logits (1, vocab)."""
+    def _send_meta(self, g: int, positions: np.ndarray,
+                   cache_pos: np.ndarray) -> None:
+        self.ctx.node.send_next({
+            "tag": "meta", "group": g,
+            "positions": positions.tolist(),
+            "cache_pos": cache_pos.tolist(),
+        })
+
+    def ring_pass(self, groups: list[tuple[int, np.ndarray, np.ndarray, np.ndarray]],
+                  ) -> dict[int, np.ndarray]:
+        """Pipelined ubatch train: [(g, tokens(B,S), positions(B,S),
+        cache_pos(B))] -> {g: hidden (B,S,E)}.
+
+        The master's window for group g+1's cycle overlaps the workers'
+        compute for group g (the piped-ring schedule over TCP: one ubatch
+        per stage in flight, FIFO order preserved by the ring links)."""
+        import collections
+
         import jax.numpy as jnp
 
         node = self.ctx.node
         k = self.ctx.plan.k
-        node.send_next({
-            "tag": "meta",
-            "positions": positions.tolist(),
-            "cache_pos": self.cache_pos.tolist(),
-        })
-        x = None
-        for c in range(k):
-            lo, hi = self.ranges[c]
-            if c == 0:
-                x, self.kv = self._first(self.params, self.kv, jnp.asarray(tokens),
-                                         jnp.asarray(positions),
-                                         jnp.asarray(self.cache_pos), lo=lo, hi=hi)
-            else:
-                x, self.kv = self._mid(self.params, self.kv, jnp.asarray(x, self.opts.dtype),
-                                       jnp.asarray(positions),
-                                       jnp.asarray(self.cache_pos), lo=lo, hi=hi)
-            node.send_next({"tag": "act", "cycle": c})
-            send_tensor(node.send_sock, np.asarray(x, dtype=np.float32))
+        hidden: dict[int, np.ndarray] = {}
+        if self.ctx.world == 1:
+            # degenerate single-process ring: master owns every window
+            for g, tokens, positions, cache_pos in groups:
+                x = None
+                for c in range(k):
+                    lo, hi = self.ranges[c]
+                    if c == 0:
+                        x, self.kvc[g].caches = self._first(
+                            self.params, self.kvc[g].caches,
+                            jnp.asarray(tokens), jnp.asarray(positions),
+                            jnp.asarray(cache_pos), lo=lo, hi=hi)
+                    else:
+                        x, self.kvc[g].caches = self._mid(
+                            self.params, self.kvc[g].caches,
+                            jnp.asarray(x, self.opts.dtype),
+                            jnp.asarray(positions), jnp.asarray(cache_pos),
+                            lo=lo, hi=hi)
+                hidden[g] = np.asarray(x, np.float32)
+            return hidden
+
+        meta = {g: (tokens, positions, cache_pos)
+                for g, tokens, positions, cache_pos in groups}
+        pending: collections.deque = collections.deque()
+        for g, tokens, positions, cache_pos in groups:
+            self._send_meta(g, positions, cache_pos)
+            lo, hi = self.ranges[0]
+            x, self.kvc[g].caches = self._first(
+                self.params, self.kvc[g].caches, jnp.asarray(tokens),
+                jnp.asarray(positions), jnp.asarray(cache_pos), lo=lo, hi=hi)
+            node.send_next({"tag": "act", "cycle": 0, "group": g})
+            send_act(node.send_sock, np.asarray(x, np.float32))
+            pending.append((g, 0))
+
+        while pending:
+            g, c = pending.popleft()
             hdr = node.recv_prev(timeout=None)
-            assert hdr["tag"] == "act"
-            x = recv_tensor(node.recv_sock)
-        logits = self._head(self.params, jnp.asarray(x, self.opts.dtype))
+            assert hdr["tag"] == "act", hdr
+            assert int(hdr.get("group", 0)) == g and int(hdr["cycle"]) == c, \
+                (hdr, g, c)
+            x = recv_act(node.recv_sock)
+            if c + 1 < k:
+                _, positions, cache_pos = meta[g]
+                lo, hi = self.ranges[c + 1]
+                xj, self.kvc[g].caches = self._mid(
+                    self.params, self.kvc[g].caches,
+                    jnp.asarray(x, self.opts.dtype), jnp.asarray(positions),
+                    jnp.asarray(cache_pos), lo=lo, hi=hi)
+                node.send_next({"tag": "act", "cycle": c + 1, "group": g})
+                send_act(node.send_sock, np.asarray(xj, np.float32))
+                pending.append((g, c + 1))
+            else:
+                hidden[g] = x
+        return hidden
+
+    def head(self, hidden: np.ndarray):
+        import jax.numpy as jnp
+
+        return self._head(self.params, jnp.asarray(hidden, self.opts.dtype))
+
+    # -- ring-replicated KV mutations -----------------------------------------
+
+    def _bcast_kv(self, msg: dict) -> None:
+        if self.ctx.world > 1:
+            self.ctx.node.send_next({"tag": "kv", **msg})
+
+    def kv_remap(self, g: int, slot: int, src: np.ndarray, delta: np.ndarray,
+                 new_used: int) -> None:
+        self._bcast_kv({"op": "remap", "group": g, "slot": slot,
+                        "src": src.tolist(), "delta": delta.tolist(),
+                        "new_used": new_used})
+        self.kvc[g].remap(slot, src, delta, new_used)
+
+    def kv_seq_cp(self, g: int, dst: int, src: int) -> None:
+        self._bcast_kv({"op": "seq_cp", "group": g, "dst": dst, "src": src})
+        self.kvc[g].seq_cp(dst, src)
+
+    def kv_context_shift(self, g: int, slot: int, n_keep: int,
+                         n_discard: int, used: int) -> None:
+        move = used - n_keep - n_discard
+        idx = np.arange(self.max_seq, dtype=np.int32)
+        src = np.where(idx < n_keep, idx, idx + n_discard)
+        delta = np.where((idx >= n_keep) & (idx < n_keep + move),
+                         -n_discard, 0).astype(np.int32)
+        self.kv_remap(g, slot, src, delta, n_keep + move)
+
+
+class TcpRingMaster:
+    """Rank 0, single-sequence surface (the CLI path): embedding + first
+    windows + output head."""
+
+    def __init__(self, ctx: RingContext, cfg: ModelConfig, params: dict,
+                 max_seq: int = 2048, opts: ForwardOptions | None = None,
+                 kv_dtype=None):
+        self.core = _MasterCore(ctx, cfg, params, max_seq,
+                                opts or ForwardOptions(), kv_dtype, 1, 1)
+        self.ctx = ctx
+        self.cache_pos = np.zeros(1, np.int32)
+
+    @property
+    def kv(self):
+        return self.core.kvc[0].caches
+
+    def decode(self, tokens: np.ndarray, positions: np.ndarray) -> np.ndarray:
+        """One distributed ubatch; returns last-position logits (1, vocab)."""
+        hidden = self.core.ring_pass(
+            [(0, tokens, positions, self.cache_pos)])[0]
+        logits = self.core.head(hidden)
         self.cache_pos = self.cache_pos + tokens.shape[1]
         return np.asarray(logits[:, -1], dtype=np.float32)
+
+    def stop(self) -> None:
+        self.ctx.node.send_stop()
+
+
+class TcpRingEngine:
+    """Engine-compatible continuous batching over the TCP ring (rank 0).
+
+    Slots live on the (group, row) grid; every step() drives one pipelined
+    ubatch train through the ring for all active slots and runs the full
+    sampler chain per slot — the reference server's update_slots +
+    llama_decode(ctx, batch_view, true) flow (server.cpp:1996-2451) over
+    the wire protocol."""
+
+    use_scan = False
+
+    def __init__(self, ctx: RingContext, cfg: ModelConfig, params: dict,
+                 n_slots: int = 4, n_groups: int | None = None,
+                 max_seq: int = 2048, n_batch: int = 64,
+                 opts: ForwardOptions | None = None, kv_dtype=None,
+                 eog_ids: set[int] | None = None, ctx_shift: bool = False,
+                 n_keep: int = 0):
+        from ..runtime.engine import SlotState
+
+        if n_groups is None:
+            # one in-flight ubatch per ring hop keeps every stage busy
+            n_groups = max(1, min(ctx.world, n_slots))
+            while n_slots % n_groups:
+                n_groups -= 1
+        self.core = _MasterCore(ctx, cfg, params, max_seq,
+                                opts or ForwardOptions(), kv_dtype,
+                                n_slots, n_groups)
+        self.ctx = ctx
+        self.cfg = cfg
+        self.max_seq = max_seq
+        self.n_batch = n_batch
+        self.G, self.Bg = n_groups, n_slots // n_groups
+        self.eog_ids = eog_ids or set()
+        self.ctx_shift = ctx_shift
+        self.n_keep = n_keep
+        from ..parallel.engine import DSlot
+
+        self.slots = [DSlot(g, b, self.Bg)
+                      for g in range(self.G) for b in range(self.Bg)]
+        self._SlotState = SlotState
+        self.n_decode_calls = 0
+        self.perf = {"n_prompt": 0, "n_decode": 0, "t_prompt_s": 0.0,
+                     "t_decode_s": 0.0}
+
+    # cache_pos convenience: (G, Bg) from the per-group KVCaches
+    def _cache_pos(self) -> np.ndarray:
+        return np.stack([kvc.cache_pos for kvc in self.core.kvc])
+
+    @property
+    def n_slots(self) -> int:
+        return self.G * self.Bg
+
+    class _KVView:
+        """kv facade for the server's /slots endpoints + state save."""
+
+        def __init__(self, eng: "TcpRingEngine"):
+            self._e = eng
+
+        def used(self, slot) -> int:
+            g, b = divmod(int(slot), self._e.Bg)
+            return int(self._e.core.kvc[g].cache_pos[b])
+
+        def seq_rm(self, slot, p0: int = 0, p1: int = -1) -> None:
+            # truncation is metadata-only: workers read cache_pos per meta
+            g, b = divmod(int(slot), self._e.Bg)
+            self._e.core.kvc[g].seq_rm(b, p0, p1)
+
+        @property
+        def max_seq(self) -> int:
+            return self._e.max_seq
+
+    @property
+    def kv(self):
+        return TcpRingEngine._KVView(self)
+
+    def find_idle_slot(self):
+        for s in self.slots:
+            if s.state == self._SlotState.IDLE:
+                return s
+        return None
+
+    def submit(self, prompt_tokens: list[int], sampler=None, n_predict: int = -1,
+               request_id: Any = None, reuse_prefix: bool = True,
+               n_probs: int = 0):
+        from ..sampling import Sampler, SamplerParams
+
+        if not prompt_tokens:
+            raise ValueError("empty prompt")
+        if len(prompt_tokens) >= self.max_seq - self.n_batch:
+            raise ValueError(
+                f"prompt ({len(prompt_tokens)}) exceeds max_seq - n_batch "
+                f"({self.max_seq - self.n_batch})")
+        slot = self.find_idle_slot()
+        if slot is None:
+            raise RuntimeError("no idle slot")
+        kvc = self.core.kvc[slot.m]
+        common = 0
+        if reuse_prefix and slot.prompt:
+            limit = min(len(slot.prompt), len(prompt_tokens) - 1,
+                        int(kvc.cache_pos[slot.b]))
+            while common < limit and slot.prompt[common] == prompt_tokens[common]:
+                common += 1
+        kvc.seq_rm(slot.b, p0=common)
+        slot.state = self._SlotState.PREFILL
+        slot.prompt = list(prompt_tokens)
+        slot.n_prompt_done = common
+        slot.generated = []
+        slot.sampler = sampler or Sampler(SamplerParams(temp=0.0))
+        slot.n_predict = n_predict
+        slot.request_id = request_id
+        slot.stop_reason = None
+        slot.n_probs = n_probs
+        slot.shifts = []
+        for t in prompt_tokens:
+            slot.sampler.accept(t, accept_grammar=False)
+        if slot.n_prompt_done >= len(slot.prompt) - 1:
+            slot.state = self._SlotState.DECODE
+        return slot
+
+    def cancel(self, request_id: Any) -> bool:
+        for s in self.slots:
+            if s.request_id == request_id and s.state != self._SlotState.IDLE:
+                s.state = self._SlotState.IDLE
+                s.stop_reason = "cancelled"
+                return True
+        return False
+
+    def step(self):
+        import time as _time
+
+        from ..runtime.engine import StepEvent, _bucket
+
+        SlotState = self._SlotState
+        events = []
+
+        t0 = _time.perf_counter()
+        prefill = [s for s in self.slots if s.state == SlotState.PREFILL]
+        if prefill:
+            chunk_len = min(self.n_batch,
+                            max(len(s.prompt) - 1 - s.n_prompt_done
+                                for s in prefill))
+            s_len = _bucket(max(chunk_len, 1), self.n_batch)
+            took = {}
+            groups = []
+            active_g = sorted({s.m for s in prefill})
+            for g in active_g:
+                kvc = self.core.kvc[g]
+                tokens = np.zeros((self.Bg, s_len), np.int32)
+                positions = (np.broadcast_to(
+                    np.arange(s_len, dtype=np.int32), (self.Bg, s_len))
+                    + kvc.cache_pos[:, None]).astype(np.int32)
+                for s in prefill:
+                    if s.m != g:
+                        continue
+                    chunk = s.prompt[s.n_prompt_done:
+                                     min(s.n_prompt_done + s_len,
+                                         len(s.prompt) - 1)]
+                    tokens[s.b, : len(chunk)] = chunk
+                    took[(s.m, s.b)] = len(chunk)
+                groups.append((g, tokens, positions, kvc.cache_pos.copy()))
+            self.core.ring_pass(groups)
+            self.n_decode_calls += 1
+            for s in prefill:
+                n = took[(s.m, s.b)]
+                self.core.kvc[s.m].cache_pos[s.b] += n
+                s.n_prompt_done += n
+                self.perf["n_prompt"] += n
+                if s.n_prompt_done >= len(s.prompt) - 1:
+                    s.state = SlotState.DECODE
+            self.perf["t_prompt_s"] += _time.perf_counter() - t0
+
+        active = [s for s in self.slots if s.state == SlotState.DECODE]
+        if not active:
+            return events
+
+        if self.ctx_shift:
+            for s in active:
+                kvc = self.core.kvc[s.m]
+                used = int(kvc.cache_pos[s.b])
+                if used >= self.max_seq - self.n_batch:
+                    n_discard = max((used - self.n_keep) // 2, 1)
+                    self.core.kv_context_shift(s.m, s.b, self.n_keep,
+                                               n_discard, used)
+                    s.shifts.append((self.n_keep, n_discard))
+
+        t0 = _time.perf_counter()
+        groups = []
+        active_g = sorted({s.m for s in active})
+        for g in active_g:
+            kvc = self.core.kvc[g]
+            tokens = np.zeros((self.Bg, 1), np.int32)
+            for s in active:
+                if s.m == g:
+                    tokens[s.b, 0] = (s.generated[-1] if s.generated
+                                      else s.prompt[-1])
+            positions = kvc.cache_pos[:, None].copy()
+            groups.append((g, tokens, positions, kvc.cache_pos.copy()))
+        hidden = self.core.ring_pass(groups)
+        self.n_decode_calls += 1
+        logits = {g: np.asarray(self.core.head(h), np.float32)
+                  for g, h in hidden.items()}
+        for s in active:
+            self.core.kvc[s.m].cache_pos[s.b] += 1
+        self.perf["t_decode_s"] += _time.perf_counter() - t0
+        self.perf["n_decode"] += len(active)
+
+        for s in active:
+            row = logits[s.m][s.b, -1]
+            tok = s.sampler.sample_and_accept(row)
+            s.generated.append(tok)
+            lp = None
+            if s.n_probs > 0:
+                from ..sampling import softmax as _softmax
+
+                probs = np.log(np.maximum(_softmax(row), 1e-30))
+                top = np.argsort(-row)[: s.n_probs]
+                ids = list(dict.fromkeys([int(t) for t in top] + [tok]))
+                lp = [(int(t), float(probs[t])) for t in ids]
+            done, reason = self._check_stop(s, tok)
+            if done:
+                s.state = SlotState.IDLE
+                s.stop_reason = reason
+            events.append(StepEvent(s.id, s.request_id, tok, done, reason,
+                                    logprobs=lp))
+        return events
+
+    def _check_stop(self, slot, tok: int):
+        if tok in self.eog_ids:
+            return True, "eog"
+        if slot.n_predict >= 0 and len(slot.generated) >= slot.n_predict:
+            return True, "length"
+        if not self.ctx_shift and \
+                int(self.core.kvc[slot.m].cache_pos[slot.b]) >= \
+                self.max_seq - self.n_batch:
+            return True, "context_full"
+        return False, None
+
+    def perf_summary(self) -> str:
+        p = self.perf
+        pp = p["n_prompt"] / p["t_prompt_s"] if p["t_prompt_s"] > 0 else 0.0
+        tg = p["n_decode"] / p["t_decode_s"] if p["t_decode_s"] > 0 else 0.0
+        return (f"prompt eval: {p['n_prompt']} tokens in {p['t_prompt_s']:.2f}s "
+                f"({pp:.1f} tok/s) | decode: {p['n_decode']} tokens in "
+                f"{p['t_decode_s']:.2f}s ({tg:.1f} tok/s) | "
+                f"{self.n_decode_calls} decode calls")
+
+    def run_to_completion(self, prompt_tokens: list[int], **kw) -> list[int]:
+        slot = self.submit(prompt_tokens, **kw)
+        while slot.state != self._SlotState.IDLE:
+            self.step()
+        return list(slot.generated)
 
     def stop(self) -> None:
         self.ctx.node.send_stop()

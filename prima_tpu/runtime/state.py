@@ -39,10 +39,17 @@ def slot_save(engine, slot_id: int, path: str) -> int:
         # replay context shifts: the cache dropped these middle spans
         tokens = tokens[:n_keep] + tokens[n_keep + n_discard:]
     tokens = tokens[: used + 1]
+    from ..parallel.pipe_kv import PipeKV
     from .kv import StackedKVCache, _materialize_row, _materialize_srow
 
     arrays = {}
-    if isinstance(engine.kv, StackedKVCache):
+    if isinstance(engine.kv, PipeKV):
+        # distributed cache: materialize in layer order (pipe_kv mapping)
+        ks, vs = engine.kv.materialize_slot(slot_id, used)
+        for li in range(engine.cfg.n_layers):
+            arrays[f"k{li}"] = ks[li]
+            arrays[f"v{li}"] = vs[li]
+    elif isinstance(engine.kv, StackedKVCache):
         k_all, v_all = engine.kv.caches
         ks = np.asarray(_materialize_srow(k_all, slot_id)[:, :used], np.float32)
         vs = np.asarray(_materialize_srow(v_all, slot_id)[:, :used], np.float32)
@@ -79,10 +86,22 @@ def slot_restore(engine, slot_id: int, path: str) -> int:
         used = int(meta["n_tokens"])
         if used > engine.max_seq:
             raise ValueError(f"{path}: state length {used} > max_seq {engine.max_seq}")
+        from ..parallel.pipe_kv import PipeKV
         from .kv import (StackedKVCache, _materialize_row, _materialize_srow,
                          _set_row, _set_srow)
 
         tokens = [int(t) for t in z["tokens"]]
+        if isinstance(engine.kv, PipeKV):
+            ks = np.stack([np.asarray(z[f"k{li}"])
+                           for li in range(engine.cfg.n_layers)])
+            vs = np.stack([np.asarray(z[f"v{li}"])
+                           for li in range(engine.cfg.n_layers)])
+            engine.kv.restore_slot(slot_id, ks, vs, used)
+            slot = engine.slots[slot_id]
+            slot.prompt = tokens
+            slot.generated = []
+            slot.n_prompt_done = min(used, max(len(tokens) - 1, 0))
+            return used
         if isinstance(engine.kv, StackedKVCache):
             k_all, v_all = engine.kv.caches
             k_rows = _materialize_srow(k_all, slot_id).astype(jnp.float32)

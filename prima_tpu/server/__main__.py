@@ -36,6 +36,27 @@ def main(argv=None) -> int:
                     help="draft confidence floor")
     ap.add_argument("--slot-save-path", default=env("SLOT_SAVE_PATH"),
                     help="confine /slots save/restore files to this dir")
+    # distributed (mesh) mode: serve a piped-ring pipelined model — the
+    # analogue of llama-server driving the distributed ring
+    # (server.cpp:2431 llama_decode(ctx, batch_view, true))
+    ap.add_argument("--pp", type=int, default=int(env("PP", 1)),
+                    help="pipeline stages (layer windows over the mesh)")
+    ap.add_argument("--tp", type=int, default=int(env("TP", 1)),
+                    help="tensor-parallel ranks per stage")
+    ap.add_argument("--dp", type=int, default=int(env("DP", 1)),
+                    help="data-parallel replicas")
+    ap.add_argument("-k", "--n-cycles", type=int, default=1,
+                    help="piped-ring cycles per token (reference -k)")
+    # multi-process (TCP ring) mode: one server process per host, rank 0
+    # serves HTTP — the reference's llama-server -w/--rank flow
+    ap.add_argument("-w", "--world", type=int, default=int(env("WORLD", 1)),
+                    help="TCP ring size (1 = no ring)")
+    ap.add_argument("--rank", type=int, default=int(env("RANK", 0)))
+    ap.add_argument("-mip", "--master-ip", default="127.0.0.1")
+    ap.add_argument("-nip", "--next-ip", default="127.0.0.1")
+    ap.add_argument("--data-port", type=int, default=9337)
+    ap.add_argument("-lw", "--n-layer-window", default=None,
+                    help="CSV layer windows per rank (manual mode)")
     args = ap.parse_args(argv)
 
     from ..gguf.reader import GGUFModel
@@ -61,14 +82,59 @@ def main(argv=None) -> int:
         except KeyboardInterrupt:
             pass
         return 0
-    model = load_model(args.model)
     import jax.numpy as jnp
 
     kv_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16, "q8_0": "q8_0", "q4_0": "q4_0"}[args.cache_type]
-    engine = Engine(model.cfg, model.params, n_slots=args.parallel,
-                    max_seq=args.ctx_size, n_batch=args.batch_size,
-                    opts=ForwardOptions(matmul_impl=args.matmul),
-                    eog_ids=model.eog_ids, kv_dtype=kv_dtype)
+    if args.world > 1:
+        return _ring_main(args)
+
+    n_mesh = args.pp * args.tp * args.dp
+    if n_mesh > 1 and (args.lora or args.lora_scaled):
+        print("--lora is not supported in mesh-distributed mode", file=sys.stderr)
+        return 1
+    if n_mesh > 1:
+        # mesh-distributed serving: slots live on the microbatch grid
+        import functools
+
+        from ..models.config import ModelConfig
+        from ..models.llama import gguf_host_head, gguf_host_layer
+        from ..parallel.engine import DistributedEngine
+        from ..parallel.mesh import make_mesh
+        from ..parallel.pipeline import PipeSpec, build_pipe_model
+        from ..tokenizer import Tokenizer
+
+        m = GGUFModel.open(args.model)
+        cfg = ModelConfig.from_gguf(m)
+        mesh = make_mesh(dp=args.dp, pp=args.pp, tp=args.tp)
+        micro = max(args.pp, 1)
+        bpm = max(1, -(-args.parallel // micro))  # slots = micro * bpm
+        bpm = -(-bpm // args.dp) * args.dp  # dp shards the microbatch rows
+        spec = PipeSpec.for_model(cfg, n_pp=args.pp, n_tp=args.tp,
+                                  n_dp=args.dp, k_cycles=args.n_cycles,
+                                  microbatches=micro)
+        pallas = args.matmul == "pallas"
+        params = build_pipe_model(
+            functools.partial(gguf_host_layer, m, cfg), gguf_host_head(m, cfg),
+            cfg, spec, mesh, pallas=pallas)
+        tok = Tokenizer.from_gguf(m)
+        from ..models.loader import LoadedModel
+
+        model = LoadedModel(cfg, params, tok, m)
+        if kv_dtype in ("q8_0", "q4_0"):
+            print("quantized KV not supported on the pipe cache; using bf16",
+                  file=sys.stderr)
+            kv_dtype = jnp.bfloat16
+        engine = DistributedEngine(
+            cfg, params, spec, mesh, batch_per_micro=bpm,
+            max_seq=args.ctx_size, n_batch=args.batch_size,
+            opts=ForwardOptions(matmul_impl=args.matmul),
+            eog_ids=model.eog_ids, kv_dtype=kv_dtype)
+    else:
+        model = load_model(args.model)
+        engine = Engine(model.cfg, model.params, n_slots=args.parallel,
+                        max_seq=args.ctx_size, n_batch=args.batch_size,
+                        opts=ForwardOptions(matmul_impl=args.matmul),
+                        eog_ids=model.eog_ids, kv_dtype=kv_dtype)
     # warmup decode so the first request doesn't pay jit compilation
     # (the reference's BOS/EOS warmup, common.cpp:1959-1997)
     bos = model.tokenizer.vocab.bos_id
@@ -109,6 +175,82 @@ def main(argv=None) -> int:
         httpd.serve_forever()
     except KeyboardInterrupt:
         pass
+    return 0
+
+
+def _ring_main(args) -> int:
+    """Multi-process serving: rank 0 = HTTP server over a TcpRingEngine,
+    workers = batched window service loops. The analogue of running
+    llama-server as the rank-0 command of a prima.cpp ring
+    (reference README 'use prima.cpp in your apps' + server.cpp:2431)."""
+    import jax.numpy as jnp  # noqa: F401
+
+    from ..gguf.reader import GGUFModel
+    from ..models.config import ModelConfig
+    from ..models.llama import ForwardOptions, load_params
+    from ..parallel.bootstrap import RingConfig, RingNode
+    from ..parallel.ring_host import RingPlan
+    from ..parallel.ring_tcp import RingContext, TcpRingEngine, TcpRingWorker
+
+    if not args.n_layer_window:
+        print("ring serving requires -lw windows (manual mode); run "
+              "prima-cli for auto-scheduled rings", file=sys.stderr)
+        return 1
+    windows = [int(x) for x in args.n_layer_window.split(",")]
+    if len(windows) != args.world:
+        print(f"-lw needs {args.world} entries", file=sys.stderr)
+        return 1
+    plan = RingPlan(windows=windows, k=args.n_cycles)
+    n_slots = max(1, args.parallel)
+    n_groups = max(1, min(args.world, n_slots))
+    while n_slots % n_groups:
+        n_groups -= 1
+
+    node = RingNode(RingConfig(
+        rank=args.rank, world=args.world, master_ip=args.master_ip,
+        next_ip=args.next_ip, data_port=args.data_port))
+    node.connect_ring()
+    ctx = RingContext(node, plan, args.rank, args.world)
+
+    m = GGUFModel.open(args.model)
+    cfg = ModelConfig.from_gguf(m)
+    ranges = plan.layer_ranges()[args.rank]
+    owned = set()
+    for lo, hi in ranges:
+        owned.update(range(lo, hi))
+    opts = ForwardOptions(matmul_impl=args.matmul)
+    params = load_params(m, cfg, layer_filter=lambda i: i in owned,
+                         with_embedding=args.rank == 0,
+                         with_output=args.rank == 0)
+
+    if args.rank != 0:
+        worker = TcpRingWorker(ctx, cfg, params, max_seq=args.ctx_size,
+                               opts=opts, n_slots=n_slots, n_groups=n_groups)
+        print(f"rank {args.rank}: serving ring windows {sorted(owned)}",
+              file=sys.stderr)
+        worker.serve()
+        node.close()
+        return 0
+
+    from ..models.loader import LoadedModel
+    from ..tokenizer import Tokenizer
+    from .app import serve
+
+    tok = Tokenizer.from_gguf(m)
+    model = LoadedModel(cfg, params, tok, m)
+    engine = TcpRingEngine(ctx, cfg, params, n_slots=n_slots,
+                           n_groups=n_groups, max_seq=args.ctx_size,
+                           n_batch=args.batch_size, opts=opts,
+                           eog_ids=model.eog_ids)
+    httpd, _ctx = serve(model, engine, args.host, args.port, args.alias)
+    print(f"listening on http://{args.host}:{args.port} "
+          f"(ring world={args.world})", file=sys.stderr)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    engine.stop()
+    node.close()
     return 0
 
 

@@ -56,3 +56,131 @@ def test_two_process_ring_matches_single(tiny, windows, k):
     assert single.returncode == 0, err[-2000:]
     assert out0.strip() == ref.strip()
     assert len(out0.strip()) > 0
+
+
+def _run_serve(args):
+    env = {"JAX_PLATFORMS": "cpu", "PRIMA_PALLAS_INTERPRET": "1",
+           "PATH": "/usr/bin:/bin:/usr/local/bin", "HOME": "/root"}
+    return subprocess.Popen(
+        [sys.executable, "-m", "prima_tpu.tools.ring_serve"] + args,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+        cwd="/root/repo", text=True,
+    )
+
+
+@pytest.mark.parametrize("stagger", [False, True])
+def test_ring_engine_concurrent_requests(tiny, stagger):
+    """VERDICT r1 item 4: 2 processes serving 4 concurrent requests through
+    the ring (continuous batching + full sampling on rank 0), matching the
+    single-chip Engine's greedy outputs."""
+    import json as _json
+
+    prompts = [[3, 17, 42, 7], [100, 20, 8, 55, 21], [9, 9, 9],
+               [1, 2, 3, 4, 5]]
+    port = _free_port() + 100
+    common = ["-m", tiny, "-w", "2", "--data-port", str(port),
+              "-lw", "2,2", "-k", "1", "--slots", "4", "-c", "64",
+              "-n", "6"]
+    p0 = _run_serve(common + ["--rank", "0",
+                              "--prompts-json", _json.dumps(prompts)]
+                    + (["--stagger"] if stagger else []))
+    p1 = _run_serve(common + ["--rank", "1"])
+    out0, err0 = p0.communicate(timeout=420)
+    out1, err1 = p1.communicate(timeout=60)
+    assert p0.returncode == 0, err0[-3000:]
+    assert p1.returncode == 0, err1[-3000:]
+    got = _json.loads(out0.strip().splitlines()[-1])
+    assert len(got) == 4
+
+    # reference: single-chip engine, same prompts, greedy
+    from prima_tpu.models.loader import load_model
+    from prima_tpu.models.llama import ForwardOptions
+    from prima_tpu.runtime.engine import Engine
+
+    model = load_model(tiny)
+    eng = Engine(model.cfg, model.params, n_slots=1, max_seq=64, n_batch=16,
+                 opts=ForwardOptions(matmul_impl="xla"),
+                 eog_ids={t for t in (model.tokenizer.vocab.eos_id,
+                                      model.tokenizer.vocab.eot_id) if t >= 0})
+    for p, g in zip(prompts, got):
+        eng.slots[0].prompt = []
+        want = eng.run_to_completion(p, n_predict=6, reuse_prefix=False)
+        assert g == want, f"prompt {p}"
+
+
+def test_ring_ctx_shift_generates_past_context(tiny):
+    """VERDICT r1 item 5 (TCP half): context-shift replicates ring-wide via
+    the kv-op protocol; a 2-process ring decodes past max_seq."""
+    import json as _json
+
+    port = _free_port() + 200
+    common = ["-m", tiny, "-w", "2", "--data-port", str(port),
+              "-lw", "2,2", "-k", "1", "--slots", "1", "-c", "40",
+              "-n", "40", "--ctx-shift", "--n-keep", "2"]
+    p0 = _run_serve(common + ["--rank", "0",
+                              "--prompts-json", "[[3, 17, 42, 7]]"])
+    p1 = _run_serve(common + ["--rank", "1"])
+    out0, err0 = p0.communicate(timeout=420)
+    out1, err1 = p1.communicate(timeout=60)
+    assert p0.returncode == 0, err0[-3000:]
+    assert p1.returncode == 0, err1[-3000:]
+    got = _json.loads(out0.strip().splitlines()[-1])[0]
+    # 40 tokens generated with max_seq=40: impossible without the shift
+    assert len(got) == 40
+
+
+def test_ring_http_server(tiny):
+    """2-process ring behind the HTTP server: rank 0 serves /v1/completions
+    while rank 1 runs the window service loop (server over the distributed
+    engine — reference server.cpp:2431)."""
+    import http.client
+    import json as _json
+    import time
+
+    port = _free_port() + 300
+    http_port = _free_port() + 400
+    env = {"JAX_PLATFORMS": "cpu", "PRIMA_PALLAS_INTERPRET": "1",
+           "PATH": "/usr/bin:/bin:/usr/local/bin", "HOME": "/root"}
+    common = ["-m", tiny, "-w", "2", "--data-port", str(port),
+              "-lw", "2,2", "-c", "64", "-np", "2", "-b", "16",
+              "--matmul", "xla"]
+    p0 = subprocess.Popen(
+        [sys.executable, "-m", "prima_tpu.server"] + common +
+        ["--rank", "0", "--port", str(http_port)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+        cwd="/root/repo", text=True)
+    p1 = subprocess.Popen(
+        [sys.executable, "-m", "prima_tpu.server"] + common + ["--rank", "1"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+        cwd="/root/repo", text=True)
+    try:
+        deadline = time.time() + 180
+        status = None
+        while time.time() < deadline:
+            try:
+                conn = http.client.HTTPConnection("127.0.0.1", http_port,
+                                                  timeout=5)
+                conn.request("GET", "/health")
+                status = conn.getresponse().status
+                conn.close()
+                if status == 200:
+                    break
+            except OSError:
+                time.sleep(1.0)
+        assert status == 200, f"server never came up (rc={p0.poll()})"
+
+        conn = http.client.HTTPConnection("127.0.0.1", http_port, timeout=120)
+        conn.request("POST", "/v1/completions",
+                     _json.dumps({"prompt": "Hi", "max_tokens": 4,
+                                  "temperature": 0}),
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        body = _json.loads(resp.read())
+        conn.close()
+        assert resp.status == 200, body
+        assert len(body["choices"][0]["text"]) > 0
+    finally:
+        p0.terminate()
+        p1.terminate()
+        p0.wait(timeout=30)
+        p1.wait(timeout=30)

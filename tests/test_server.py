@@ -19,13 +19,40 @@ from prima_tpu.tools.make_tiny_gguf import make_tiny_gguf
 OPTS = ForwardOptions(matmul_impl="xla")
 
 
-@pytest.fixture(scope="module")
-def server(tmp_path_factory):
+@pytest.fixture(scope="module", params=["single", "dist"])
+def server(request, tmp_path_factory):
+    """Every endpoint test runs twice: against the single-chip Engine and
+    against the mesh DistributedEngine (VERDICT r1 item 3 — the reference's
+    server drives the distributed ring, server.cpp:2431)."""
     path = str(tmp_path_factory.mktemp("m") / "tiny.gguf")
     make_tiny_gguf(path, seed=3)
     model = load_model(path)
-    engine = Engine(model.cfg, model.params, n_slots=2, max_seq=256, n_batch=64,
-                    opts=OPTS, eog_ids=model.eog_ids)
+    if request.param == "single":
+        engine = Engine(model.cfg, model.params, n_slots=2, max_seq=256,
+                        n_batch=64, opts=OPTS, eog_ids=model.eog_ids)
+    else:
+        import functools
+
+        from prima_tpu.gguf.reader import GGUFModel
+        from prima_tpu.models.llama import gguf_host_head, gguf_host_layer
+        from prima_tpu.parallel.engine import DistributedEngine
+        from prima_tpu.parallel.mesh import make_mesh
+        from prima_tpu.parallel.pipeline import PipeSpec, build_pipe_model
+
+        m = GGUFModel.open(path)
+        cfg = model.cfg
+        # tp=1: the tiny model's K=256 is one Q4_K superblock, too small to
+        # column-shard (tp paths are covered by test_parallel.py)
+        mesh = make_mesh(dp=1, pp=2, tp=1)
+        spec = PipeSpec.for_model(cfg, n_pp=2, n_tp=1, n_dp=1, k_cycles=1,
+                                  microbatches=2)
+        params = build_pipe_model(
+            functools.partial(gguf_host_layer, m, cfg),
+            gguf_host_head(m, cfg), cfg, spec, mesh, pallas=False)
+        engine = DistributedEngine(cfg, params, spec, mesh,
+                                   batch_per_micro=1, max_seq=256,
+                                   n_batch=64, opts=OPTS,
+                                   eog_ids=model.eog_ids)
     httpd, ctx = serve(model, engine, "127.0.0.1", 0)
     port = httpd.server_address[1]
     t = threading.Thread(target=httpd.serve_forever, daemon=True)

@@ -27,8 +27,11 @@ def sync(x):
     return float(jnp.asarray(x).reshape(-1)[0])
 
 
-def timeit(fn, *args, trials=3, sleep=0.0):
+def timeit(fn, *args, trials=3, sleep=0.0, tag=""):
+    import sys
+    t0 = time.perf_counter()
     fn(*args)  # compile + warm
+    print(f"[{tag}] compiled+warm in {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
     best = float("inf")
     for t in range(trials):
         t0 = time.perf_counter()
@@ -76,8 +79,11 @@ def main():
     steps = args.steps
     report = {}
 
+    import sys as _sys
+    t0 = time.perf_counter()
     params = jax.jit(lambda: synth_params_device_stacked(cfg, GGMLType.Q4_K))()
     jax.block_until_ready(jax.tree.leaves(params)[0])
+    print(f"[synth] params ready in {time.perf_counter()-t0:.1f}s", file=_sys.stderr, flush=True)
     kv = init_kv_stacked(cfg, 1, args.ctx)
 
     def weight_bytes(tree):
@@ -125,17 +131,17 @@ def main():
     import os
 
     os.environ["PRIMA_QMM_FAST"] = "0"
-    t = timeit(decode_fn(False), trials=args.trials, sleep=2)
+    t = timeit(decode_fn(False), trials=args.trials, sleep=2, tag="decode_f32")
     report["decode_f32_tok_s"] = round(steps / t, 2)
 
-    t = timeit(layers_only_fn(), trials=args.trials, sleep=2)
+    t = timeit(layers_only_fn(), trials=args.trials, sleep=2, tag="layers_only")
     report["layers_only_tok_s"] = round(steps / t, 2)
 
     def decode_fast_fn():
         os.environ["PRIMA_QMM_FAST"] = "1"
         return decode_fn(True)
 
-    t = timeit(decode_fast_fn(), trials=args.trials, sleep=2)
+    t = timeit(decode_fast_fn(), trials=args.trials, sleep=2, tag="decode_bf16")
     report["decode_bf16_tok_s"] = round(steps / t, 2)
     os.environ["PRIMA_QMM_FAST"] = "0"
 
@@ -163,7 +169,7 @@ def main():
 
         x = jnp.ones((1, k), jnp.float32)
         t = timeit(lambda r=run, q=qt, xx=x: sync(r(q, xx)),
-                   trials=args.trials)
+                   trials=args.trials, tag=f"qmm_{name}")
         report[f"qmm_{name}_gbs"] = round(qb * qmm_iters / t / 1e9, 1)
 
     # attention-only
@@ -183,7 +189,7 @@ def main():
             return (q + o * 1e-6).astype(q.dtype)
         return jax.lax.fori_loop(0, att_iters, body, q1)
 
-    t = timeit(lambda: sync(att_run(q1, kc)), trials=args.trials)
+    t = timeit(lambda: sync(att_run(q1, kc)), trials=args.trials, tag='attn')
     report["attn_us_per_layer"] = round(t / att_iters * 1e6, 1)
 
     # raw HBM probe
@@ -198,7 +204,7 @@ def main():
             return acc + jnp.sum((x + z[None]).astype(jnp.int32)).astype(jnp.float32)
         return jax.lax.fori_loop(0, probe_iters, body, jnp.float32(0))
 
-    t = timeit(lambda: sync(hbm_chain(xbig)), trials=args.trials)
+    t = timeit(lambda: sync(hbm_chain(xbig)), trials=args.trials, tag='hbm')
     report["hbm_probe_gbs"] = round(n * probe_iters / t / 1e9, 1)
 
     report["decode_f32_eff_gbs"] = round(wb * report["decode_f32_tok_s"] / 1e9, 1)
@@ -207,4 +213,77 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys0
+
+    if "--experiment" not in _sys0.argv:
+        main()
+
+
+def experiment_unstacked(steps=32, trials=3, ctx=1024, flash=False,
+                         unstacked=True):
+    """Hypothesis test: lax.scan's per-layer dynamic slice of stacked params
+    materializes a copy of every weight every token (3x HBM traffic).
+    Decode with UNSTACKED per-layer params (forward(), no slicing) should
+    approach the true streaming rate if so."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    from prima_tpu.gguf.constants import GGMLType
+    from prima_tpu.models.config import tiny_config
+    from prima_tpu.models.llama import (ForwardOptions, forward,
+                                        forward_scan, init_kv_caches,
+                                        init_kv_stacked,
+                                        synth_params_device,
+                                        synth_params_device_stacked)
+
+    cfg = tiny_config(n_layers=32, n_embd=4096, n_heads=32, n_kv_heads=8,
+                      head_dim=128, n_ff=14336, n_vocab=128256,
+                      n_ctx_train=8192, rope_base=500000.0, rope_dim=128)
+    opts = ForwardOptions(matmul_impl="pallas",
+                          attn_impl="pallas" if flash else "xla")
+    t0 = time.perf_counter()
+    if unstacked:
+        params = jax.jit(lambda: synth_params_device(cfg, GGMLType.Q4_K))()
+        kv = init_kv_caches(cfg, 1, ctx)
+        fwd = forward
+    else:
+        params = jax.jit(
+            lambda: synth_params_device_stacked(cfg, GGMLType.Q4_K))()
+        kv = init_kv_stacked(cfg, 1, ctx)
+        fwd = forward_scan
+    jax.block_until_ready(jax.tree.leaves(params)[0])
+    print(f"[synth] {time.perf_counter()-t0:.1f}s", file=sys.stderr,
+          flush=True)
+
+    @jax.jit
+    def decode_many(params, kv, token, pos0):
+        def body(i, carry):
+            kv, token = carry
+            pos = pos0 + i
+            logits, kv = fwd(params, cfg, token, pos[:, None], kv, pos, opts)
+            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            return (kv, nxt[:, None])
+        return jax.lax.fori_loop(0, steps, body, (kv, token))[1]
+
+    fn = lambda: sync(decode_many(params, kv, jnp.ones((1, 1), jnp.int32),
+                                  jnp.ones((1,), jnp.int32)))
+    t = timeit(fn, trials=trials, sleep=3,
+               tag=f"decode_{'unstacked' if unstacked else 'scan'}"
+                   f"{'_flash' if flash else ''}")
+    wb = sum(l.size * l.dtype.itemsize for l in jax.tree.leaves(params))
+    print(json.dumps({
+        "mode": ("unstacked" if unstacked else "scan") + ("_flash" if flash else ""),
+        "tok_s": round(steps / t, 2),
+        "eff_gbs": round(wb * steps / t / 1e9, 1),
+    }), flush=True)
+
+
+if __name__ == "__main__" and "--experiment" in __import__("sys").argv:
+    import sys as _s
+
+    _s.argv.remove("--experiment")
+    experiment_unstacked(flash="--flash" in _s.argv,
+                         unstacked="--scan" not in _s.argv)
+    _s.exit(0)
