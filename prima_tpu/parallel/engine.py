@@ -173,34 +173,63 @@ class DistributedEngine:
         self.n_decode_calls += 1
         return np.asarray(logits, dtype=np.float32)
 
+    def _prefill_tick(self, only: list | None = None) -> bool:
+        """One batched prefill pass over PREFILL slots (optionally a subset).
+        Returns True if any prompt tokens were ingested."""
+        t0 = _time.perf_counter()
+        pool = only if only is not None else self.slots
+        prefill = [s for s in pool if s.state == SlotState.PREFILL]
+        if not prefill:
+            return False
+        chunk_len = min(self.n_batch,
+                        max(len(s.prompt) - 1 - s.n_prompt_done for s in prefill))
+        s_len = _bucket(max(chunk_len, 1), self.n_batch)
+        tokens = np.zeros((self.M, self.B, s_len), np.int32)
+        positions = (np.broadcast_to(
+            np.arange(s_len, dtype=np.int32), (self.M, self.B, s_len)
+        ) + self.cache_pos[..., None]).astype(np.int32)
+        took = {}
+        for s in prefill:
+            chunk = s.prompt[s.n_prompt_done : min(s.n_prompt_done + s_len,
+                                                   len(s.prompt) - 1)]
+            tokens[s.m, s.b, : len(chunk)] = chunk
+            took[s.id] = len(chunk)
+        self._run_pass(s_len, tokens, positions)
+        for s in prefill:
+            n = took[s.id]
+            self.kv.cache_pos[s.id] += n
+            s.n_prompt_done += n
+            self.perf["n_prompt"] += n
+            if s.n_prompt_done >= len(s.prompt) - 1:
+                s.state = SlotState.DECODE
+        self.perf["t_prompt_s"] += _time.perf_counter() - t0
+        return True
+
+    # -- speculative-decoding protocol ----------------------------------------
+
+    def prefill_only(self, slot: DSlot) -> None:
+        while slot.state == SlotState.PREFILL:
+            self._prefill_tick(only=[slot])
+
+    def verify_chain(self, slot_id: int, chain: list[int]) -> np.ndarray:
+        """Batched verification through the distributed pipeline: logits at
+        every position of `chain` for one slot (draft-on-host + distributed
+        target verify — reference server.cpp:2493-2560)."""
+        s_len = len(chain)
+        m, b = divmod(int(slot_id), self.B)
+        pos0 = self.kv.used(slot_id)
+        tokens = np.zeros((self.M, self.B, s_len), np.int32)
+        tokens[m, b] = chain
+        positions = (np.broadcast_to(
+            np.arange(s_len, dtype=np.int32), (self.M, self.B, s_len)
+        ) + self.cache_pos[..., None]).astype(np.int32)
+        logits = self._run_pass(s_len, tokens, positions)
+        self.kv.cache_pos[slot_id] = pos0 + s_len
+        return logits[m, b]
+
     def step(self) -> list[StepEvent]:
         events: list[StepEvent] = []
-
-        t0 = _time.perf_counter()
-        prefill = [s for s in self.slots if s.state == SlotState.PREFILL]
-        if prefill:
-            chunk_len = min(self.n_batch,
-                            max(len(s.prompt) - 1 - s.n_prompt_done for s in prefill))
-            s_len = _bucket(max(chunk_len, 1), self.n_batch)
-            tokens = np.zeros((self.M, self.B, s_len), np.int32)
-            positions = (np.broadcast_to(
-                np.arange(s_len, dtype=np.int32), (self.M, self.B, s_len)
-            ) + self.cache_pos[..., None]).astype(np.int32)
-            took = {}
-            for s in prefill:
-                chunk = s.prompt[s.n_prompt_done : min(s.n_prompt_done + s_len,
-                                                       len(s.prompt) - 1)]
-                tokens[s.m, s.b, : len(chunk)] = chunk
-                took[s.id] = len(chunk)
-            self._run_pass(s_len, tokens, positions)
-            for s in prefill:
-                n = took[s.id]
-                self.kv.cache_pos[s.id] += n
-                s.n_prompt_done += n
-                self.perf["n_prompt"] += n
-                if s.n_prompt_done >= len(s.prompt) - 1:
-                    s.state = SlotState.DECODE
-            self.perf["t_prompt_s"] += _time.perf_counter() - t0
+        self._prefill_tick()
 
         active = [s for s in self.slots if s.state == SlotState.DECODE]
         if not active:

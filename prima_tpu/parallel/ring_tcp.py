@@ -549,49 +549,59 @@ class TcpRingEngine:
                 return True
         return False
 
+    def _prefill_tick(self, only: list | None = None) -> bool:
+        import time as _time
+
+        from ..runtime.engine import _bucket
+
+        SlotState = self._SlotState
+        t0 = _time.perf_counter()
+        pool = only if only is not None else self.slots
+        prefill = [s for s in pool if s.state == SlotState.PREFILL]
+        if not prefill:
+            return False
+        chunk_len = min(self.n_batch,
+                        max(len(s.prompt) - 1 - s.n_prompt_done
+                            for s in prefill))
+        s_len = _bucket(max(chunk_len, 1), self.n_batch)
+        took = {}
+        groups = []
+        active_g = sorted({s.m for s in prefill})
+        for g in active_g:
+            kvc = self.core.kvc[g]
+            tokens = np.zeros((self.Bg, s_len), np.int32)
+            positions = (np.broadcast_to(
+                np.arange(s_len, dtype=np.int32), (self.Bg, s_len))
+                + kvc.cache_pos[:, None]).astype(np.int32)
+            for s in prefill:
+                if s.m != g:
+                    continue
+                chunk = s.prompt[s.n_prompt_done:
+                                 min(s.n_prompt_done + s_len,
+                                     len(s.prompt) - 1)]
+                tokens[s.b, : len(chunk)] = chunk
+                took[(s.m, s.b)] = len(chunk)
+            groups.append((g, tokens, positions, kvc.cache_pos.copy()))
+        self.core.ring_pass(groups)
+        self.n_decode_calls += 1
+        for s in prefill:
+            n = took[(s.m, s.b)]
+            self.core.kvc[s.m].cache_pos[s.b] += n
+            s.n_prompt_done += n
+            self.perf["n_prompt"] += n
+            if s.n_prompt_done >= len(s.prompt) - 1:
+                s.state = SlotState.DECODE
+        self.perf["t_prompt_s"] += _time.perf_counter() - t0
+        return True
+
     def step(self):
         import time as _time
 
-        from ..runtime.engine import StepEvent, _bucket
+        from ..runtime.engine import StepEvent
 
         SlotState = self._SlotState
         events = []
-
-        t0 = _time.perf_counter()
-        prefill = [s for s in self.slots if s.state == SlotState.PREFILL]
-        if prefill:
-            chunk_len = min(self.n_batch,
-                            max(len(s.prompt) - 1 - s.n_prompt_done
-                                for s in prefill))
-            s_len = _bucket(max(chunk_len, 1), self.n_batch)
-            took = {}
-            groups = []
-            active_g = sorted({s.m for s in prefill})
-            for g in active_g:
-                kvc = self.core.kvc[g]
-                tokens = np.zeros((self.Bg, s_len), np.int32)
-                positions = (np.broadcast_to(
-                    np.arange(s_len, dtype=np.int32), (self.Bg, s_len))
-                    + kvc.cache_pos[:, None]).astype(np.int32)
-                for s in prefill:
-                    if s.m != g:
-                        continue
-                    chunk = s.prompt[s.n_prompt_done:
-                                     min(s.n_prompt_done + s_len,
-                                         len(s.prompt) - 1)]
-                    tokens[s.b, : len(chunk)] = chunk
-                    took[(s.m, s.b)] = len(chunk)
-                groups.append((g, tokens, positions, kvc.cache_pos.copy()))
-            self.core.ring_pass(groups)
-            self.n_decode_calls += 1
-            for s in prefill:
-                n = took[(s.m, s.b)]
-                self.core.kvc[s.m].cache_pos[s.b] += n
-                s.n_prompt_done += n
-                self.perf["n_prompt"] += n
-                if s.n_prompt_done >= len(s.prompt) - 1:
-                    s.state = SlotState.DECODE
-            self.perf["t_prompt_s"] += _time.perf_counter() - t0
+        self._prefill_tick()
 
         active = [s for s in self.slots if s.state == SlotState.DECODE]
         if not active:
@@ -658,6 +668,29 @@ class TcpRingEngine:
                 self.max_seq - self.n_batch:
             return True, "context_full"
         return False, None
+
+    # -- speculative-decoding protocol ----------------------------------------
+
+    def prefill_only(self, slot) -> None:
+        while slot.state == self._SlotState.PREFILL:
+            self._prefill_tick(only=[slot])
+
+    def verify_chain(self, slot_id: int, chain: list[int]) -> np.ndarray:
+        s_len = len(chain)
+        g, b = divmod(int(slot_id), self.Bg)
+        kvc = self.core.kvc[g]
+        pos0 = int(kvc.cache_pos[b])
+        tokens = np.zeros((self.Bg, s_len), np.int32)
+        tokens[b] = chain
+        positions = (np.broadcast_to(np.arange(s_len, dtype=np.int32),
+                                     (self.Bg, s_len))
+                     + kvc.cache_pos[:, None]).astype(np.int32)
+        hidden = self.core.ring_pass(
+            [(g, tokens, positions, kvc.cache_pos.copy())])[g]
+        self.n_decode_calls += 1
+        logits = np.asarray(self.core.head(hidden), np.float32)
+        kvc.cache_pos[b] = pos0 + s_len
+        return logits[b]
 
     def perf_summary(self) -> str:
         p = self.perf

@@ -417,6 +417,28 @@ class Engine:
             return True, "context_full"
         return False, None
 
+    # -- speculative-decoding protocol (engine-agnostic surface) ---------------
+
+    def prefill_only(self, slot: "Slot") -> None:
+        """Ingest the slot's remaining prompt chunks WITHOUT decoding (the
+        speculative path's prefill: no sampler state is disturbed)."""
+        while slot.state == SlotState.PREFILL:
+            self._advance_prefill(slot)
+
+    def verify_chain(self, slot_id: int, chain: list[int]) -> np.ndarray:
+        """Decode `chain` on one slot returning logits at EVERY position
+        (s_len, vocab) — the batched verification forward. Advances the
+        slot's cache_pos by len(chain); the caller rolls back the
+        unaccepted tail via kv.cache_pos."""
+        s_len = len(chain)
+        pos0 = np.int32(self.kv.used(slot_id))
+        logits, self.kv.caches = self._verify(
+            self.params, self.kv.caches,
+            jnp.asarray(np.asarray(chain, np.int32)), pos0, slot_id, s_len)
+        self.kv.cache_pos[slot_id] = int(pos0) + s_len
+        self.n_decode_calls += 1
+        return np.asarray(logits, dtype=np.float32)
+
     def perf_summary(self) -> str:
         """llama_perf_context_print analogue."""
         p = self.perf

@@ -8,7 +8,15 @@ longest prefix that matches its own sampling. Lossless: greedy output is
 token-identical to plain decoding regardless of draft quality.
 
 The reference keeps the draft whole on rank 0 (speculative.cpp:73-76); the
-TPU analogue is a replicated draft next to the sharded target.
+TPU analogue is a replicated single-chip draft Engine next to the (possibly
+distributed) target: the target only needs the engine-agnostic protocol
+{submit, prefill_only, verify_chain, kv.used/cache_pos}, so Engine,
+DistributedEngine (mesh pipeline) and TcpRingEngine all verify drafts —
+draft-on-host + distributed batched verify (server.cpp:2493-2560).
+
+Per-slot: generate_stream allocates a (target, draft) slot pair per call,
+so multiple requests speculate concurrently (the server's per-slot
+speculative branch, vs a serialized global decoder).
 """
 
 from __future__ import annotations
@@ -38,7 +46,7 @@ class SpecStats:
 
 
 class SpeculativeDecoder:
-    def __init__(self, target: Engine, draft: Engine, n_draft: int = 8,
+    def __init__(self, target, draft: Engine, n_draft: int = 8,
                  p_min: float = 0.75):
         assert target.n_slots >= 1 and draft.n_slots >= 1
         self.target = target
@@ -46,34 +54,31 @@ class SpeculativeDecoder:
         self.n_draft = n_draft
         self.p_min = p_min
 
-        # the engine's batched verification forward (scan-aware)
-        self._verify = target._verify
-
     # -- draft proposal (common_speculative_gen_draft) -------------------------
 
-    def _gen_draft(self, stats: SpecStats) -> list[int]:
-        """Greedy draft continuation from the draft engine's slot 0 state."""
+    def _gen_draft(self, stats: SpecStats, d_slot) -> list[int]:
+        """Greedy draft continuation from the draft slot's state."""
         d = self.draft
-        slot = d.slots[0]
+        sid = d_slot.id
         out: list[int] = []
         for _ in range(self.n_draft):
             tokens = np.zeros((d.n_slots, 1), dtype=np.int32)
-            cur = slot.generated[-1] if slot.generated else slot.prompt[-1]
-            tokens[0, 0] = cur
+            cur = d_slot.generated[-1] if d_slot.generated else d_slot.prompt[-1]
+            tokens[sid, 0] = cur
             cache_pos = d.kv.cache_pos.copy()
             logits_j, d.kv.caches = d._decode(
                 d.params, d.kv.caches, jnp.asarray(tokens), jnp.asarray(cache_pos),
                 jnp.asarray(cache_pos)
             )
             stats.n_draft_calls += 1
-            d.kv.cache_pos[0] += 1
-            logits = np.asarray(logits_j[0], dtype=np.float32)
+            d.kv.cache_pos[sid] += 1
+            logits = np.asarray(logits_j[sid], dtype=np.float32)
             probs = softmax(logits)
             tok = int(np.argmax(probs))
             if probs[tok] < self.p_min and out:
-                d.kv.cache_pos[0] -= 1  # un-commit the peeked position
+                d.kv.cache_pos[sid] -= 1  # un-commit the peeked position
                 break
-            slot.generated.append(tok)
+            d_slot.generated.append(tok)
             out.append(tok)
         stats.n_drafted += len(out)
         return out
@@ -103,29 +108,24 @@ class SpeculativeDecoder:
         # the prompt tokens into the sampler (penalty window)
         t_slot = t.submit(prompt_tokens, sampler=sampler, n_predict=-1)
         d_slot = d.submit(prompt_tokens, n_predict=-1)
+        tid, did = t_slot.id, d_slot.id
         try:
-            while t_slot.state.name == "PREFILL":
-                t._advance_prefill(t_slot)
-            while d_slot.state.name == "PREFILL":
-                d._advance_prefill(d_slot)
+            t.prefill_only(t_slot)
+            d.prefill_only(d_slot)
 
             n_out = 0
             cur = prompt_tokens[-1]
             while n_out < n_predict:
                 # draft continuation: next input token is `cur`
-                d.slots[0].generated = [cur]
-                draft = self._gen_draft(stats) if self.n_draft > 0 else []
+                d_slot.generated = [cur]
+                draft = self._gen_draft(stats, d_slot) if self.n_draft > 0 else []
 
                 # target verifies [cur, draft...] in one forward
                 chain = [cur] + draft
                 s_len = len(chain)
-                pos0 = np.int32(t.kv.used(0))
-                logits, t.kv.caches = self._verify(
-                    t.params, t.kv.caches,
-                    jnp.asarray(np.asarray(chain, np.int32)), pos0, 0, s_len,
-                )
+                pos0 = np.int32(t.kv.used(tid))
+                logits = t.verify_chain(tid, chain)
                 stats.n_target_calls += 1
-                logits = np.asarray(logits, dtype=np.float32)
 
                 accepted: list[int] = []
                 for j in range(s_len):
@@ -142,35 +142,35 @@ class SpeculativeDecoder:
                 cur = accepted[-1]
 
                 # target consumed j+1 positions; roll back the unaccepted tail
-                t.kv.cache_pos[0] = int(pos0) + len(accepted)
+                t.kv.cache_pos[tid] = int(pos0) + len(accepted)
                 # draft cache must hold exactly the verified history
                 # [prompt .. out[:-1]] (next round's input is out[-1]);
                 # with n_draft == 0 the draft engine is never consulted
                 hist = len(prompt_tokens) + n_out - 1
                 if self.n_draft <= 0:
                     pass
-                elif d.kv.used(0) > hist:
-                    d.kv.cache_pos[0] = hist
-                elif d.kv.used(0) < hist:
+                elif d.kv.used(did) > hist:
+                    d.kv.cache_pos[did] = hist
+                elif d.kv.used(did) < hist:
                     # full-acceptance round: the draft never consumed the
                     # last drafted token — feed it so its conditioning
                     # history stays complete (at most one token short)
-                    assert hist - d.kv.used(0) == 1 and len(accepted) >= 2
-                    d.slots[0].generated = [accepted[-2]]
+                    assert hist - d.kv.used(did) == 1 and len(accepted) >= 2
+                    d_slot.generated = [accepted[-2]]
                     feed = np.zeros((d.n_slots, 1), dtype=np.int32)
-                    feed[0, 0] = accepted[-2]
+                    feed[did, 0] = accepted[-2]
                     cp = d.kv.cache_pos.copy()
                     _lg, d.kv.caches = d._decode(
                         d.params, d.kv.caches, jnp.asarray(feed),
                         jnp.asarray(cp), jnp.asarray(cp))
                     stats.n_draft_calls += 1
-                    d.kv.cache_pos[0] += 1
+                    d.kv.cache_pos[did] += 1
 
                 yield accepted[: n_predict - (n_out - len(accepted))]
 
                 if t.eog_ids and accepted[-1] in t.eog_ids:
                     break
-                if t.kv.used(0) >= t.max_seq - self.n_draft - 2:
+                if t.kv.used(tid) >= t.max_seq - self.n_draft - 2:
                     break
         finally:
             from .engine import SlotState

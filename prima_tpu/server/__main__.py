@@ -157,7 +157,8 @@ def main(argv=None) -> int:
 
         print(f"loading draft {args.model_draft} ...", file=sys.stderr)
         dmodel = load_model(args.model_draft)
-        deng = Engine(dmodel.cfg, dmodel.params, n_slots=1,
+        # one draft slot per server slot: per-slot concurrent speculation
+        deng = Engine(dmodel.cfg, dmodel.params, n_slots=args.parallel,
                       max_seq=args.ctx_size,
                       opts=ForwardOptions(matmul_impl=args.matmul),
                       eog_ids=dmodel.eog_ids)

@@ -51,11 +51,13 @@ class EngineWorker:
     def __init__(self, engine: Engine, tokenizer, spec=None):
         self.engine = engine
         self.tokenizer = tokenizer
-        # SpeculativeDecoder (server --model-draft): requests run one at a
-        # time through the draft-verify loop on slot 0, streaming one SSE
-        # delta per verify round (the update_slots speculative branch,
-        # server.cpp:2493-2560, serialized for the single-pipeline engine)
+        # SpeculativeDecoder (server --model-draft): PER-SLOT speculation —
+        # each admitted request gets its own (target, draft) slot pair and
+        # generator; the loop advances every active generator one verify
+        # round per tick, streaming one SSE delta per round (the
+        # update_slots speculative branch, server.cpp:2493-2560)
         self.spec = spec
+        self._spec_gens: dict[int, object] = {}  # request_id -> generator
         self.pending: queue.Queue[GenerationRequest] = queue.Queue()
         self._control: queue.Queue = queue.Queue()
         self.active: dict[int, GenerationRequest] = {}  # request_id -> req
@@ -199,26 +201,61 @@ class EngineWorker:
             req.text += delta
             req.events.put(StreamEvent(delta, False, token=token))
 
-    def _spec_serve_one(self) -> bool:
-        """Speculative mode: serve one queued request to completion."""
-        try:
-            req = self.pending.get_nowait()
-        except queue.Empty:
+    def _spec_admit(self) -> None:
+        """Admit queued requests to (target, draft) slot pairs."""
+        while (self.engine.find_idle_slot() is not None
+               and self.spec.draft.find_idle_slot() is not None):
+            try:
+                req = self.pending.get_nowait()
+            except queue.Empty:
+                return
+            with self._lock:
+                self.active[req.request_id] = req
+            self._buffers[req.request_id] = b""
+            self._texts[req.request_id] = ""
+            n = req.n_predict if req.n_predict > 0 else 128
+            self._spec_gens[req.request_id] = self.spec.generate_stream(
+                req.prompt_tokens, req.sampler, n)
+
+    def _spec_tick(self) -> bool:
+        """Advance every active speculative generator ONE verify round —
+        the per-slot concurrent speculation loop."""
+        self._spec_admit()
+        self.metrics["n_busy_slots"] = len(self._spec_gens)
+        if not self._spec_gens:
             return False
-        with self._lock:
-            self.active[req.request_id] = req
-        self._buffers[req.request_id] = b""
-        self._texts[req.request_id] = ""
-        n = req.n_predict if req.n_predict > 0 else 128
-        for chunk in self.spec.generate_stream(req.prompt_tokens, req.sampler, n):
+        for rid in list(self._spec_gens):
+            with self._lock:
+                req = self.active.get(rid)
+            gen = self._spec_gens.get(rid)
+            if gen is None:
+                continue
+            if req is None or getattr(req, "cancelled", False):
+                gen.close()  # releases the slot pair (finally block)
+                self._spec_gens.pop(rid, None)
+                if req is not None:
+                    self._finish(req, "cancelled")
+                continue
+            try:
+                chunk = next(gen)
+            except StopIteration:
+                self._spec_gens.pop(rid, None)
+                self._spec_finish(req)
+                continue
             for tok in chunk:
                 self.metrics["tokens_predicted_total"] += 1
                 req.tokens_out.append(tok)
                 self._emit(req, tok)
             with self._lock:
-                alive = req.request_id in self.active
+                alive = rid in self.active
             if not alive or getattr(req, "cancelled", False):
-                break  # stop string hit or cancelled between rounds
+                gen.close()  # stop string hit or cancelled between rounds
+                self._spec_gens.pop(rid, None)
+                if getattr(req, "cancelled", False) and alive:
+                    self._finish(req, "cancelled")
+        return True
+
+    def _spec_finish(self, req: GenerationRequest) -> None:
         with self._lock:
             alive = req.request_id in self.active
         if alive:
@@ -226,10 +263,10 @@ class EngineWorker:
             if tail:
                 req.text += tail
                 req.events.put(StreamEvent(tail, False))
+            n = req.n_predict if req.n_predict > 0 else 128
             reason = "cancelled" if getattr(req, "cancelled", False) else (
                 "length" if len(req.tokens_out) >= n else "stop")
             self._finish(req, reason)
-        return True
 
     def _loop(self):
         while not self._stop:
@@ -239,7 +276,7 @@ class EngineWorker:
                 except queue.Empty:
                     break
             if self.spec is not None:
-                if not self._spec_serve_one():
+                if not self._spec_tick():
                     self._wake.wait(timeout=0.2)
                     self._wake.clear()
                 continue
