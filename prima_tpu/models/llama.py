@@ -278,9 +278,29 @@ def load_params(
     return params
 
 
+def fuse_uq_rows(tensors: list) -> "object":
+    """Concatenate host UQTensors along output rows (fused QKV / gate-up).
+    All must share (k, layout, sub, gsub, ggml_type)."""
+    import numpy as _np
+
+    from ..quant.device_format import UQTensor
+
+    u0 = tensors[0]
+    assert all(t.layout == u0.layout and t.sub == u0.sub
+               and t.gsub == u0.gsub and t.shape[1] == u0.shape[1]
+               for t in tensors)
+    cat = lambda f: (_np.concatenate([getattr(t, f) for t in tensors], axis=0)
+                     if getattr(u0, f) is not None else None)
+    rows = sum(t.shape[0] for t in tensors)
+    return UQTensor(qs=cat("qs"), scales=cat("scales"), mins=cat("mins"),
+                    sub=u0.sub, layout=u0.layout, q_offset=u0.q_offset,
+                    ggml_type=u0.ggml_type, shape=(rows, u0.shape[1]),
+                    d=cat("d"), dmin=cat("dmin"), gsub=u0.gsub)
+
+
 def synth_params_device_stacked(cfg: ModelConfig,
                                 ggml_type: GGMLType = GGMLType.Q4_K,
-                                seed: int = 0) -> dict:
+                                seed: int = 0, fused: bool = False) -> dict:
     """Device-synthesized params with the per-layer tensors STACKED along a
     leading layer axis (for forward_scan): the synth program compiles once
     for ONE layer (vmapped over per-layer keys) instead of n_layers times —
@@ -291,6 +311,16 @@ def synth_params_device_stacked(cfg: ModelConfig,
 
     def one_layer(k):
         ks = jax.random.split(k, 7)
+        if fused:
+            return {
+                "attn_norm": jnp.ones(e, jnp.float32),
+                "wqkv": synth_qtensor_device(ks[0], (h + 2 * kvh) * hd, e,
+                                             ggml_type),
+                "wo": synth_qtensor_device(ks[3], e, h * hd, ggml_type),
+                "ffn_norm": jnp.ones(e, jnp.float32),
+                "w_gateup": synth_qtensor_device(ks[4], 2 * f, e, ggml_type),
+                "w_down": synth_qtensor_device(ks[6], e, f, ggml_type),
+            }
         return {
             "attn_norm": jnp.ones(e, jnp.float32),
             "wq": synth_qtensor_device(ks[0], h * hd, e, ggml_type),
@@ -685,9 +715,18 @@ def attention_block(
         _tap(taps, tap_prefix + "attn_q.weight", x)
         _tap(taps, tap_prefix + "attn_k.weight", x)
         _tap(taps, tap_prefix + "attn_v.weight", x)
-    q = linear_l(layer, "wq", x, opts.matmul_impl)
-    k = linear_l(layer, "wk", x, opts.matmul_impl)
-    v = linear_l(layer, "wv", x, opts.matmul_impl)
+    if layer.get("wqkv") is not None:
+        # fused QKV projection: one kernel streams all three weights (fewer
+        # launches; the small K/V GEMVs ride the big Q tile pipeline)
+        qkv = linear(x, layer["wqkv"], opts.matmul_impl)
+        nq, nk = h * hd, kvh * hd
+        q = qkv[..., :nq]
+        k = qkv[..., nq : nq + nk]
+        v = qkv[..., nq + nk :]
+    else:
+        q = linear_l(layer, "wq", x, opts.matmul_impl)
+        k = linear_l(layer, "wk", x, opts.matmul_impl)
+        v = linear_l(layer, "wv", x, opts.matmul_impl)
     if layer.get("bq") is not None:
         q = q + layer["bq"].astype(q.dtype)
         k = k + layer["bk"].astype(k.dtype)
@@ -761,6 +800,16 @@ def ffn_block(layer: dict, x: jax.Array, opts: ForwardOptions,
         if gated:
             _tap(taps, tap_prefix + "ffn_gate.weight", x)
         _tap(taps, tap_prefix + "ffn_up.weight", x)
+    if gated and layer.get("w_gateup") is not None:
+        gu = linear(x, layer["w_gateup"], opts.matmul_impl)
+        nf = gu.shape[-1] // 2
+        act = gated_act(gu[..., :nf], gu[..., nf:], act_fn)
+        out = linear_l(layer, "w_down", act, opts.matmul_impl)
+        if opts.tp_axis is not None:
+            out = jax.lax.psum(out, opts.tp_axis)
+        if layer.get("b_down") is not None:
+            out = out + layer["b_down"].astype(out.dtype)
+        return out
     up = linear_l(layer, "w_up", x, opts.matmul_impl)
     if layer.get("b_up") is not None:
         up = up + layer["b_up"].astype(up.dtype)

@@ -31,6 +31,7 @@ import numpy as np
 class DeviceProfile:
     hostname: str = ""
     platform: str = ""  # tpu | cpu | ...
+    os: str = ""  # Linux | Darwin | ... (device_os, reference profiler.h)
     device_kind: str = ""
     n_devices: int = 1
     # compute (TFLOPS per matmul dtype-path)
@@ -231,9 +232,12 @@ def profile_device(full: bool = True, bench_disk: bool = True) -> DeviceProfile:
     import socket
 
     dev = jax.devices()[0]
+    import platform as _platform
+
     p = DeviceProfile(
         hostname=socket.gethostname(),
         platform=jax.default_backend(),
+        os=_platform.system(),
         device_kind=dev.device_kind,
         n_devices=jax.device_count(),
     )

@@ -33,15 +33,44 @@ class ModelCost:
     # per-layer KV bytes for a given context (filled by kv_bytes())
     n_embd_k_gqa: int = 0
     n_embd_v_gqa: int = 0
+    # model dims for the activation-buffer bound
+    n_embd: int = 0
+    n_ff: int = 0
+    n_heads: int = 0
+    n_vocab: int = 0
 
     def kv_bytes_per_layer(self, n_ctx: int, bytes_per_el: float = 2.0) -> float:
         """llama_kv_size analogue: 2 * (k_gqa + v_gqa) * ctx * elsize / 2."""
         return (self.n_embd_k_gqa + self.n_embd_v_gqa) * n_ctx * bytes_per_el
 
-    def compute_buf_bytes(self, n_ctx: int, n_batch: int = 1, dtype_size: int = 4) -> float:
-        """Activation buffer upper bound (compute_buf_size analogue)."""
-        e = max(self.n_embd_k_gqa * 4, 1)
-        return float((e * 8 + n_ctx) * n_batch * dtype_size + self.largest_tensor_bytes)
+    def compute_buf_bytes(self, n_ctx: int, n_ubatch: int = 1,
+                          is_master: bool = True,
+                          xla_dequant: bool = False) -> float:
+        """Activation-buffer upper bound per decode step — the TPU analogue
+        of llama_model_compute_buf_size's per-tensor accounting (reference
+        src/llama.cpp:21930-22095): residual/norm/qcur streams, the
+        attention score matrix (n_ctx*B*heads, the n_kq term), the KQ mask,
+        and the live peak of {ffn gate+up} vs {q,q,kq}; the master adds the
+        io tensors (input ids, embeddings, out_embd, vocab logits —
+        @21963-21965). XLA's buffer assignment reuses everything else.
+
+        xla_dequant adds the largest materialized dequant scratch (only the
+        non-Pallas fallback path materializes weights in HBM)."""
+        f32 = 4
+        e = self.n_embd or max(self.n_embd_k_gqa * 4, 1)
+        f = self.n_ff or 4 * e
+        h = self.n_heads or max(e // 128, 1)
+        B = n_ubatch
+        n_kq = n_ctx * B * h
+        n_mask = n_ctx * B
+        buf = (3 * e * B + n_mask) * f32  # bak_embd + norm + qcur + mask
+        buf += max(2 * f * B, 2 * e * B + n_kq) * f32
+        if is_master:
+            vocab = self.n_vocab or 32000
+            buf += (B + 2 * e * B + vocab * B) * f32
+        if xla_dequant:
+            buf += self.largest_tensor_bytes
+        return float(buf)
 
     def total_flops(self) -> float:
         return sum(self.layer_flops.values()) * self.n_layers + sum(self.head_flops.values())
@@ -88,7 +117,9 @@ def model_cost_from_gguf(m) -> ModelCost:
     """Dry tensor walk over a GGUFModel (no data read)."""
     cfg = ModelConfig.from_gguf(m)
     cost = ModelCost(n_layers=cfg.n_layers,
-                     n_embd_k_gqa=cfg.n_embd_k_gqa, n_embd_v_gqa=cfg.n_embd_v_gqa)
+                     n_embd_k_gqa=cfg.n_embd_k_gqa, n_embd_v_gqa=cfg.n_embd_v_gqa,
+                     n_embd=cfg.n_embd, n_ff=cfg.n_ff, n_heads=cfg.n_heads,
+                     n_vocab=cfg.n_vocab)
     layer_flops: dict[int, float] = defaultdict(float)
     head_flops: dict[int, float] = defaultdict(float)
     layer_bytes = 0
@@ -134,5 +165,6 @@ def model_cost_from_config(cfg: ModelConfig, ggml_type: GGMLType = GGMLType.Q4_K
         n_params=layer_params * cfg.n_layers + head_params,
         n_embd_k_gqa=cfg.n_embd_k_gqa,
         n_embd_v_gqa=cfg.n_embd_v_gqa,
+        n_embd=e, n_ff=f, n_heads=h, n_vocab=cfg.n_vocab,
     )
     return cost

@@ -69,7 +69,20 @@ def _divisors(n: int) -> list[int]:
     return [d for d in range(1, n + 1) if n % d == 0]
 
 
-def _device_class(profile: DeviceProfile, cost: ModelCost, w: int, n_ctx: int) -> str:
+def _disk_bw(profile: DeviceProfile) -> float:
+    """Linux page cache reads the mmap sequentially; macOS reads randomly
+    (reference common.cpp:1030-1040 seq-vs-rand distinction)."""
+    if profile.os and profile.os != "Linux" and profile.disk_rand_bw > 0:
+        return profile.disk_rand_bw
+    return profile.disk_seq_bw
+
+
+def _device_class(profile: DeviceProfile, cost: ModelCost, w: int,
+                  n_ctx: int, forced_fit: bool = False) -> str:
+    if forced_fit:
+        # the M4-force re-iteration (@1476-1496): treat as memory-adequate
+        # regardless of the condition checks (streaming over-commits)
+        return "FIT"
     need = w * cost.layer_bytes + w * cost.kv_bytes_per_layer(n_ctx)
     hbm_budget = profile.hbm_free * 0.9 - cost.compute_buf_bytes(n_ctx)
     if need <= hbm_budget:
@@ -83,8 +96,9 @@ def _coeffs(profile: DeviceProfile, cost: ModelCost, klass: str, n_ctx: int):
     """(a, b) per-layer latency coefficients for one device."""
     t_resident = cost.layer_seconds(profile)
     t_stream = max(cost.layer_stream_seconds(profile), t_resident)
-    if klass == "DISK" and profile.disk_seq_bw > 0:
-        t_slow = max(cost.layer_bytes / (profile.disk_seq_bw * 1e9), t_stream)
+    dbw = _disk_bw(profile)
+    if klass == "DISK" and dbw > 0:
+        t_slow = max(cost.layer_bytes / (dbw * 1e9), t_stream)
     else:
         t_slow = t_stream
     t_slow = min(t_slow, 1e6)  # keep the MILP finite on broken devices
@@ -104,6 +118,7 @@ def _solve_fixed_k(
     classes: list[str],
     master_priority: float,
     xi: list[float],
+    forced_fit: set[int] = frozenset(),
 ) -> tuple[np.ndarray, np.ndarray, float]:
     """One MILP solve for a fixed cycle count k. Returns (w, n, objective)."""
     from scipy.optimize import Bounds, LinearConstraint, milp
@@ -143,14 +158,18 @@ def _solve_fixed_k(
         hbm_budget = max(p.hbm_free * 0.9 - cost.compute_buf_bytes(n_ctx), 0.0)
         constraints.append(LinearConstraint(row, -np.inf, hbm_budget))
         # host-memory capacity: w*layer_bytes*k <= host budget (whole share
-        # of the model must live somewhere reachable)
-        if classes[m] != "DISK":
+        # of the model must live somewhere reachable); forced-FIT devices
+        # over-commit via streaming (the M4-force analogue)
+        if classes[m] != "DISK" and m not in forced_fit:
             row = np.zeros(2 * M)
             row[m] = cost.layer_bytes * k
             budget = p.host_ram_avail * 0.8 + max(p.hbm_free * 0.9, 0.0)
             constraints.append(LinearConstraint(row, -np.inf, budget))
 
-    bounds = Bounds(np.zeros(2 * M), np.concatenate([np.full(M, W), np.full(M, W)]))
+    # w >= 1 for every participating device (reference col_lower_, @1284;
+    # device *removal* is the weak-device loop's job, not the solver's)
+    bounds = Bounds(np.concatenate([np.ones(M), np.zeros(M)]),
+                    np.concatenate([np.full(M, W), np.full(M, W)]))
     res = milp(
         c=c,
         constraints=constraints,
@@ -175,21 +194,31 @@ def assign_layers(
     n_ctx: int = 4096,
     master_priority: float = 1.01,
     force_k: int | None = None,
-    max_k: int = 8,
+    max_k: int | None = None,
 ) -> ScheduleResult:
-    """assign_layers_to_device analogue: per-k MILP + class fixed point."""
+    """assign_layers_to_device analogue: per-k MILP + class fixed point +
+    the forced-FIT overload re-iteration (@1476-1496)."""
     M = len(profiles)
     L = cost.n_layers
     xi = [p.dispatch_latency_s for p in profiles]  # per-hop latency proxy
 
-    ks = [force_k] if force_k else [d for d in _divisors(L) if d <= max_k]
+    if force_k:
+        ks = [force_k]
+    else:
+        # all divisors of L up to L/2 (reference find_factors, @1043-1050),
+        # optionally capped for tests
+        cap = max_k if max_k is not None else max(L // 2, 1)
+        ks = [d for d in _divisors(L) if d <= cap]
     best: ScheduleResult | None = None
     for k in ks:
         W = L // k
+        if W < M:
+            continue  # w >= 1 per device is unsatisfiable
         # initial classes from an even split
         w_guess = [W // M + (1 if i < W % M else 0) for i in range(M)]
         # classes condition on the TOTAL layers a device owns across the k
         # cycles (k*w), matching the capacity rows in _solve_fixed_k
+        forced_fit: set[int] = set()
         classes = [_device_class(p, cost, k * max(w_guess[i], 1), n_ctx)
                    for i, p in enumerate(profiles)]
         it = 0
@@ -198,7 +227,7 @@ def assign_layers(
             it += 1
             try:
                 w, n, obj = _solve_fixed_k(profiles, cost, k, n_ctx, classes,
-                                           master_priority, xi)
+                                           master_priority, xi, forced_fit)
             except InfeasibleError:
                 if last is None:
                     w = None
@@ -206,9 +235,36 @@ def assign_layers(
                     w, n, obj = last
                 break
             last = (w, n, obj)
-            new_classes = [_device_class(p, cost, k * max(int(w[i]), 1), n_ctx)
-                           for i, p in enumerate(profiles)]
+            new_classes = [
+                _device_class(p, cost, k * max(int(w[i]), 1), n_ctx,
+                              forced_fit=i in forced_fit)
+                for i, p in enumerate(profiles)]
             if new_classes == classes or it >= 8:
+                # overload re-iteration (@1476-1496): if some device still
+                # has free HBM while another is stuck streaming from disk,
+                # force the slowest-disk device into FIT and re-solve
+                if it < 8:
+                    # reference precondition (@1476): only force when no
+                    # weak device exists (weak removal takes precedence)
+                    has_weak = any(int(w[i]) <= 1 and int(n[i]) == 0
+                                   for i in range(1, M))
+                    overload = [] if has_weak else [
+                        i for i, c in enumerate(new_classes)
+                        if c == "DISK" and i not in forced_fit]
+                    free_hbm = any(
+                        profiles[i].hbm_free * 0.9
+                        - k * int(n[i]) * cost.layer_bytes
+                        > cost.layer_bytes
+                        for i in range(M))
+                    if overload and free_hbm:
+                        worst = min(overload,
+                                    key=lambda i: _disk_bw(profiles[i]))
+                        forced_fit.add(worst)
+                        classes = [
+                            _device_class(p, cost, k * max(int(w[i]), 1),
+                                          n_ctx, forced_fit=i in forced_fit)
+                            for i, p in enumerate(profiles)]
+                        continue
                 break
             classes = new_classes
         if w is None:

@@ -74,8 +74,10 @@ def test_hbm_capacity_forces_streaming():
 
 
 def test_weak_device_removed():
+    # the reference's weak flag is w==1 && n==0 (@1451-1455): a device with
+    # no usable device memory at all gets exactly that and is dropped
     good = _prof()
-    awful = _prof(tflops=0.01, hbm_bw=0.5, h2d=0.001, hbm_free=GiB // 4,
+    awful = _prof(tflops=0.01, hbm_bw=0.5, h2d=0.001, hbm_free=GiB // 16,
                   ram=1 * GiB, disk=0.01)
     res = assign_layers_and_select_devices([good, awful], _cost(32), n_ctx=1024)
     assert res.w[1] == 0  # dropped, scattered back as zero
@@ -110,3 +112,63 @@ def test_infeasible_raises():
     p.host_ram_avail = 2 * 2**20
     with pytest.raises(InfeasibleError):
         assign_layers([p], _cost(32), n_ctx=4096, force_k=1)
+
+
+def test_overload_forces_fit_reiteration():
+    """The M4-force analogue (@1476-1496): a device whose window exceeds
+    host RAM (DISK class) gets forced into FIT when another device has free
+    HBM — streaming over-commit instead of paying disk latency."""
+    # two devices; device 1 has tiny host RAM -> DISK at any even split,
+    # but device 0 has plenty of free HBM
+    good = _prof()
+    tight = _prof(tflops=50, hbm_bw=400, h2d=5.0, hbm_free=8 * GiB,
+                  ram=GiB // 2, disk=0.5)
+    res = assign_layers([good, tight], _cost(32), n_ctx=512)
+    # the forced-FIT path keeps the tight device participating (w >= 1)
+    # without classifying it DISK
+    assert res.w[1] >= 1
+    assert res.device_class[1] != "DISK"
+
+
+def test_all_divisors_k_search():
+    """k candidates are all divisors of L up to L/2 (find_factors,
+    common.cpp:1043-1050) — a 30-layer model must consider k=15."""
+    # make streaming essentially free vs resident so large k is harmless,
+    # then force k=15 to prove it is representable and feasible
+    profs = [_prof() for _ in range(2)]
+    res = assign_layers(profs, _cost(30), n_ctx=512, force_k=15)
+    assert res.k == 15 and sum(res.w) == 2
+
+
+def test_macos_uses_random_disk_bw():
+    """Disk latency uses rand-read BW on non-Linux (common.cpp:1030-1040)."""
+    from prima_tpu.sched.milp import _disk_bw
+
+    lin = _prof(disk=2.0)
+    lin.os = "Linux"
+    mac = _prof(disk=2.0)
+    mac.os = "Darwin"
+    assert _disk_bw(lin) == 2.0
+    assert _disk_bw(mac) == pytest.approx(0.2)
+
+
+def test_master_priority_pushes_work_away():
+    """master_priority < 1 inflates the master's cost so layers move OFF
+    rank 0 (common.cpp:1280, common.h:172)."""
+    profs = [_prof(), _prof()]
+    pull = assign_layers(profs, _cost(32), n_ctx=512, master_priority=10.0)
+    push = assign_layers(profs, _cost(32), n_ctx=512, master_priority=0.1)
+    assert pull.w[0] > push.w[0]
+
+
+def test_compute_buf_bound_scales_with_model():
+    """The activation bound tracks model dims (reference @21930-22095),
+    not a fixed fudge: bigger ff/heads/vocab -> bigger bound."""
+    small = _cost(32)
+    small.n_embd, small.n_ff, small.n_heads, small.n_vocab = 1024, 2816, 16, 32000
+    big = _cost(32)
+    big.n_embd, big.n_ff, big.n_heads, big.n_vocab = 8192, 28672, 64, 128256
+    assert big.compute_buf_bytes(4096) > small.compute_buf_bytes(4096) * 4
+    # master adds the vocab logits buffer
+    assert small.compute_buf_bytes(4096, is_master=True) > \
+        small.compute_buf_bytes(4096, is_master=False)

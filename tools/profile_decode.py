@@ -220,7 +220,7 @@ if __name__ == "__main__":
 
 
 def experiment_unstacked(steps=32, trials=3, ctx=1024, flash=False,
-                         unstacked=True):
+                         unstacked=True, fused=False):
     """Hypothesis test: lax.scan's per-layer dynamic slice of stacked params
     materializes a copy of every weight every token (3x HBM traffic).
     Decode with UNSTACKED per-layer params (forward(), no slicing) should
@@ -249,8 +249,8 @@ def experiment_unstacked(steps=32, trials=3, ctx=1024, flash=False,
         kv = init_kv_caches(cfg, 1, ctx)
         fwd = forward
     else:
-        params = jax.jit(
-            lambda: synth_params_device_stacked(cfg, GGMLType.Q4_K))()
+        params = jax.jit(lambda: synth_params_device_stacked(
+            cfg, GGMLType.Q4_K, fused=fused))()
         kv = init_kv_stacked(cfg, 1, ctx)
         fwd = forward_scan
     jax.block_until_ready(jax.tree.leaves(params)[0])
@@ -271,10 +271,11 @@ def experiment_unstacked(steps=32, trials=3, ctx=1024, flash=False,
                                   jnp.ones((1,), jnp.int32)))
     t = timeit(fn, trials=trials, sleep=3,
                tag=f"decode_{'unstacked' if unstacked else 'scan'}"
-                   f"{'_flash' if flash else ''}")
+                   f"{'_flash' if flash else ''}{'_fused' if fused else ''}")
     wb = sum(l.size * l.dtype.itemsize for l in jax.tree.leaves(params))
     print(json.dumps({
-        "mode": ("unstacked" if unstacked else "scan") + ("_flash" if flash else ""),
+        "mode": ("unstacked" if unstacked else "scan")
+        + ("_flash" if flash else "") + ("_fused" if fused else ""),
         "tok_s": round(steps / t, 2),
         "eff_gbs": round(wb * steps / t / 1e9, 1),
     }), flush=True)
@@ -285,5 +286,6 @@ if __name__ == "__main__" and "--experiment" in __import__("sys").argv:
 
     _s.argv.remove("--experiment")
     experiment_unstacked(flash="--flash" in _s.argv,
-                         unstacked="--scan" not in _s.argv)
+                         unstacked="--scan" not in _s.argv,
+                         fused="--fused" in _s.argv)
     _s.exit(0)
