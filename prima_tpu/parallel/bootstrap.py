@@ -113,6 +113,70 @@ class RingNode:
         self.send_sock = _connect_retry(nxt_ip, self.cfg.data_port + nxt)
         self.recv_sock, _ = self.listener.accept()
 
+    def connect_ring_robust(self, grace: float = 8.0) -> None:
+        """Topology-rebuild connect (llama_rebuild_topo analogue,
+        src/llama.cpp:20684-20830): the master is the rendezvous — every
+        rank registers with rank 0 within a grace window; the ring is then
+        built over the ranks that actually showed up, routing around dead
+        hosts, and rank/world renumber densely. On a TPU-era network the
+        fabric is all-to-all, so forwarder proxies (@1857, a NAT
+        workaround) are unnecessary — a dead hop is simply skipped.
+
+        After this call self.rank/self.world are the RENUMBERED values;
+        the original rank is kept in self.orig_rank."""
+        self.orig_rank = self.rank
+        if self.world == 1:
+            return
+        if self.rank == 0:
+            regs: dict[int, socket.socket] = {}
+            deadline = time.time() + grace
+            self.listener.settimeout(0.5)
+            try:
+                while time.time() < deadline and len(regs) < self.world - 1:
+                    try:
+                        conn, _ = self.listener.accept()
+                    except socket.timeout:
+                        continue
+                    msg = _recv_msg(conn, timeout=5.0)
+                    assert msg.get("tag") == "register", msg
+                    regs[int(msg["rank"])] = conn
+            finally:
+                self.listener.settimeout(None)
+            alive = sorted([0] + list(regs))
+            dead = [r for r in range(self.world) if r not in alive]
+            if dead:
+                import sys
+
+                print(f"rebuild_topo: routing around dead ranks {dead}",
+                      file=sys.stderr)
+            topo = {"tag": "topo", "alive": alive}
+            for r, conn in regs.items():
+                _send_msg(conn, topo)
+                conn.close()
+            self._apply_topo(alive)
+        else:
+            reg = _connect_retry(self.cfg.master_ip, self.cfg.data_port,
+                                 timeout=grace + 10.0)
+            _send_msg(reg, {"tag": "register", "rank": self.rank})
+            topo = _recv_msg(reg, timeout=grace + 30.0)
+            reg.close()
+            assert topo.get("tag") == "topo", topo
+            self._apply_topo(topo["alive"])
+
+    def _apply_topo(self, alive: list[int]) -> None:
+        """Renumber over the alive set and wire the data ring."""
+        orig = self.orig_rank
+        assert orig in alive
+        idx = alive.index(orig)
+        self.rank = idx
+        self.world = len(alive)
+        if self.world == 1:
+            return
+        nxt_orig = alive[(idx + 1) % len(alive)]
+        nxt_ip = self.cfg.master_ip if nxt_orig == 0 else self.cfg.next_ip
+        self.send_sock = _connect_retry(nxt_ip, self.cfg.data_port + nxt_orig)
+        self.recv_sock, _ = self.listener.accept()
+
     def send_next(self, obj: dict) -> None:
         _send_msg(self.send_sock, obj)
 

@@ -115,10 +115,13 @@ def unpermute_w(w: jax.Array, sub: int, gsub: int = 1) -> jax.Array:
     )
 
 
-def _dot_nt(x, w):
-    """(B, K) @ (N, K)^T -> (B, N) f32."""
+def _dot_nt(x, w, exact: bool = False):
+    """(B, K) @ (N, K)^T -> (B, N) f32. exact=True forces full-f32 MXU
+    passes (bf16x3) — the TPU MXU's default single pass rounds operands to
+    bf16 mantissas; the GEMV is memory-bound so the extra passes are free."""
     return jax.lax.dot_general(
-        x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        x, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST if exact else None,
     )
 
 
@@ -147,8 +150,11 @@ def _group_expand(base: jax.Array, s: int) -> jax.Array:
         jax.lax.broadcasted_iota(jnp.int32, (g, s), 0)
         == jax.lax.broadcasted_iota(jnp.int32, (g, s), 1) % g
     ).astype(jnp.float32)
+    # HIGHEST: the MXU's default single pass would round the f32 bases to
+    # bf16 mantissas — with full passes every output is ONE exact product
     return jax.lax.dot_general(
-        base, e, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        base, e, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
@@ -203,13 +209,14 @@ def _qmm_kernel(
         mn_full = mn_ref[:] if has_mins else None
     scales = _tile_repeat(sc_full, t_chunk).astype(cdtype)
 
+    exact = not fast
     if layout == "nib4":
         b = qs_ref[:].astype(jnp.int32)  # Mosaic: no direct u8->float cast
-        acc = _dot_nt(x_lo_ref[:].astype(cdtype), (b & 0x0F).astype(cdtype) * scales)
-        acc += _dot_nt(x_hi_ref[:].astype(cdtype), (b >> 4).astype(cdtype) * scales)
+        acc = _dot_nt(x_lo_ref[:].astype(cdtype), (b & 0x0F).astype(cdtype) * scales, exact)
+        acc += _dot_nt(x_hi_ref[:].astype(cdtype), (b >> 4).astype(cdtype) * scales, exact)
     else:
         w = qs_ref[:].astype(cdtype) * scales
-        acc = _dot_nt(x_lo_ref[:].astype(cdtype), w)
+        acc = _dot_nt(x_lo_ref[:].astype(cdtype), w, exact)
 
     @pl.when(kt == 0)
     def _():
@@ -220,7 +227,7 @@ def _qmm_kernel(
             corr = sc_full * np.float32(q_offset) if q_offset else None
             if has_mins:
                 corr = -mn_full if corr is None else corr - mn_full
-            o_ref[:] = acc + _dot_nt(xs_ref[:], corr)
+            o_ref[:] = acc + _dot_nt(xs_ref[:], corr, not fast)
 
     @pl.when(kt != 0)
     def _():

@@ -58,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="manual CSV windows, e.g. 16,8,8 (skips the solver)")
     ap.add_argument("-k", "--n-cycles", type=int, default=0)
     ap.add_argument("--master-priority", type=float, default=1.01)
+    ap.add_argument("--topo-grace", type=float, default=0.0,
+                    help="topology-rebuild registration window (seconds): "
+                         "route the ring around ranks that never show up "
+                         "(llama_rebuild_topo analogue); 0 = strict ring")
     ap.add_argument("--no-context-shift", action="store_true",
                     help="stop at context end instead of shifting")
     ap.add_argument("-gan", "--grp-attn-n", type=int, default=1,

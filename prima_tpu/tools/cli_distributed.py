@@ -43,12 +43,28 @@ def run_distributed(args, prompt: str) -> int:
         rank=args.rank, world=args.world, master_ip=args.master_ip,
         next_ip=args.next_ip, data_port=args.data_port,
     ))
-    node.connect_ring()
+    grace = getattr(args, "topo_grace", 0.0)
+    if grace > 0:
+        # llama_rebuild_topo analogue: build the ring over the ranks that
+        # actually register within the grace window (dead hosts skipped,
+        # rank/world renumbered densely)
+        node.connect_ring_robust(grace=grace)
+        if node.rank != args.rank or node.world != args.world:
+            print(f"rebuild_topo: rank {args.rank} -> {node.rank}, "
+                  f"world {args.world} -> {node.world}", file=sys.stderr)
+        args.rank, args.world = node.rank, node.world
+    else:
+        node.connect_ring()
 
     m = GGUFModel.open(args.model)
     cfg = ModelConfig.from_gguf(m)
     cost = model_cost_from_gguf(m)
     manual_w = parse_lw(getattr(args, "n_layer_window", None))
+    if manual_w is not None and len(manual_w) != args.world:
+        # topology rebuild shrank the ring: manual windows no longer apply
+        print(f"-lw has {len(manual_w)} entries but ring world is "
+              f"{args.world}; falling back to auto schedule", file=sys.stderr)
+        manual_w = None
     if manual_w is None:
         profile = profile_device(full=True, bench_disk=False)
     else:

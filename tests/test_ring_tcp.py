@@ -184,3 +184,30 @@ def test_ring_http_server(tiny):
         p1.terminate()
         p0.wait(timeout=30)
         p1.wait(timeout=30)
+
+
+def test_rebuild_topo_dead_worker(tiny):
+    """VERDICT r1 item 10: declare a 3-rank ring but never start rank 1 —
+    with --topo-grace the survivors route around the dead hop, renumber,
+    re-solve the layer split, and still serve (llama_rebuild_topo
+    analogue, src/llama.cpp:20684-20830)."""
+    port = _free_port() + 500
+    common = ["-m", tiny, "-c", "64", "--matmul", "xla",
+              "--data-port", str(port), "-w", "3", "--topo-grace", "6",
+              "-lw", "2,1,1"]
+    p0 = _run_rank(common + ["--rank", "0", "-p", "Hello", "-n", "6",
+                             "--temp", "0", "--no-display-prompt"])
+    p2 = _run_rank(common + ["--rank", "2"])
+    # rank 1 is never started
+    out0, err0 = p0.communicate(timeout=420)
+    out2, err2 = p2.communicate(timeout=60)
+    assert p0.returncode == 0, err0[-3000:]
+    assert p2.returncode == 0, err2[-3000:]
+    assert "rebuild_topo" in err0
+    # output matches the single-process run (greedy)
+    single = _run_rank(["-m", tiny, "-c", "64", "--matmul", "xla",
+                        "-p", "Hello", "-n", "6", "--temp", "0",
+                        "--no-display-prompt"])
+    ref, err = single.communicate(timeout=420)
+    assert single.returncode == 0, err[-2000:]
+    assert out0.strip() == ref.strip()
