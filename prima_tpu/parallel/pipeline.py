@@ -137,14 +137,18 @@ def build_pipe_model(
     spec: PipeSpec,
     mesh: Mesh,
     pallas: bool = True,
+    shard_head: bool = True,
 ) -> dict:
-    """Full distributed params: stacked layers + replicated head tensors.
+    """Full distributed params: stacked layers + head tensors.
 
     head_host: {'tok_embd': UQTensor|np, 'output_norm': np, 'output':
-    UQTensor|np|None} — kept replicated (the reference keeps embedding and
-    the output head on rank 0; on a mesh, replication makes them free to
-    reach from every dp replica)."""
+    UQTensor|np|None}. The embedding stays replicated (token gather is
+    cheap); the OUTPUT head is vocab-row-sharded across the whole mesh when
+    divisible (the reference keeps the head on rank 0 — here every device
+    computes its vocab slice and the logits gather at the jit boundary,
+    splitting the ~n_vocab*n_embd head read n_devices ways)."""
     from ..quant.dequant_jax import QTensor
+    from .sharding import shard_uq_rows
 
     def put_head(t):
         if t is None:
@@ -153,11 +157,22 @@ def build_pipe_model(
             return QTensor.from_host(t, sharding=NamedSharding(mesh, P()), pallas=pallas)
         return put_replicated(np.asarray(t), mesh)
 
+    out = head_host.get("output")
+    output_sharded = None
+    n_dev = mesh.devices.size
+    if (shard_head and out is not None and hasattr(out, "ggml_type")
+            and n_dev > 1 and out.shape[0] % (n_dev * 8) == 0):
+        shards = shard_uq_rows(out, n_dev)
+        output_sharded = put_stacked_qtensor(
+            [shards], mesh, (None, ("dp", "pp", "tp")), pallas=pallas)
+        out = None
+
     return {
         "pipe": build_pipeline_params(get_layer, cfg, spec, mesh, pallas=pallas),
         "tok_embd": put_head(head_host["tok_embd"]),
         "output_norm": put_head(head_host["output_norm"]),
-        "output": put_head(head_host.get("output")),
+        "output": put_head(out),
+        "output_sharded": output_sharded,
     }
 
 
@@ -323,8 +338,26 @@ def make_pipe_forward(
                        params.get("output_norm_b"), cfg)
         if cfg.logit_scale != 1.0:
             h = h * np.float32(cfg.logit_scale)
-        w_out = params["output"] if params.get("output") is not None else params["tok_embd"]
-        logits = linear(h, w_out, opts.matmul_impl).astype(opts.logits_dtype)
+        if params.get("output_sharded") is not None:
+            # vocab-row-sharded head: every device computes its logits
+            # slice; the gather happens at the shard_map boundary
+            w_sh = params["output_sharded"]
+            w_specs = jax.tree.map(lambda _: P(None, ("dp", "pp", "tp")),
+                                   w_sh)
+
+            def head_body(w, hloc):
+                wq = jax.tree.map(lambda a: a[0, 0], w)
+                return linear(hloc, wq, opts.matmul_impl)
+
+            logits = jax.shard_map(
+                head_body, mesh=mesh,
+                in_specs=(w_specs, P()),
+                out_specs=P(None, None, None, ("dp", "pp", "tp")),
+                check_vma=False,
+            )(w_sh, h).astype(opts.logits_dtype)
+        else:
+            w_out = params["output"] if params.get("output") is not None else params["tok_embd"]
+            logits = linear(h, w_out, opts.matmul_impl).astype(opts.logits_dtype)
         if params.get("output_b") is not None:
             logits = logits + params["output_b"].astype(logits.dtype)
         if cfg.final_logit_softcap:  # gemma2

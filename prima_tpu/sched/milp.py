@@ -119,6 +119,7 @@ def _solve_fixed_k(
     master_priority: float,
     xi: list[float],
     forced_fit: set[int] = frozenset(),
+    head_parallel: int = 1,
 ) -> tuple[np.ndarray, np.ndarray, float]:
     """One MILP solve for a fixed cycle count k. Returns (w, n, objective)."""
     from scipy.optimize import Bounds, LinearConstraint, milp
@@ -180,12 +181,18 @@ def _solve_fixed_k(
         raise InfeasibleError(f"k={k}: {res.message}")
     x = np.round(res.x).astype(int)
     w, n = x[:M], x[M:]
-    obj = float(res.fun) + k * float(sum(xi)) + _head_cost(profiles[0], cost, master_priority)
+    obj = float(res.fun) + k * float(sum(xi)) + _head_cost(
+        profiles[0], cost, master_priority, head_parallel)
     return w, n, obj
 
 
-def _head_cost(master: DeviceProfile, cost: ModelCost, master_priority: float) -> float:
-    return cost.head_seconds(master) / master_priority
+def _head_cost(master: DeviceProfile, cost: ModelCost, master_priority: float,
+               head_parallel: int = 1) -> float:
+    """kappa: embedding + output-head latency. The TCP ring keeps the head
+    on rank 0 (reference behavior); the mesh pipeline vocab-shards it
+    across head_parallel devices (parallel/pipeline.py shard_head), so the
+    per-token cost divides."""
+    return cost.head_seconds(master) / master_priority / max(head_parallel, 1)
 
 
 def assign_layers(
@@ -195,9 +202,11 @@ def assign_layers(
     master_priority: float = 1.01,
     force_k: int | None = None,
     max_k: int | None = None,
+    head_parallel: int = 1,
 ) -> ScheduleResult:
     """assign_layers_to_device analogue: per-k MILP + class fixed point +
-    the forced-FIT overload re-iteration (@1476-1496)."""
+    the forced-FIT overload re-iteration (@1476-1496). head_parallel > 1
+    models the mesh pipeline's vocab-sharded output head."""
     M = len(profiles)
     L = cost.n_layers
     xi = [p.dispatch_latency_s for p in profiles]  # per-hop latency proxy
@@ -227,7 +236,8 @@ def assign_layers(
             it += 1
             try:
                 w, n, obj = _solve_fixed_k(profiles, cost, k, n_ctx, classes,
-                                           master_priority, xi, forced_fit)
+                                           master_priority, xi, forced_fit,
+                                           head_parallel)
             except InfeasibleError:
                 if last is None:
                     w = None

@@ -47,23 +47,42 @@ def _llama3(messages: list[dict], add_generation_prompt: bool) -> str:
     return "".join(out)
 
 
-def _llama2(messages: list[dict], add_generation_prompt: bool) -> str:
-    out = []
-    system = ""
+def _llama2(messages: list[dict], add_generation_prompt: bool, *,
+            support_system: bool = True, space_around: bool = True,
+            bos_inside: bool = False, strip: bool = False) -> str:
+    """The llama2 family with its four template-content variants
+    (llama_chat_apply_template_internal, src/llama.cpp:24105-24139):
+    <<SYS>> support, space around the response, BOS inside history, and
+    content stripping. llama2 templates ignore add_generation_prompt."""
+    out = ["[INST] "]
+    inside = True
     for m in messages:
+        content = m["content"].strip() if strip else m["content"]
+        if not inside:
+            inside = True
+            out.append("<s>[INST] " if bos_inside else "[INST] ")
         if m["role"] == "system":
-            system = m["content"]
+            out.append(f"<<SYS>>\n{content}\n<</SYS>>\n\n" if support_system
+                       else content + "\n")
         elif m["role"] == "user":
-            content = m["content"]
-            if system:
-                content = f"<<SYS>>\n{system}\n<</SYS>>\n\n{content}"
-                system = ""
-            out.append(f"[INST] {content} [/INST]")
+            out.append(content + " [/INST]")
         else:
-            # space_around_response variant + the closing </s>
-            # (llama_chat_apply_template_internal, src/llama.cpp:24135)
-            out.append(f" {m['content']} </s>")
+            sp = " " if space_around else ""
+            out.append(sp + content + sp + "</s>")
+            inside = False
     return "".join(out)
+
+
+def _llama2_from_tmpl(template: str):
+    """Bind the llama2 variant flags from the template text (the
+    tmpl_contains checks @24108-24114)."""
+    return lambda m, a: _llama2(
+        m, a,
+        support_system="<<SYS>>" in template,
+        space_around="' ' + eos_token" in template,
+        bos_inside="bos_token + '[INST]" in template,
+        strip="content.strip()" in template,
+    )
 
 
 def _phi3(messages, add_ass):
@@ -233,7 +252,13 @@ def _exaone3(messages, add_ass):
 
 
 _BUILTINS = {
-    "chatml": _chatml, "llama2": _llama2, "mistral": _llama2,
+    "chatml": _chatml,
+    # named "llama2" has no <<SYS>> marker to detect; named "mistral"
+    # forces system-message support (@24108)
+    "llama2": lambda m, a: _llama2(m, a, support_system=False,
+                                   space_around=False),
+    "mistral": lambda m, a: _llama2(m, a, support_system=True,
+                                    space_around=False),
     "llama3": _llama3, "phi3": _phi3, "zephyr": _zephyr, "monarch": _monarch,
     "gemma": _gemma, "gemma2": _gemma, "orion": _orion,
     "openchat": _openchat, "vicuna": _vicuna,
@@ -305,6 +330,8 @@ def apply_chat_template(
             # no jinja2 / render failure: detect a builtin from the template
             # text, like llama_chat_apply_template_internal does
             detected = detect_from_template(template)
+            if detected == "llama2":
+                return _llama2_from_tmpl(template)(msgs, add_generation_prompt)
             if detected:
                 return _BUILTINS[detected](msgs, add_generation_prompt)
     name = template if template in _BUILTINS else (detect_builtin(vocab) if vocab else "chatml")

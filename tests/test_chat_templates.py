@@ -105,3 +105,56 @@ def test_chatglm3():
     assert out == "[gMASK]sop<|user|>\n hi<|assistant|>"
     assert detect_from_template("... [gMASK]sop ...") == "chatglm3"
     assert detect_from_template("... [gMASK]<sop> ...") == "chatglm4"
+
+
+def test_llama2_variants_match_reference():
+    """The four llama2 template-content variants produce the reference's
+    exact strings (test-chat-template.cpp expectations for
+    Mistral-7B-Instruct-v0.2, mistralai official, and TheBloke vigogne)."""
+    from prima_tpu.server.chat import apply_chat_template
+
+    msgs = [
+        {"role": "system", "content": "You are a helpful assistant"},
+        {"role": "user", "content": "Hello"},
+        {"role": "assistant", "content": "Hi there"},
+        {"role": "user", "content": "Who are you"},
+        {"role": "assistant", "content": "   I am an assistant   "},
+        {"role": "user", "content": "Another question"},
+    ]
+    # Mistral-7B-Instruct-v0.2 (no <<SYS>>, no space around, no strip)
+    t_mistral = ("{{ bos_token }}{% for message in messages %}"
+                 "{% if message['role'] == 'user' %}{{ '[INST] ' + "
+                 "message['content'] + ' [/INST]' }}{% elif message['role']"
+                 " == 'assistant' %}{{ message['content'] + eos_token}}"
+                 "{% endif %}{% endfor %}")
+    want = ("[INST] You are a helpful assistant\nHello [/INST]Hi there</s>"
+            "[INST] Who are you [/INST]   I am an assistant   </s>"
+            "[INST] Another question [/INST]")
+    # force the non-jinja detection path (no jinja2 semantics needed here)
+    from prima_tpu.server import chat as chat_mod
+
+    got = chat_mod._llama2_from_tmpl(t_mistral)(msgs, True)
+    assert got == want
+
+    # mistralai official: <<SYS>> + bos inside history + space around
+    t_official = ("bos_token + '[INST] ' ... '<<SYS>>\\n' ... "
+                  "' '  + messages[idx]['content'] + ' ' + eos_token")
+    got = chat_mod._llama2(msgs, True, support_system=True,
+                           space_around=True, bos_inside=True)
+    want = ("[INST] <<SYS>>\nYou are a helpful assistant\n<</SYS>>\n\n"
+            "Hello [/INST] Hi there </s><s>[INST] Who are you [/INST]"
+            "    I am an assistant    </s><s>[INST] Another question [/INST]")
+    assert got == want
+
+    # vigogne: <<SYS>> + strip, no bos-inside, space around
+    got = chat_mod._llama2(msgs, True, support_system=True,
+                           space_around=True, strip=True)
+    want = ("[INST] <<SYS>>\nYou are a helpful assistant\n<</SYS>>\n\n"
+            "Hello [/INST] Hi there </s>[INST] Who are you [/INST]"
+            " I am an assistant </s>[INST] Another question [/INST]")
+    assert got == want
+
+    # named builtins: llama2 (no system support), single message
+    got = apply_chat_template([{"role": "user", "content": "How are you"}],
+                              template="llama2")
+    assert got == "[INST] How are you [/INST]"

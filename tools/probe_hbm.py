@@ -87,12 +87,55 @@ def main():
         ("pallas_u8_gbs", lambda: pallas_stream_gbs(jnp.uint8)),
         ("pallas_f32_gbs", lambda: pallas_stream_gbs(jnp.float32)),
         ("xla_f32_reduce_gbs", lambda: xla_reduce_gbs()),
+        ("qmm_indep_gbs", lambda: qmm_stream_gbs(chained=False)),
+        ("qmm_chained_gbs", lambda: qmm_stream_gbs(chained=True)),
     ]:
         t0 = time.perf_counter()
         report[name] = round(fn(), 1)
         print(f"[{name}] {report[name]} GB/s "
               f"({time.perf_counter()-t0:.1f}s)", flush=True)
     print(json.dumps(report))
+
+
+def qmm_stream_gbs(n_tensors=16, chained=False):
+    """Aggregate streaming rate of the fused Q4_K GEMV over n_tensors
+    DISTINCT ffn-shaped weights in one jit — no carry chain (unless
+    chained=True), so kernels pipeline back-to-back like a model layer."""
+    from prima_tpu.gguf.constants import GGMLType
+    from prima_tpu.models.llama import synth_qtensor_device
+    from prima_tpu.quant.pallas.qmatmul import qmatmul_pallas
+
+    n, k = 14336, 4096
+    qts = [synth_qtensor_device(jax.random.PRNGKey(i), n, k, GGMLType.Q4_K)
+           for i in range(n_tensors)]
+    jax.block_until_ready(qts[-1].qs)
+    qb = sum(a.size * a.dtype.itemsize for qt in qts
+             for a in (qt.qs, qt.scales, qt.mins, qt.d, qt.dmin)
+             if a is not None)
+
+    @jax.jit
+    def run_indep(x, *qts):
+        acc = jnp.float32(0)
+        for qt in qts:
+            acc += qmatmul_pallas(x, qt, out_dtype=jnp.float32).sum()
+        return acc
+
+    @jax.jit
+    def run_chain(x, *qts):
+        for qt in qts:
+            y = qmatmul_pallas(x, qt, out_dtype=jnp.float32)
+            x = y[..., :k] * 1e-3
+        return x.sum()
+
+    f = run_chain if chained else run_indep
+    x = jnp.ones((1, k), jnp.float32)
+    _ = float(f(x, *qts))
+    best = float("inf")
+    for _i in range(3):
+        t0 = time.perf_counter()
+        _ = float(f(x, *qts))
+        best = min(best, time.perf_counter() - t0)
+    return qb / best / 1e9
 
 
 if __name__ == "__main__":
