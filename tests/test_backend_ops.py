@@ -195,3 +195,167 @@ def test_yarn_freqs_match_hf():
                                  attn_factor=1.0)
     ours, _ = rope_freqs(c)
     np.testing.assert_allclose(np.asarray(ours), inv_hf.numpy(), rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Expanded op x type sweep (test-backend-ops.cpp's coverage philosophy:
+# every op on every backend path vs an independent high-precision reference)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("act", ["silu", "gelu", "relu2"])
+def test_gated_act_nmse(act):
+    from prima_tpu.ops.layers import gated_act
+
+    g = RNG.standard_normal((3, 64)).astype(np.float32)
+    u = RNG.standard_normal((3, 64)).astype(np.float32)
+    gf, uf = g.astype(np.float64), u.astype(np.float64)
+    if act == "silu":
+        want = gf / (1 + np.exp(-gf)) * uf
+        tol = 1e-12
+    elif act == "gelu":
+        # ggml tanh-approx gelu
+        want = 0.5 * gf * (1 + np.tanh(
+            np.sqrt(2 / np.pi) * (gf + 0.044715 * gf ** 3))) * uf
+        tol = 1e-9
+    else:
+        r = np.maximum(gf, 0)
+        want = r * r * uf
+        tol = 1e-12
+    got = gated_act(jnp.asarray(g), jnp.asarray(u), act)
+    assert nmse(got, want) < tol
+
+
+@pytest.mark.parametrize("with_bias", [True, False])
+def test_layer_norm_nmse(with_bias):
+    from prima_tpu.ops.layers import layer_norm
+
+    x = RNG.standard_normal((2, 5, 48)).astype(np.float32)
+    w = RNG.standard_normal(48).astype(np.float32)
+    b = RNG.standard_normal(48).astype(np.float32) if with_bias else None
+    eps = 1e-5
+    xf = x.astype(np.float64)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    want = (xf - mu) / np.sqrt(var + eps) * w.astype(np.float64)
+    if with_bias:
+        want = want + b.astype(np.float64)
+    got = layer_norm(jnp.asarray(x), jnp.asarray(w),
+                     jnp.asarray(b) if with_bias else None, eps)
+    assert nmse(got, want) < 1e-10
+
+
+def test_alibi_attention_nmse():
+    """ALiBi-biased attention vs an f64 reference with explicit -m*|i-j|."""
+    from prima_tpu.ops.layers import alibi_mask, alibi_slopes
+
+    b, s, t, h, d = 1, 2, 16, 8, 16
+    q = RNG.standard_normal((b, s, h, d)).astype(np.float32)
+    k = RNG.standard_normal((b, t, h, d)).astype(np.float32)
+    v = RNG.standard_normal((b, t, h, d)).astype(np.float32)
+    pos = np.asarray([[8, 9]], np.int32)
+    scale = 1.0 / np.sqrt(d)
+    slopes = alibi_slopes(h, 8.0)
+    got = gqa_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                        alibi_mask(jnp.asarray(pos), t), scale,
+                        slopes=jnp.asarray(slopes))
+
+    out = np.zeros((b, s, h, d))
+    for hi in range(h):
+        sc = (q[0, :, hi].astype(np.float64) @ k[0, :, hi].astype(np.float64).T) * scale
+        bias = -slopes[hi].astype(np.float64) * np.abs(
+            pos[0][:, None].astype(np.float64) - np.arange(t)[None, :])
+        sc = sc + bias
+        sc[np.arange(t)[None, :] > pos[0][:, None]] = -np.inf
+        sc -= sc.max(-1, keepdims=True)
+        p = np.exp(sc)
+        p /= p.sum(-1, keepdims=True)
+        out[0, :, hi] = p @ v[0, :, hi].astype(np.float64)
+    assert nmse(got, out) < 1e-10
+
+
+def test_softcap_attention_nmse():
+    """Gemma2-style attention logit softcapping: cap*tanh(score/cap)."""
+    b, s, t, h, d = 1, 2, 8, 2, 16
+    q = RNG.standard_normal((b, s, h, d)).astype(np.float32)
+    k = RNG.standard_normal((b, t, h, d)).astype(np.float32)
+    v = RNG.standard_normal((b, t, h, d)).astype(np.float32)
+    pos = np.asarray([[6, 7]], np.int32)
+    scale, cap = 0.25, 5.0
+    got = gqa_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                        causal_mask(jnp.asarray(pos), t), scale,
+                        logit_softcap=cap)
+
+    out = np.zeros((b, s, h, d))
+    for hi in range(h):
+        sc = (q[0, :, hi].astype(np.float64) @ k[0, :, hi].astype(np.float64).T) * scale
+        sc = cap * np.tanh(sc / cap)
+        sc[np.arange(t)[None, :] > pos[0][:, None]] = -np.inf
+        sc -= sc.max(-1, keepdims=True)
+        p = np.exp(sc)
+        p /= p.sum(-1, keepdims=True)
+        out[0, :, hi] = p @ v[0, :, hi].astype(np.float64)
+    assert nmse(got, out) < 1e-10
+
+
+def test_swa_mask():
+    """Sliding-window attention mask admits only the last `window` cells."""
+    m = np.asarray(causal_mask(jnp.asarray([[10]], np.int32), 16,
+                               swa_window=4))
+    visible = np.isfinite(m[0, 0, 0]) & (m[0, 0, 0] == 0)
+    want = np.zeros(16, bool)
+    want[7:11] = True  # positions within the window of pos=10
+    np.testing.assert_array_equal(visible, want)
+
+
+@pytest.mark.parametrize("t", [GGMLType.Q4_K, GGMLType.Q6_K, GGMLType.Q8_0,
+                               GGMLType.IQ4_XS],
+                         ids=lambda t: t.name)
+@pytest.mark.parametrize("shape", [(8, 256, 1), (64, 1024, 7), (16, 512, 16)],
+                         ids=["tiny", "oddbatch", "gemm"])
+def test_qmatmul_shape_sweep(t, shape):
+    """Shape x type sweep incl. GEMM-width batches and non-multiple-of-8
+    batch sizes (the padding path)."""
+    from prima_tpu.quant.device_format import to_device_format
+    from prima_tpu.quant.dequant_jax import QTensor, qmatmul_xla
+    from prima_tpu.quant.dequant_np import dequantize
+    from prima_tpu.quant.pallas.qmatmul import qmatmul_pallas
+    from prima_tpu.quant.quantize_np import quantize
+
+    n, k, b = shape
+    w = (RNG.standard_normal((n, k)) * 0.05).astype(np.float32)
+    raw = quantize(w, t)
+    qt = QTensor.from_host(to_device_format(raw, t, k))
+    x = RNG.standard_normal((b, k)).astype(np.float32)
+    w_deq = dequantize(raw, t, k).astype(np.float64)
+    want = x.astype(np.float64) @ w_deq.T
+    for fn in (qmatmul_xla, qmatmul_pallas):
+        got = fn(jnp.asarray(x), qt)
+        assert nmse(got, want) < 1e-9, fn.__name__
+
+
+def test_kv_quant_int4_nmse():
+    from prima_tpu.ops.kvquant import quantize_kv4
+
+    x = RNG.standard_normal((2, 16, 4, 64)).astype(np.float32)
+    q, s = quantize_kv4(jnp.asarray(x))
+    # split-halves packing with +8 offset: lo nibble = d[:D/2], hi = d[D/2:]
+    qb = np.asarray(q).astype(np.uint8)
+    lo = (qb & 0x0F).astype(np.int32) - 8
+    hi = (qb >> 4).astype(np.int32) - 8
+    deq = np.concatenate([lo, hi], axis=-1).astype(np.float64)
+    got = deq * np.asarray(s, np.float64)
+    assert nmse(got, x.astype(np.float64)) < 5e-2  # int4 noise
+
+
+def test_rope_yarn_mscale_applied():
+    """YaRN attention magnitude scale multiplies cos/sin."""
+    b, s, h, d = 1, 2, 1, 8
+    x = RNG.standard_normal((b, s, h, d)).astype(np.float32)
+    pos = np.asarray([[5, 6]], np.int32)
+    inv = (1.0 / 10000.0 ** (np.arange(0, d // 2) * 2.0 / d)).astype(np.float32)
+    base = np.asarray(apply_rope(jnp.asarray(x), jnp.asarray(pos),
+                                 jnp.asarray(inv), RopeType.NEOX, 1.0))
+    scaled = np.asarray(apply_rope(jnp.asarray(x), jnp.asarray(pos),
+                                   jnp.asarray(inv), RopeType.NEOX, 1.25))
+    np.testing.assert_allclose(scaled, base * 1.25, rtol=1e-5, atol=1e-6)
