@@ -72,6 +72,8 @@ class ModelConfig:
     pos_embd: bool = False  # gpt2/starcoder: learned position embeddings
     alibi_max_bias: float = 0.0  # bloom/mpt: ALiBi attention biases
     tok_embd_norm: bool = False  # bloom: LayerNorm right after the embedding
+    qk_norm_head: bool = False  # chameleon: per-head LayerNorm on q/k
+    swin_norm: bool = False  # chameleon variant: post-norm placement
 
     @property
     def n_embd_k_gqa(self) -> int:
@@ -89,7 +91,9 @@ class ModelConfig:
                         "olmo", "command-r", "phi2", "stablelm", "gptneox",
                         "falcon", "gpt2", "starcoder", "granite", "nemotron",
                         "olmoe", "bloom", "mpt", "gptj", "dbrx",
-                        "granitemoe", "xverse", "exaone", "orion"):
+                        "granitemoe", "xverse", "exaone", "orion",
+                        "baichuan", "refact", "plamo", "codeshell", "jais",
+                        "chatglm", "chameleon"):
             raise NotImplementedError(
                 f"arch {arch!r} is not in the decoder arch table (see "
                 "PARITY.md for the full list; mamba/t5/bert load through "
@@ -243,6 +247,39 @@ class ModelConfig:
             extra["norm_type"] = "ln"
             extra["parallel_block"] = True
             extra["logit_scale"] = float(g("{arch}.logit_scale", 1.0) or 1.0)
+        if arch == "baichuan" and n_layers >= 40:
+            # Baichuan-13B: ALiBi instead of rope (build_baichuan MODEL_13B
+            # branch, src/llama.cpp:11271; f_max_alibi_bias=8 @6010)
+            extra["alibi_max_bias"] = 8.0
+        if arch == "refact":
+            # no rope, ALiBi 8 (build_refact; rope table LLAMA_ROPE_TYPE_NONE)
+            extra["alibi_max_bias"] = 8.0
+        if arch == "plamo":
+            # parallel attn+ffn sharing the attention norm (build_plamo:
+            # ffn input = attention_norm output, no ffn_norm tensor)
+            extra["parallel_block"] = True
+        if arch == "codeshell":
+            # LN norms with bias, fused qkv, NEOX rope, plain GELU MLP
+            # (build_codeshell, src/llama.cpp:13522)
+            extra["norm_type"] = "ln"
+            extra["ffn_gated"] = False
+            extra["act"] = "gelu"
+        if arch == "jais":
+            # no rope + ALiBi, LN norms, fused qkv, 1/head_dim attention
+            # scale, gated SILU ffn with biases (build_jais @16163)
+            extra["norm_type"] = "ln"
+            extra["alibi_max_bias"] = 8.0
+            extra["attn_scale"] = 1.0 / head_dim
+        if arch == "chatglm":
+            # fused qkv+bias, partial NORM rope, ffn_up holds [gate|up]
+            # (LLM_FFN_SWIGLU split, build_chatglm @16255)
+            extra["act"] = "swiglu_split"
+            extra["ffn_gated"] = False
+        if arch == "chameleon":
+            # per-head q/k LayerNorms before rope; optional swin (post)
+            # norm placement (build_chameleon @16734)
+            extra["qk_norm_head"] = True
+            extra["swin_norm"] = bool(g("{arch}.swin_norm", False))
         n_expert = int(g("{arch}.expert_count", 0) or 0)
         if n_expert:
             extra["n_expert"] = n_expert
@@ -261,12 +298,15 @@ class ModelConfig:
             rms_eps=float(g("{arch}.attention.layer_norm_rms_epsilon",
                             g("{arch}.attention.layer_norm_epsilon", 1e-5))),
             rope_base=float(g("{arch}.rope.freq_base", 10000.0)),
-            rope_dim=(0 if arch in ("gpt2", "starcoder", "bloom", "mpt")
+            rope_dim=(0 if arch in ("gpt2", "starcoder", "bloom", "mpt",
+                                    "refact", "jais")
+                      or (arch == "baichuan" and n_layers >= 40)
                       else rope_dim),
             rope_type=(RopeType.NORM
                        if arch in ("llama", "internlm2", "minicpm", "olmo",
                                    "command-r", "granite", "granitemoe",
-                                   "gptj", "xverse", "orion")
+                                   "gptj", "xverse", "orion", "baichuan",
+                                   "plamo", "chatglm", "chameleon")
                        else RopeType.NEOX),
             rope_scaling=scaling,
             qkv_bias=arch in ("qwen2", "qwen2moe", "starcoder2", "phi2"),

@@ -256,10 +256,13 @@ def load_params(
             layer["bv"] = get(p + "attn_v.bias", dense=True)
         for bname, key in (("attn_q_norm.weight", "attn_q_norm"),
                            ("attn_k_norm.weight", "attn_k_norm"),
+                           ("attn_q_norm.bias", "attn_q_norm_b"),
+                           ("attn_k_norm.bias", "attn_k_norm_b"),
                            ("attn_norm.bias", "attn_norm_b"),
                            ("ffn_norm.bias", "ffn_norm_b"),
                            ("attn_output.bias", "bo"),
                            ("ffn_up.bias", "b_up"),
+                           ("ffn_gate.bias", "b_gate"),
                            ("ffn_down.bias", "b_down")):
             b = get(p + bname, dense=True, required=False)
             if b is not None:
@@ -734,12 +737,22 @@ def attention_block(
     if cfg.clamp_kqv:  # olmo (build_olmo ggml_clamp)
         c = np.float32(cfg.clamp_kqv)
         q, k, v = (jnp.clip(a, -c, c) for a in (q, k, v))
-    if layer.get("attn_q_norm") is not None:  # olmoe: RMS over the full
-        q = rms_norm(q, layer["attn_q_norm"], cfg.rms_eps)  # q/k vectors
+    if layer.get("attn_q_norm") is not None and not cfg.qk_norm_head:
+        # olmoe: RMS over the full q/k vectors
+        q = rms_norm(q, layer["attn_q_norm"], cfg.rms_eps)
         k = rms_norm(k, layer["attn_k_norm"], cfg.rms_eps)
     q = q.reshape(b, s, h, hd)
     k = k.reshape(b, s, kvh, hd)
     v = v.reshape(b, s, kvh, hd)
+    if cfg.qk_norm_head and layer.get("attn_q_norm") is not None:
+        # chameleon: per-head LayerNorm on q/k BEFORE rope
+        # (build_chameleon, src/llama.cpp:16771-16791)
+        from ..ops.layers import layer_norm
+
+        q = layer_norm(q, layer["attn_q_norm"], layer.get("attn_q_norm_b"),
+                       cfg.rms_eps)
+        k = layer_norm(k, layer["attn_k_norm"], layer.get("attn_k_norm_b"),
+                       cfg.rms_eps)
     if cfg.rope_dim:  # gpt2/starcoder: learned positions, no rope
         q = apply_rope(q, positions, inv_freq, cfg.rope_type, mscale)
         k = apply_rope(k, positions, inv_freq, cfg.rope_type, mscale)
@@ -815,7 +828,13 @@ def ffn_block(layer: dict, x: jax.Array, opts: ForwardOptions,
         up = up + layer["b_up"].astype(up.dtype)
     if gated:
         gate = linear_l(layer, "w_gate", x, opts.matmul_impl)
+        if layer.get("b_gate") is not None:  # jais: biased gate projection
+            gate = gate + layer["b_gate"].astype(gate.dtype)
         act = gated_act(gate, up, act_fn)
+    elif act_fn == "swiglu_split":
+        # chatglm LLM_FFN_SWIGLU: ffn_up holds [gate | up] halves
+        nf = up.shape[-1] // 2
+        act = gated_act(up[..., :nf], up[..., nf:], "silu")
     else:  # plain MLP (starcoder2): act(up) with ggml's tanh-approx GELU
         act = gated_act(up, jnp.ones((), up.dtype), act_fn)
     if taps is not None:
@@ -898,8 +917,10 @@ def decode_layer(
     taps: dict | None = None,
     tap_prefix: str = "",
 ):
-    attn_in = model_norm(x, layer.get("attn_norm"), layer.get("attn_norm_b"),
-                         cfg)
+    # chameleon swin_norm variant: the norm moves to the branch OUTPUT
+    # (build_chameleon hparams.swin_norm, src/llama.cpp:16752-16756)
+    attn_in = x if cfg.swin_norm else model_norm(
+        x, layer.get("attn_norm"), layer.get("attn_norm_b"), cfg)
     attn_out, kv = attention_block(
         layer, cfg, attn_in, positions, kv, cache_pos, mask, inv_freq, mscale, opts,
         mask_pos=mask_pos, taps=taps, tap_prefix=tap_prefix,
@@ -920,10 +941,14 @@ def decode_layer(
         return x, kv
     if cfg.post_norms:  # gemma2: norm the branch output before the residual
         attn_out = rms_norm(attn_out, layer["attn_post_norm"], cfg.rms_eps)
+    if cfg.swin_norm:  # chameleon: post-norm with the SAME attn_norm weights
+        attn_out = model_norm(attn_out, layer.get("attn_norm"),
+                              layer.get("attn_norm_b"), cfg)
     if cfg.residual_scale != 1.0:  # minicpm scale_depth/sqrt(n_layer)
         attn_out = attn_out * np.float32(cfg.residual_scale)
     x = x + attn_out
-    ffn_in = model_norm(x, layer.get("ffn_norm"), layer.get("ffn_norm_b"), cfg)
+    ffn_in = x if cfg.swin_norm else model_norm(
+        x, layer.get("ffn_norm"), layer.get("ffn_norm_b"), cfg)
     if cfg.n_expert and layer.get("ffn_gate_inp") is not None:
         ffn_out = moe_ffn(layer, cfg, ffn_in, opts)
     else:
@@ -932,6 +957,9 @@ def decode_layer(
                             tap_prefix=tap_prefix)
     if cfg.post_norms:
         ffn_out = rms_norm(ffn_out, layer["ffn_post_norm"], cfg.rms_eps)
+    if cfg.swin_norm:
+        ffn_out = model_norm(ffn_out, layer.get("ffn_norm"),
+                             layer.get("ffn_norm_b"), cfg)
     if cfg.residual_scale != 1.0:
         ffn_out = ffn_out * np.float32(cfg.residual_scale)
     x = x + ffn_out

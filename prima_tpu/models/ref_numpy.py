@@ -50,9 +50,24 @@ def rope(x, positions, base, rope_dim, rope_type):
     return y.astype(np.float32)
 
 
+def _alibi_slopes_np(n_heads: int, max_bias: float) -> np.ndarray:
+    import math
+
+    n_log2 = 1 << int(math.floor(math.log2(n_heads)))
+    m0 = 2.0 ** (-max_bias / n_log2)
+    m1 = 2.0 ** (-max_bias / 2.0 / n_log2)
+    hidx = np.arange(n_heads)
+    return np.where(hidx < n_log2, m0 ** (hidx + 1),
+                    m1 ** (2 * (hidx - n_log2) + 1))
+
+
 def forward_np(weights: dict, cfg: ModelConfig, tokens: np.ndarray) -> np.ndarray:
     """weights: dict of dense f32 arrays keyed by GGUF tensor names.
-    tokens: (b, s). Returns logits (b, s, vocab). Full-sequence prefill."""
+    tokens: (b, s). Returns logits (b, s, vocab). Full-sequence prefill.
+
+    Covers the decoder families the JAX forward supports: rope/ALiBi,
+    LN/RMS norms (with biases), fused qkv, parallel blocks, per-head q/k
+    norms, swin (post) norm placement, gated/plain/split-gate FFNs."""
     b, s = tokens.shape
     h, kvh, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
     x = weights["token_embd.weight"][tokens]  # (b, s, e)
@@ -60,6 +75,9 @@ def forward_np(weights: dict, cfg: ModelConfig, tokens: np.ndarray) -> np.ndarra
         x = x * np.float32(cfg.embd_scale)
     positions = np.broadcast_to(np.arange(s, dtype=np.float64), (b, s))
     rscale = np.float32(cfg.residual_scale)
+    scale = cfg.attn_scale or 1.0 / np.sqrt(hd)
+    slopes = (_alibi_slopes_np(h, cfg.alibi_max_bias)
+              if cfg.alibi_max_bias else None)
 
     def norm(v, wkey):
         if cfg.norm_type == "ln":
@@ -69,38 +87,98 @@ def forward_np(weights: dict, cfg: ModelConfig, tokens: np.ndarray) -> np.ndarra
 
     for i in range(cfg.n_layers):
         p = f"blk.{i}."
-        xin = norm(x, p + "attn_norm.weight")
-        q = xin @ weights[p + "attn_q.weight"].T
-        k = xin @ weights[p + "attn_k.weight"].T
-        v = xin @ weights[p + "attn_v.weight"].T
-        if cfg.qkv_bias:
-            q = q + weights[p + "attn_q.bias"]
-            k = k + weights[p + "attn_k.bias"]
-            v = v + weights[p + "attn_v.bias"]
+        xin = x if cfg.swin_norm else norm(x, p + "attn_norm.weight")
+        if (p + "attn_qkv.weight") in weights:
+            qkv = xin @ weights[p + "attn_qkv.weight"].T
+            if (p + "attn_qkv.bias") in weights:
+                qkv = qkv + weights[p + "attn_qkv.bias"]
+            nq, nk = h * hd, kvh * hd
+            q, k, v = qkv[..., :nq], qkv[..., nq:nq + nk], qkv[..., nq + nk:]
+        else:
+            q = xin @ weights[p + "attn_q.weight"].T
+            k = xin @ weights[p + "attn_k.weight"].T
+            v = xin @ weights[p + "attn_v.weight"].T
+            if cfg.qkv_bias:
+                q = q + weights[p + "attn_q.bias"]
+                k = k + weights[p + "attn_k.bias"]
+                v = v + weights[p + "attn_v.bias"]
         q = q.reshape(b, s, h, hd)
         k = k.reshape(b, s, kvh, hd)
         v = v.reshape(b, s, kvh, hd)
-        q = rope(q, positions, cfg.rope_base, cfg.rope_dim, cfg.rope_type)
-        k = rope(k, positions, cfg.rope_base, cfg.rope_dim, cfg.rope_type)
+        if cfg.qk_norm_head and (p + "attn_q_norm.weight") in weights:
+            q = layer_norm(q, weights[p + "attn_q_norm.weight"],
+                           weights.get(p + "attn_q_norm.bias"), cfg.rms_eps)
+            k = layer_norm(k, weights[p + "attn_k_norm.weight"],
+                           weights.get(p + "attn_k_norm.bias"), cfg.rms_eps)
+        if cfg.rope_dim:
+            q = rope(q, positions, cfg.rope_base, cfg.rope_dim, cfg.rope_type)
+            k = rope(k, positions, cfg.rope_base, cfg.rope_dim, cfg.rope_type)
         group = h // kvh
         qg = q.reshape(b, s, kvh, group, hd)
-        scores = np.einsum("bsngh,btnh->bngst", qg, k) / np.sqrt(hd)
+        scores = np.einsum("bsngh,btnh->bngst", qg, k) * scale
+        if slopes is not None:
+            dist = -np.abs(np.arange(s)[:, None] - np.arange(s)[None, :])
+            bias = slopes.reshape(kvh, group, 1, 1) * dist[None, None]
+            scores = scores + bias[None]
         mask = np.triu(np.full((s, s), -np.inf), 1)
         scores = scores + mask
         scores = scores - scores.max(axis=-1, keepdims=True)
         probs = np.exp(scores)
         probs /= probs.sum(axis=-1, keepdims=True)
         attn = np.einsum("bngst,btnh->bsngh", probs, v).reshape(b, s, h * hd)
-        x = x + rscale * (attn @ weights[p + "attn_output.weight"].T)
+        attn_out = attn @ weights[p + "attn_output.weight"].T
+        if (p + "attn_output.bias") in weights:
+            attn_out = attn_out + weights[p + "attn_output.bias"]
+        if cfg.swin_norm:
+            attn_out = norm(attn_out, p + "attn_norm.weight")
 
-        xin = norm(x, p + "ffn_norm.weight")
-        gate = xin @ weights[p + "ffn_gate.weight"].T
-        up = xin @ weights[p + "ffn_up.weight"].T
-        act = gate / (1.0 + np.exp(-gate)) * up
-        x = x + rscale * (act @ weights[p + "ffn_down.weight"].T)
+        if cfg.parallel_block:
+            # plamo/command-r: ffn off the shared attention norm (or its
+            # own ffn_norm when present), residual added once
+            fin = (norm(x, p + "ffn_norm.weight")
+                   if (p + "ffn_norm.weight") in weights else xin)
+            ffn_out = _ffn_np(weights, p, cfg, fin)
+            x = x + rscale * attn_out + rscale * ffn_out
+            continue
+
+        x = x + rscale * attn_out
+        fin = x if cfg.swin_norm else norm(x, p + "ffn_norm.weight")
+        ffn_out = _ffn_np(weights, p, cfg, fin)
+        if cfg.swin_norm:
+            ffn_out = norm(ffn_out, p + "ffn_norm.weight")
+        x = x + rscale * ffn_out
 
     x = norm(x, "output_norm.weight")
     if cfg.logit_scale != 1.0:
         x = x * np.float32(cfg.logit_scale)
     w_out = weights.get("output.weight", weights["token_embd.weight"])
     return x @ w_out.T
+
+
+def _gelu_tanh(v):
+    return 0.5 * v * (1.0 + np.tanh(
+        np.sqrt(2.0 / np.pi) * (v + 0.044715 * v ** 3)))
+
+
+def _ffn_np(weights: dict, p: str, cfg: ModelConfig, fin: np.ndarray):
+    up = fin @ weights[p + "ffn_up.weight"].T
+    if (p + "ffn_up.bias") in weights:
+        up = up + weights[p + "ffn_up.bias"]
+    if cfg.ffn_gated and (p + "ffn_gate.weight") in weights:
+        gate = fin @ weights[p + "ffn_gate.weight"].T
+        if (p + "ffn_gate.bias") in weights:
+            gate = gate + weights[p + "ffn_gate.bias"]
+        gf = gate.astype(np.float64)
+        act = (_gelu_tanh(gf) if cfg.act == "gelu"
+               else gf / (1.0 + np.exp(-gf))) * up
+    elif cfg.act == "swiglu_split":
+        nf = up.shape[-1] // 2
+        a = up[..., :nf].astype(np.float64)
+        act = a / (1.0 + np.exp(-a)) * up[..., nf:]
+    else:
+        uf = up.astype(np.float64)
+        act = _gelu_tanh(uf) if cfg.act == "gelu" else np.maximum(uf, 0)
+    out = act.astype(np.float32) @ weights[p + "ffn_down.weight"].T
+    if (p + "ffn_down.bias") in weights:
+        out = out + weights[p + "ffn_down.bias"]
+    return out
