@@ -110,6 +110,12 @@ def load_bert_params(m: GGUFModel, cfg: BertConfig, dtype=jnp.float32) -> dict:
             "out_norm": get(p + "layer_output_norm.weight", dense=True),
             "out_norm_b": get(p + "layer_output_norm.bias", dense=True),
         })
+    # optional classification / rank head (LLM_TENSOR_CLS / CLS_OUT —
+    # reranker models; reference RANK pooling src/llama.cpp:10919-10940)
+    params["cls"] = get("cls.weight", dense=True, required=False)
+    params["cls_b"] = get("cls.bias", dense=True, required=False)
+    params["cls_out"] = get("cls.output.weight", dense=True, required=False)
+    params["cls_out_b"] = get("cls.output.bias", dense=True, required=False)
     return params
 
 
@@ -200,3 +206,38 @@ class BertModelRuntime:
                 vec = vec / (np.linalg.norm(vec) + 1e-8)
             out.append(vec)
         return np.stack(out)
+
+    @property
+    def has_rank_head(self) -> bool:
+        return self.params.get("cls") is not None
+
+    def rerank(self, query: str, documents: list[str],
+               matmul_impl: str = "xla") -> np.ndarray:
+        """Relevance scores via the classification head (RANK pooling,
+        reference src/llama.cpp:10919-10940): the pair is encoded as
+        [BOS]query[EOS][SEP]doc[EOS] (server.cpp:2164-2177), the CLS
+        hidden goes through cls->tanh->cls_out. Falls back to cosine
+        similarity of pooled embeddings when no head is present."""
+        if not self.has_rank_head:
+            qv = self.embed([query])[0]
+            dv = self.embed(documents)
+            return dv @ qv
+        v = self.tokenizer.vocab
+        bos = v.cls_id if v.cls_id >= 0 else v.bos_id
+        sep = v.sep_id if v.sep_id >= 0 else v.eos_id
+        eos = sep  # WPM models: llama_token_eos resolves to [SEP]
+        scores = []
+        for doc in documents:
+            ids = ([bos] + self.tokenizer.encode(query, add_special=False)
+                   + [eos, sep]
+                   + self.tokenizer.encode(doc, add_special=False) + [eos])
+            toks = jnp.asarray(np.asarray(ids, np.int32)[None])
+            hidden = bert_forward(self.params, self.cfg, toks,
+                                  matmul_impl=matmul_impl)
+            h = hidden[:, 0]  # CLS token
+            s = jnp.tanh(h @ self.params["cls"].T
+                         + self.params["cls_b"])
+            if self.params.get("cls_out") is not None:
+                s = s @ self.params["cls_out"].T + self.params["cls_out_b"]
+            scores.append(float(np.asarray(s)[0, 0]))
+        return np.asarray(scores, np.float32)

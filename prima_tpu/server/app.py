@@ -534,10 +534,25 @@ def serve_embeddings(rt, host: str = "127.0.0.1", port: int = 8080,
             return self._json(404, {"error": "not found"})
 
         def do_POST(self):
-            if self.path not in ("/v1/embeddings", "/embeddings", "/embedding"):
-                return self._json(404, {"error": "not found"})
             n = int(self.headers.get("Content-Length", 0))
             body = json.loads(self.rfile.read(n) or b"{}")
+            if self.path in ("/v1/rerank", "/rerank", "/v1/reranking"):
+                # rank-head scoring when the model carries a classifier
+                # (reference RANK pooling); cosine fallback otherwise
+                query = body.get("query", "")
+                docs = list(body.get("documents") or [])
+                scores = rt.rerank(query, docs)
+                order = sorted(range(len(docs)), key=lambda i: -scores[i])
+                top_n = int(body.get("top_n", len(docs)) or len(docs))
+                return self._json(200, {
+                    "model": alias, "object": "list",
+                    "results": [{"index": i,
+                                 "relevance_score": float(scores[i])}
+                                for i in order[:top_n]],
+                    "usage": {"prompt_tokens": 0, "total_tokens": 0},
+                })
+            if self.path not in ("/v1/embeddings", "/embeddings", "/embedding"):
+                return self._json(404, {"error": "not found"})
             inputs = body.get("input") or body.get("content") or ""
             if isinstance(inputs, str):
                 inputs = [inputs]

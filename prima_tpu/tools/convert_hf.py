@@ -138,6 +138,12 @@ _BERT_MAP = [
     ("embeddings.position_embeddings.weight", "position_embd.weight"),
     ("embeddings.LayerNorm.weight", "token_embd_norm.weight"),
     ("embeddings.LayerNorm.bias", "token_embd_norm.bias"),
+    # reranker classification head (BertForSequenceClassification: the
+    # pooler dense -> tanh -> classifier; GGUF LLM_TENSOR_CLS / CLS_OUT)
+    ("pooler.dense.weight", "cls.weight"),
+    ("pooler.dense.bias", "cls.bias"),
+    ("classifier.weight", "cls.output.weight"),
+    ("classifier.bias", "cls.output.bias"),
 ]
 _BERT_LAYER_MAP = [
     ("attention.self.query.weight", "attn_q.weight"),

@@ -143,3 +143,91 @@ def test_retrieval_tool(bert_gguf, tmp_path, capsys):
     assert len(hits) == 2
     assert hits[0][0] >= hits[1][0]
     assert all(-1.001 <= s <= 1.001 for s, _ in hits)
+
+
+def test_rerank_rank_head(tmp_path):
+    """Rank-head rerank (reference RANK pooling, src/llama.cpp:10919-10940)
+    vs transformers BertForSequenceClassification on the same pair
+    encoding [BOS]q[EOS][SEP]doc[EOS]."""
+    d = str(tmp_path / "rr")
+    os.makedirs(d)
+    cfg = transformers.BertConfig(
+        vocab_size=64, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64, layer_norm_eps=1e-12,
+        hidden_act="gelu", num_labels=1,
+    )
+    torch.manual_seed(1)
+    model = transformers.BertForSequenceClassification(cfg)
+    model.eval()
+    model.save_pretrained(d, safe_serialization=True)
+    _write_bert_tokenizer_json(d, cfg.vocab_size)
+
+    from prima_tpu.models.bert import BertModelRuntime
+    from prima_tpu.tools.convert_hf import convert_hf_to_gguf
+
+    dst = os.path.join(d, "rr.gguf")
+    convert_hf_to_gguf(d, dst, "F32", logfile=open(os.devnull, "w"))
+    rt = BertModelRuntime.load(dst)
+    assert rt.has_rank_head
+
+    query, docs = "a b", ["c d e", "f"]
+    scores = rt.rerank(query, docs)
+    assert scores.shape == (2,)
+
+    # torch reference on the identical token ids
+    v = rt.tokenizer.vocab
+    bos = v.cls_id if v.cls_id >= 0 else v.bos_id
+    sep = v.sep_id if v.sep_id >= 0 else v.eos_id
+    for i, doc in enumerate(docs):
+        ids = ([bos] + rt.tokenizer.encode(query, add_special=False)
+               + [sep, sep] + rt.tokenizer.encode(doc, add_special=False)
+               + [sep])
+        with torch.no_grad():
+            want = model(torch.tensor([ids])).logits[0, 0].item()
+        np.testing.assert_allclose(scores[i], want, rtol=2e-4, atol=2e-4)
+
+
+def test_rerank_endpoint_rank_head(tmp_path):
+    """/v1/rerank on the embeddings server uses the rank head."""
+    import http.client
+    import json as _json
+    import threading
+
+    d = str(tmp_path / "rrs")
+    os.makedirs(d)
+    cfg = transformers.BertConfig(
+        vocab_size=64, hidden_size=32, num_hidden_layers=1,
+        num_attention_heads=4, intermediate_size=64,
+        max_position_embeddings=64, layer_norm_eps=1e-12,
+        hidden_act="gelu", num_labels=1,
+    )
+    torch.manual_seed(2)
+    model = transformers.BertForSequenceClassification(cfg)
+    model.save_pretrained(d, safe_serialization=True)
+    _write_bert_tokenizer_json(d, cfg.vocab_size)
+
+    from prima_tpu.models.bert import BertModelRuntime
+    from prima_tpu.server.app import serve_embeddings
+    from prima_tpu.tools.convert_hf import convert_hf_to_gguf
+
+    dst = os.path.join(d, "rr.gguf")
+    convert_hf_to_gguf(d, dst, "F32", logfile=open(os.devnull, "w"))
+    rt = BertModelRuntime.load(dst)
+    httpd = serve_embeddings(rt, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("POST", "/v1/rerank",
+                     _json.dumps({"query": "a", "documents": ["b c", "d"]}),
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        out = _json.loads(resp.read())
+        conn.close()
+        assert resp.status == 200
+        assert len(out["results"]) == 2
+        assert {"index", "relevance_score"} <= set(out["results"][0])
+    finally:
+        httpd.shutdown()
