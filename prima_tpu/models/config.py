@@ -74,6 +74,7 @@ class ModelConfig:
     tok_embd_norm: bool = False  # bloom: LayerNorm right after the embedding
     qk_norm_head: bool = False  # chameleon: per-head LayerNorm on q/k
     swin_norm: bool = False  # chameleon variant: post-norm placement
+    moe_parallel_dense: bool = False  # arctic: dense FFN + parallel MoE
 
     @property
     def n_embd_k_gqa(self) -> int:
@@ -93,7 +94,7 @@ class ModelConfig:
                         "olmoe", "bloom", "mpt", "gptj", "dbrx",
                         "granitemoe", "xverse", "exaone", "orion",
                         "baichuan", "refact", "plamo", "codeshell", "jais",
-                        "chatglm", "chameleon"):
+                        "chatglm", "chameleon", "grok", "arctic"):
             raise NotImplementedError(
                 f"arch {arch!r} is not in the decoder arch table (see "
                 "PARITY.md for the full list; mamba/t5/bert load through "
@@ -275,6 +276,21 @@ class ModelConfig:
             # (LLM_FFN_SWIGLU split, build_chatglm @16255)
             extra["act"] = "swiglu_split"
             extra["ffn_gated"] = False
+        if arch == "grok":
+            # build_grok (src/llama.cpp:11558): scaled embeddings, tanh
+            # attention softcap (llm_build_kqv @10106-10118), GELU MoE,
+            # post attn/ffn norms (attn_out_norm / layer_out_norm),
+            # 1/sqrt(3) logit multiplier
+            extra["act"] = "gelu"
+            extra["embd_scale"] = 78.38367176906169
+            extra["attn_scale"] = 0.08838834764831845
+            extra["attn_logit_softcap"] = 30.0
+            extra["logit_scale"] = 0.5773502691896257
+            extra["post_norms"] = True
+        if arch == "arctic":
+            # build_arctic (@15316): dense FFN residual + PARALLEL MoE
+            # branch normed from the LAYER INPUT (ffn_norm_exps)
+            extra["moe_parallel_dense"] = True
         if arch == "chameleon":
             # per-head q/k LayerNorms before rope; optional swin (post)
             # norm placement (build_chameleon @16734)
@@ -306,7 +322,7 @@ class ModelConfig:
                        if arch in ("llama", "internlm2", "minicpm", "olmo",
                                    "command-r", "granite", "granitemoe",
                                    "gptj", "xverse", "orion", "baichuan",
-                                   "plamo", "chatglm", "chameleon")
+                                   "plamo", "chatglm", "chameleon", "arctic")
                        else RopeType.NEOX),
             rope_scaling=scaling,
             qkv_bias=arch in ("qwen2", "qwen2moe", "starcoder2", "phi2"),

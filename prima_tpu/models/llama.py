@@ -225,6 +225,12 @@ def load_params(
                 layer["ffn_up_shexp"] = get(p + "ffn_up_shexp.weight")
                 layer["ffn_down_shexp"] = get(p + "ffn_down_shexp.weight")
             layer["w_gate"] = layer["w_up"] = layer["w_down"] = None
+            if cfg.moe_parallel_dense:  # arctic: dense FFN rides alongside
+                layer["w_gate"] = get(p + "ffn_gate.weight", required=False)
+                layer["w_up"] = get(p + "ffn_up.weight", required=False)
+                layer["w_down"] = get(p + "ffn_down.weight", required=False)
+                layer["ffn_norm_exps"] = get(p + "ffn_norm_exps.weight",
+                                             dense=True, required=False)
         elif not cfg.ffn_gated:
             # starcoder2: plain up -> act -> down MLP, no gate projection
             layer["w_gate"] = None
@@ -240,9 +246,20 @@ def load_params(
             layer["w_gate"] = get(p + "ffn_gate.weight")
             layer["w_up"] = get(p + "ffn_up.weight")
             layer["w_down"] = get(p + "ffn_down.weight")
-        if cfg.post_norms:  # gemma2
-            layer["attn_post_norm"] = get(p + "post_attention_norm.weight", dense=True)
-            layer["ffn_post_norm"] = get(p + "post_ffw_norm.weight", dense=True)
+        if cfg.post_norms:  # gemma2 / grok (different tensor names)
+            layer["attn_post_norm"] = get(p + "post_attention_norm.weight",
+                                          dense=True, required=False)
+            if layer["attn_post_norm"] is None:
+                layer["attn_post_norm"] = get(p + "attn_out_norm.weight",
+                                              dense=True, required=False)
+            layer["ffn_post_norm"] = get(p + "post_ffw_norm.weight",
+                                         dense=True, required=False)
+            if layer["ffn_post_norm"] is None:
+                layer["ffn_post_norm"] = get(p + "layer_output_norm.weight",
+                                             dense=True, required=False)
+            if layer["ffn_post_norm"] is None:
+                layer["ffn_post_norm"] = get(p + "layer_out_norm.weight",
+                                             dense=True, required=False)
         if (p + "attn_qkv.bias") in t:  # phi2: fused qkv bias
             bqkv = np.asarray(_to_device_tensor(t[p + "attn_qkv.bias"],
                                                 dtype, True))
@@ -939,13 +956,30 @@ def decode_layer(
         if layer.get("cvec") is not None:
             x = x + layer["cvec"].astype(x.dtype)
         return x, kv
-    if cfg.post_norms:  # gemma2: norm the branch output before the residual
+    if cfg.post_norms and layer.get("attn_post_norm") is not None:
+        # gemma2/grok: norm the branch output before the residual
         attn_out = rms_norm(attn_out, layer["attn_post_norm"], cfg.rms_eps)
     if cfg.swin_norm:  # chameleon: post-norm with the SAME attn_norm weights
         attn_out = model_norm(attn_out, layer.get("attn_norm"),
                               layer.get("attn_norm_b"), cfg)
     if cfg.residual_scale != 1.0:  # minicpm scale_depth/sqrt(n_layer)
         attn_out = attn_out * np.float32(cfg.residual_scale)
+    if cfg.moe_parallel_dense and layer.get("ffn_gate_inp") is not None:
+        # arctic (build_arctic @15316): dense FFN off the post-attn
+        # residual, MoE off the LAYER INPUT (ffn_norm_exps), summed
+        x_in = x
+        ffn_inp = x + attn_out
+        dense = ffn_block(layer, rms_norm(ffn_inp, layer["ffn_norm"],
+                                          cfg.rms_eps),
+                          opts, cfg.act, gated=True, taps=taps,
+                          tap_prefix=tap_prefix)
+        moe = moe_ffn(layer, cfg,
+                      rms_norm(x_in, layer["ffn_norm_exps"], cfg.rms_eps),
+                      opts)
+        x = moe + dense + ffn_inp
+        if layer.get("cvec") is not None:
+            x = x + layer["cvec"].astype(x.dtype)
+        return x, kv
     x = x + attn_out
     ffn_in = x if cfg.swin_norm else model_norm(
         x, layer.get("ffn_norm"), layer.get("ffn_norm_b"), cfg)
@@ -955,7 +989,7 @@ def decode_layer(
         ffn_out = ffn_block(layer, ffn_in, opts, cfg.act,
                             gated=cfg.ffn_gated, taps=taps,
                             tap_prefix=tap_prefix)
-    if cfg.post_norms:
+    if cfg.post_norms and layer.get("ffn_post_norm") is not None:
         ffn_out = rms_norm(ffn_out, layer["ffn_post_norm"], cfg.rms_eps)
     if cfg.swin_norm:
         ffn_out = model_norm(ffn_out, layer.get("ffn_norm"),

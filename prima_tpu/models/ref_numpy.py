@@ -116,6 +116,9 @@ def forward_np(weights: dict, cfg: ModelConfig, tokens: np.ndarray) -> np.ndarra
         group = h // kvh
         qg = q.reshape(b, s, kvh, group, hd)
         scores = np.einsum("bsngh,btnh->bngst", qg, k) * scale
+        if cfg.attn_logit_softcap:
+            cap = cfg.attn_logit_softcap
+            scores = cap * np.tanh(scores / cap)
         if slopes is not None:
             dist = -np.abs(np.arange(s)[:, None] - np.arange(s)[None, :])
             bias = slopes.reshape(kvh, group, 1, 1) * dist[None, None]
@@ -131,6 +134,31 @@ def forward_np(weights: dict, cfg: ModelConfig, tokens: np.ndarray) -> np.ndarra
             attn_out = attn_out + weights[p + "attn_output.bias"]
         if cfg.swin_norm:
             attn_out = norm(attn_out, p + "attn_norm.weight")
+        if cfg.post_norms and (p + "attn_out_norm.weight") in weights:
+            attn_out = rms_norm(attn_out, weights[p + "attn_out_norm.weight"],
+                                cfg.rms_eps)
+
+        if cfg.moe_parallel_dense and (p + "ffn_gate_inp.weight") in weights:
+            # arctic: dense FFN + parallel MoE off the layer input
+            ffn_inp = x + attn_out
+            dense = _ffn_np(weights, p, cfg,
+                            rms_norm(ffn_inp, weights[p + "ffn_norm.weight"],
+                                     cfg.rms_eps))
+            moe = _moe_np(weights, p, cfg,
+                          rms_norm(x, weights[p + "ffn_norm_exps.weight"],
+                                   cfg.rms_eps))
+            x = moe + dense + ffn_inp
+            continue
+        if (p + "ffn_gate_inp.weight") in weights:
+            # MoE layer (mixtral/grok)
+            x = x + rscale * attn_out
+            fin = norm(x, p + "ffn_norm.weight")
+            moe = _moe_np(weights, p, cfg, fin)
+            if cfg.post_norms and (p + "layer_out_norm.weight") in weights:
+                moe = rms_norm(moe, weights[p + "layer_out_norm.weight"],
+                               cfg.rms_eps)
+            x = x + rscale * moe
+            continue
 
         if cfg.parallel_block:
             # plamo/command-r: ffn off the shared attention norm (or its
@@ -153,6 +181,36 @@ def forward_np(weights: dict, cfg: ModelConfig, tokens: np.ndarray) -> np.ndarra
         x = x * np.float32(cfg.logit_scale)
     w_out = weights.get("output.weight", weights["token_embd.weight"])
     return x @ w_out.T
+
+
+def _moe_np(weights: dict, p: str, cfg: ModelConfig, fin: np.ndarray):
+    """Dense-loop MoE reference (llm_build_moe_ffn semantics)."""
+    b, s, e = fin.shape
+    router = fin @ weights[p + "ffn_gate_inp.weight"].T  # (b,s,E)
+    rl = router.astype(np.float64)
+    rl -= rl.max(-1, keepdims=True)
+    probs = np.exp(rl)
+    probs /= probs.sum(-1, keepdims=True)
+    k_used = cfg.n_expert_used
+    idx = np.argsort(-probs, axis=-1)[..., :k_used]
+    w = np.take_along_axis(probs, idx, axis=-1)
+    if cfg.moe_norm_w:
+        w = w / w.sum(-1, keepdims=True)
+    gate_e = weights[p + "ffn_gate_exps.weight"].reshape(cfg.n_expert, -1, e)
+    up_e = weights[p + "ffn_up_exps.weight"].reshape(cfg.n_expert, -1, e)
+    down_e = weights[p + "ffn_down_exps.weight"].reshape(cfg.n_expert, e, -1)
+    out = np.zeros((b, s, e))
+    for bi in range(b):
+        for si in range(s):
+            v = fin[bi, si].astype(np.float64)
+            for j in range(k_used):
+                ei = idx[bi, si, j]
+                g = gate_e[ei] @ v
+                u = up_e[ei] @ v
+                a = (_gelu_tanh(g) if cfg.act == "gelu"
+                     else g / (1.0 + np.exp(-g))) * u
+                out[bi, si] += w[bi, si, j] * (down_e[ei] @ a)
+    return out.astype(np.float32)
 
 
 def _gelu_tanh(v):

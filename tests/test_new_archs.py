@@ -193,3 +193,92 @@ def test_chameleon_swin_norm_variant(tmp_path):
                         jnp.asarray(positions), kv,
                         jnp.zeros(b, jnp.int32), F32_OPTS)
     np.testing.assert_allclose(np.asarray(logits), want, rtol=2e-3, atol=2e-3)
+
+
+def _write_moe(path, arch, *, n_vocab=256, n_embd=64, n_heads=4, n_kv=4,
+               n_ff=96, n_layers=2, n_expert=2, n_expert_used=2,
+               dense_too=False, post_norms=False, seed=0, extra_kv=None):
+    rng = np.random.default_rng(seed)
+    hd = n_embd // n_heads
+    w = GGUFWriter(str(path), arch=arch)
+    w.add_kv("general.name", f"tiny-{arch}")
+    w.add_kv(f"{arch}.block_count", n_layers)
+    w.add_kv(f"{arch}.embedding_length", n_embd)
+    w.add_kv(f"{arch}.attention.head_count", n_heads)
+    w.add_kv(f"{arch}.attention.head_count_kv", n_kv)
+    w.add_kv(f"{arch}.feed_forward_length", n_ff)
+    w.add_kv(f"{arch}.context_length", 512)
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_kv(f"{arch}.rope.freq_base", 10000.0)
+    w.add_kv(f"{arch}.rope.dimension_count", hd)
+    w.add_kv(f"{arch}.expert_count", n_expert)
+    w.add_kv(f"{arch}.expert_used_count", n_expert_used)
+    for k, v in (extra_kv or {}).items():
+        w.add_kv(k, v)
+    w.add_kv("tokenizer.ggml.tokens", [f"<t{i}>" for i in range(n_vocab)])
+
+    dense = {}
+
+    def add(name, rows, cols, scale=0.05):
+        x = (rng.standard_normal((rows, cols)) * scale).astype(np.float32)
+        w.add_tensor(name, x)
+        dense[name] = x
+
+    def vec(name, n, around=1.0):
+        x = (around + rng.standard_normal(n) * 0.05).astype(np.float32)
+        w.add_tensor(name, x)
+        dense[name] = x
+
+    add("token_embd.weight", n_vocab, n_embd)
+    for i in range(n_layers):
+        p = f"blk.{i}."
+        vec(p + "attn_norm.weight", n_embd)
+        add(p + "attn_q.weight", n_heads * hd, n_embd)
+        add(p + "attn_k.weight", n_kv * hd, n_embd)
+        add(p + "attn_v.weight", n_kv * hd, n_embd)
+        add(p + "attn_output.weight", n_embd, n_heads * hd)
+        vec(p + "ffn_norm.weight", n_embd)
+        add(p + "ffn_gate_inp.weight", n_expert, n_embd)
+        add(p + "ffn_gate_exps.weight", n_expert * n_ff, n_embd)
+        add(p + "ffn_up_exps.weight", n_expert * n_ff, n_embd)
+        add(p + "ffn_down_exps.weight", n_expert * n_embd, n_ff)
+        if dense_too:
+            add(p + "ffn_gate.weight", n_ff, n_embd)
+            add(p + "ffn_up.weight", n_ff, n_embd)
+            add(p + "ffn_down.weight", n_embd, n_ff)
+            vec(p + "ffn_norm_exps.weight", n_embd)
+        if post_norms:
+            vec(p + "attn_out_norm.weight", n_embd)
+            vec(p + "layer_out_norm.weight", n_embd)
+    vec("output_norm.weight", n_embd)
+    add("output.weight", n_vocab, n_embd)
+    w.write()
+    return dense
+
+
+@pytest.mark.parametrize("arch", ["grok", "arctic"])
+def test_moe_archs_match_numpy(tmp_path, arch):
+    """grok (softcapped attention, scaled embeddings, GELU MoE, post
+    norms) and arctic (dense FFN + parallel MoE) vs the numpy reference."""
+    path = tmp_path / f"{arch}.gguf"
+    dense = _write_moe(path, arch, dense_too=arch == "arctic",
+                       post_norms=arch == "grok")
+    m = GGUFModel.open(str(path))
+    cfg = ModelConfig.from_gguf(m)
+    assert cfg.arch == arch
+    if arch == "grok":
+        assert cfg.attn_logit_softcap == 30.0 and cfg.post_norms
+    else:
+        assert cfg.moe_parallel_dense
+    params = load_params(m, cfg, dtype=jnp.float32)
+
+    b, s = 1, 6
+    rng = np.random.default_rng(2)
+    tokens = rng.integers(0, cfg.n_vocab, size=(b, s)).astype(np.int32)
+    want = forward_np(dense, cfg, tokens)
+    positions = np.broadcast_to(np.arange(s, dtype=np.int32), (b, s))
+    kv = init_kv_caches(cfg, b, 16, dtype=jnp.float32)
+    logits, _ = forward(params, cfg, jnp.asarray(tokens),
+                        jnp.asarray(positions), kv,
+                        jnp.zeros(b, jnp.int32), F32_OPTS)
+    np.testing.assert_allclose(np.asarray(logits), want, rtol=3e-3, atol=3e-3)
