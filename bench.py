@@ -82,12 +82,16 @@ def verify_kernels() -> int:
         ("q6_k_int8_grouped", GGMLType.Q6_K, False),
         ("q5_k_grouped_mins", GGMLType.Q5_K, False),
     ]
+    import os as _os
+
     key = jax.random.PRNGKey(7)
     for name, gt, fast in cases:
         try:
             qt = synth_qtensor_device(key, 512, 2048, gt)
             x = jax.random.normal(jax.random.PRNGKey(3), (4, 2048),
                                   jnp.float32)
+            # default precision: the big dot runs bf16-mantissa MXU passes
+            # (as precise as the reference's Q8_K-quantized activations)
             got = np.asarray(qmatmul_pallas(x, qt, out_dtype=jnp.float32,
                                             fast=fast))
             # XLA TPU matmuls default to MXU bf16-mantissa passes; the
@@ -96,9 +100,22 @@ def verify_kernels() -> int:
                 want = np.asarray(qmatmul_xla(x, qt, out_dtype=jnp.float32))
             denom = max(float(np.abs(want).max()), 1e-6)
             err = float(np.max(np.abs(got - want))) / denom
-            tol = 2e-2 if fast else 2e-3
+            tol = 2e-2 if fast else 8e-3
             passed = bool(err < tol and np.isfinite(got).all())
-            results[name] = {"rel_err": round(err, 6), "ok": passed}
+            rec = {"rel_err": round(err, 6), "ok": passed}
+            if not fast:
+                # PRIMA_QMM_EXACT: full-f32 passes must be BIT-exact
+                _os.environ["PRIMA_QMM_EXACT"] = "1"
+                try:
+                    got_x = np.asarray(qmatmul_pallas(
+                        x, qt, out_dtype=jnp.float32, fast=False))
+                finally:
+                    _os.environ["PRIMA_QMM_EXACT"] = "0"
+                err_x = float(np.max(np.abs(got_x - want))) / denom
+                rec["rel_err_exact"] = round(err_x, 8)
+                passed = passed and err_x < 1e-4
+                rec["ok"] = passed
+            results[name] = rec
             ok &= passed
         except Exception as e:  # noqa: BLE001 — report, don't crash
             results[name] = {"error": str(e)[:200], "ok": False}

@@ -176,6 +176,7 @@ def _qmm_kernel(
     grouped: bool,
     packed: bool,
     fast: bool,
+    exact: bool,
 ):
     kt = pl.program_id(1)
     cdtype = jnp.bfloat16 if fast else jnp.float32
@@ -209,7 +210,13 @@ def _qmm_kernel(
         mn_full = mn_ref[:] if has_mins else None
     scales = _tile_repeat(sc_full, t_chunk).astype(cdtype)
 
-    exact = not fast
+    # Precision of the BIG dot: the MXU's default single pass rounds
+    # operands to bf16 mantissas — as precise as the reference CPU path,
+    # which quantizes activations to 8-bit Q8_K (ggml-quants.c:3835)
+    # before its integer dot. exact=True (PRIMA_QMM_EXACT=1) requests
+    # full-f32 multi-pass MXU matmuls for bit-parity runs; at decode
+    # batch sizes the padded-batch pass cost exceeds the DMA time, so it
+    # is opt-in, not the default.
     if layout == "nib4":
         b = qs_ref[:].astype(jnp.int32)  # Mosaic: no direct u8->float cast
         acc = _dot_nt(x_lo_ref[:].astype(cdtype), (b & 0x0F).astype(cdtype) * scales, exact)
@@ -227,6 +234,7 @@ def _qmm_kernel(
             corr = sc_full * np.float32(q_offset) if q_offset else None
             if has_mins:
                 corr = -mn_full if corr is None else corr - mn_full
+            # the affine term is a TINY dot: full precision is free
             o_ref[:] = acc + _dot_nt(xs_ref[:], corr, not fast)
 
     @pl.when(kt != 0)
@@ -273,7 +281,8 @@ def pallas_eligible(shape: tuple[int, int], sub: int, layout: str,
 
 @functools.lru_cache(maxsize=None)
 def _build_qmm(b: int, n: int, k: int, layout: str, q_offset: int, sub: int,
-               has_mins: bool, fast: bool, gsub: int, packed: bool = False):
+               has_mins: bool, fast: bool, gsub: int, packed: bool = False,
+               exact: bool = False):
     s = k // sub
     kb = k // 2 if layout == "nib4" else k  # qs bytes per row
     n_tile, kb_tile = _pick_tiles(n, kb, s)
@@ -294,6 +303,7 @@ def _build_qmm(b: int, n: int, k: int, layout: str, q_offset: int, sub: int,
         grouped=grouped,
         packed=packed,
         fast=fast,
+        exact=exact,
     )
 
     sc_spec = pl.BlockSpec((n_tile, s), lambda nt, kt: (nt, 0), memory_space=pltpu.VMEM)
@@ -402,8 +412,9 @@ def qmatmul_pallas(x: jax.Array, qt: QTensor, out_dtype=None, fast: bool | None 
 
     if fast is None:
         fast = os.environ.get("PRIMA_QMM_FAST", "0") == "1"
+    exact = os.environ.get("PRIMA_QMM_EXACT", "0") == "1" and not fast
     fn = _build_qmm(b_pad, n, k, qt.layout, qt.q_offset, qt.sub, has_mins,
-                    fast, qt.gsub, getattr(qt, "packed", False))
+                    fast, qt.gsub, getattr(qt, "packed", False), exact)
     out = fn(x2, xs, qt.qs, qt.scales, qt.mins, qt.d, qt.dmin)
     out = out[:b].reshape(lead + (n,))
     return out.astype(out_dtype or x.dtype)

@@ -119,11 +119,15 @@ def main() -> int:
               file=sys.stderr, flush=True)
 
         t0 = time.perf_counter()
-        # full-precision non-pallas matmuls on TPU too (attention einsums
-        # etc. default to MXU bf16 passes; the fused kernels are already
-        # bit-exact at fast=False)
-        with jax.default_matmul_precision("highest"):
-            tpu_logits, tpu_ppl = run("pallas", jnp.float32)
+        # full-precision parity mode: PRIMA_QMM_EXACT forces bit-exact
+        # multi-pass MXU dots in the fused kernels, and highest matmul
+        # precision covers the non-pallas einsums (attention etc.)
+        os.environ["PRIMA_QMM_EXACT"] = "1"
+        try:
+            with jax.default_matmul_precision("highest"):
+                tpu_logits, tpu_ppl = run("pallas", jnp.float32)
+        finally:
+            os.environ["PRIMA_QMM_EXACT"] = "0"
         print(f"[pallas] ppl={tpu_ppl:.4f} ({time.perf_counter()-t0:.1f}s)",
               file=sys.stderr, flush=True)
 
