@@ -73,8 +73,15 @@ class ModelConfig:
     alibi_max_bias: float = 0.0  # bloom/mpt: ALiBi attention biases
     tok_embd_norm: bool = False  # bloom: LayerNorm right after the embedding
     qk_norm_head: bool = False  # chameleon: per-head LayerNorm on q/k
+    qk_norm_rms: bool = False  # openelm: the per-head q/k norm is RMS
     swin_norm: bool = False  # chameleon variant: post-norm placement
     moe_parallel_dense: bool = False  # arctic: dense FFN + parallel MoE
+    sub_norms: bool = False  # bitnet: RMS sub-norms before wo / ffn_down
+    # openelm: per-layer head/kv-head/ffn widths (GGUF array-valued KVs,
+    # llm_load_hparams n_head_arr; empty = uniform cfg.n_heads etc.)
+    n_heads_arr: tuple = ()
+    n_kv_heads_arr: tuple = ()
+    n_ff_arr: tuple = ()
 
     @property
     def n_embd_k_gqa(self) -> int:
@@ -94,16 +101,28 @@ class ModelConfig:
                         "olmoe", "bloom", "mpt", "gptj", "dbrx",
                         "granitemoe", "xverse", "exaone", "orion",
                         "baichuan", "refact", "plamo", "codeshell", "jais",
-                        "chatglm", "chameleon", "grok", "arctic"):
+                        "chatglm", "chameleon", "grok", "arctic", "openelm",
+                        "bitnet"):
             raise NotImplementedError(
                 f"arch {arch!r} is not in the decoder arch table (see "
                 "PARITY.md for the full list; mamba/t5/bert load through "
                 "their own runtime modules)"
             )
         g = m.arch_key
+
+        def scalar_or_arr(v):
+            """openelm carries array-valued head-count / ffn-length KVs
+            (llm_load_hparams n_head_arr); scalar archs get an empty arr."""
+            if v is not None and not isinstance(v, (int, float, str)) \
+                    and hasattr(v, "__len__"):
+                arr = tuple(int(x) for x in v)
+                return max(arr), arr
+            return (int(v) if v is not None else None), ()
+
         n_embd = int(g("{arch}.embedding_length"))
-        n_heads = int(g("{arch}.attention.head_count"))
-        n_kv = int(g("{arch}.attention.head_count_kv", n_heads))
+        n_heads, n_heads_arr = scalar_or_arr(g("{arch}.attention.head_count"))
+        n_kv, n_kv_arr = scalar_or_arr(
+            g("{arch}.attention.head_count_kv", n_heads))
         head_dim = int(g("{arch}.attention.key_length", n_embd // n_heads))
         n_layers = int(g("{arch}.block_count"))
         rope_dim = int(g("{arch}.rope.dimension_count", head_dim))
@@ -296,10 +315,25 @@ class ModelConfig:
             # norm placement (build_chameleon @16734)
             extra["qk_norm_head"] = True
             extra["swin_norm"] = bool(g("{arch}.swin_norm", False))
+        if arch == "openelm":
+            # per-layer head/kv/ffn widths (array KVs), fused qkv, per-head
+            # RMS q/k norms before NEOX rope (build_openelm @15049)
+            extra["qk_norm_head"] = True
+            extra["qk_norm_rms"] = True
+            extra["n_heads_arr"] = n_heads_arr
+            extra["n_kv_heads_arr"] = n_kv_arr
+        if arch == "bitnet":
+            # ternary-weight llama variant: per-tensor .scale multipliers,
+            # RMS sub-norms before wo and ffn_down (build_bitnet @15676)
+            extra["sub_norms"] = True
         n_expert = int(g("{arch}.expert_count", 0) or 0)
         if n_expert:
             extra["n_expert"] = n_expert
             extra["n_expert_used"] = int(g("{arch}.expert_used_count", 2))
+
+        n_ff, n_ff_arr = scalar_or_arr(g("{arch}.feed_forward_length"))
+        if n_ff_arr:
+            extra["n_ff_arr"] = n_ff_arr
 
         return cls(
             arch=arch,
@@ -308,7 +342,7 @@ class ModelConfig:
             n_heads=n_heads,
             n_kv_heads=n_kv,
             head_dim=head_dim,
-            n_ff=int(g("{arch}.feed_forward_length")),
+            n_ff=n_ff,
             n_vocab=int(n_vocab),
             n_ctx_train=int(g("{arch}.context_length", 4096)),
             rms_eps=float(g("{arch}.attention.layer_norm_rms_epsilon",

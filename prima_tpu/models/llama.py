@@ -200,10 +200,12 @@ def load_params(
             b2 = get(p + "attn_norm_2.bias", dense=True, required=False)
             if b2 is not None:
                 layer["ffn_norm_b"] = b2
-        if (p + "attn_qkv.weight") in t:  # phi3: fused qkv, split by rows
+        if (p + "attn_qkv.weight") in t:  # phi3/openelm: fused qkv, by rows
             ti = t[p + "attn_qkv.weight"]
-            nq = h * hd
-            nk = kvh * hd
+            hi = cfg.n_heads_arr[i] if cfg.n_heads_arr else h
+            kvi = cfg.n_kv_heads_arr[i] if cfg.n_kv_heads_arr else kvh
+            nq = hi * hd
+            nk = kvi * hd
             layer["wq"], layer["wk"], layer["wv"] = _split_tensor_rows(
                 ti, dtype, [0, nq, nq + nk, nq + 2 * nk])
         else:
@@ -280,7 +282,17 @@ def load_params(
                            ("attn_output.bias", "bo"),
                            ("ffn_up.bias", "b_up"),
                            ("ffn_gate.bias", "b_gate"),
-                           ("ffn_down.bias", "b_down")):
+                           ("ffn_down.bias", "b_down"),
+                           # bitnet: RMS sub-norms + per-tensor scales
+                           ("attn_sub_norm.weight", "attn_sub_norm"),
+                           ("ffn_sub_norm.weight", "ffn_sub_norm"),
+                           ("attn_q.scale", "wq_scale"),
+                           ("attn_k.scale", "wk_scale"),
+                           ("attn_v.scale", "wv_scale"),
+                           ("attn_output.scale", "wo_scale"),
+                           ("ffn_up.scale", "w_up_scale"),
+                           ("ffn_gate.scale", "w_gate_scale"),
+                           ("ffn_down.scale", "w_down_scale")):
             b = get(p + bname, dense=True, required=False)
             if b is not None:
                 layer[key] = b
@@ -728,9 +740,11 @@ def attention_block(
     mask_pos: jax.Array | None = None,
     taps: dict | None = None,
     tap_prefix: str = "",
+    heads: tuple[int, int] | None = None,  # openelm per-layer (h, kvh)
 ):
     b, s, _ = x.shape
-    h, kvh, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    hd = cfg.head_dim
+    h, kvh = heads if heads is not None else (cfg.n_heads, cfg.n_kv_heads)
     if taps is not None:  # imatrix activation statistics (examples/imatrix)
         _tap(taps, tap_prefix + "attn_q.weight", x)
         _tap(taps, tap_prefix + "attn_k.weight", x)
@@ -747,6 +761,12 @@ def attention_block(
         q = linear_l(layer, "wq", x, opts.matmul_impl)
         k = linear_l(layer, "wk", x, opts.matmul_impl)
         v = linear_l(layer, "wv", x, opts.matmul_impl)
+    if layer.get("wq_scale") is not None:  # bitnet per-tensor scales
+        q = q * layer["wq_scale"].astype(q.dtype)
+    if layer.get("wk_scale") is not None:
+        k = k * layer["wk_scale"].astype(k.dtype)
+    if layer.get("wv_scale") is not None:
+        v = v * layer["wv_scale"].astype(v.dtype)
     if layer.get("bq") is not None:
         q = q + layer["bq"].astype(q.dtype)
         k = k + layer["bk"].astype(k.dtype)
@@ -763,13 +783,18 @@ def attention_block(
     v = v.reshape(b, s, kvh, hd)
     if cfg.qk_norm_head and layer.get("attn_q_norm") is not None:
         # chameleon: per-head LayerNorm on q/k BEFORE rope
-        # (build_chameleon, src/llama.cpp:16771-16791)
-        from ..ops.layers import layer_norm
+        # (build_chameleon, src/llama.cpp:16771-16791); openelm uses
+        # per-head RMS norms instead (build_openelm @15095-15103)
+        if cfg.qk_norm_rms:
+            q = rms_norm(q, layer["attn_q_norm"], cfg.rms_eps)
+            k = rms_norm(k, layer["attn_k_norm"], cfg.rms_eps)
+        else:
+            from ..ops.layers import layer_norm
 
-        q = layer_norm(q, layer["attn_q_norm"], layer.get("attn_q_norm_b"),
-                       cfg.rms_eps)
-        k = layer_norm(k, layer["attn_k_norm"], layer.get("attn_k_norm_b"),
-                       cfg.rms_eps)
+            q = layer_norm(q, layer["attn_q_norm"], layer.get("attn_q_norm_b"),
+                           cfg.rms_eps)
+            k = layer_norm(k, layer["attn_k_norm"], layer.get("attn_k_norm_b"),
+                           cfg.rms_eps)
     if cfg.rope_dim:  # gpt2/starcoder: learned positions, no rope
         q = apply_rope(q, positions, inv_freq, cfg.rope_type, mscale)
         k = apply_rope(k, positions, inv_freq, cfg.rope_type, mscale)
@@ -800,9 +825,15 @@ def attention_block(
                             mask, scale, cfg.attn_logit_softcap,
                             slopes=slopes)
     out = out.reshape(b, s, h * hd)
+    if cfg.sub_norms and layer.get("attn_sub_norm") is not None:
+        # bitnet: RMS sub-norm on the attention result BEFORE the output
+        # projection (build_bitnet @15754-15757)
+        out = rms_norm(out, layer["attn_sub_norm"], cfg.rms_eps)
     if taps is not None:
         _tap(taps, tap_prefix + "attn_output.weight", out)
     out = linear_l(layer, "wo", out, opts.matmul_impl)
+    if layer.get("wo_scale") is not None:
+        out = out * layer["wo_scale"].astype(out.dtype)
     if opts.tp_axis is not None:
         out = jax.lax.psum(out, opts.tp_axis)  # column-parallel wo
     if layer.get("bo") is not None:
@@ -825,7 +856,8 @@ def _tap(taps: dict, name: str, x: jax.Array) -> None:
 
 def ffn_block(layer: dict, x: jax.Array, opts: ForwardOptions,
               act_fn: str = "silu", *, gated: bool = True,
-              taps: dict | None = None, tap_prefix: str = "") -> jax.Array:
+              taps: dict | None = None, tap_prefix: str = "",
+              eps: float = 1e-5) -> jax.Array:
     if taps is not None:
         if gated:
             _tap(taps, tap_prefix + "ffn_gate.weight", x)
@@ -841,10 +873,14 @@ def ffn_block(layer: dict, x: jax.Array, opts: ForwardOptions,
             out = out + layer["b_down"].astype(out.dtype)
         return out
     up = linear_l(layer, "w_up", x, opts.matmul_impl)
+    if layer.get("w_up_scale") is not None:  # bitnet
+        up = up * layer["w_up_scale"].astype(up.dtype)
     if layer.get("b_up") is not None:
         up = up + layer["b_up"].astype(up.dtype)
     if gated:
         gate = linear_l(layer, "w_gate", x, opts.matmul_impl)
+        if layer.get("w_gate_scale") is not None:  # bitnet
+            gate = gate * layer["w_gate_scale"].astype(gate.dtype)
         if layer.get("b_gate") is not None:  # jais: biased gate projection
             gate = gate + layer["b_gate"].astype(gate.dtype)
         act = gated_act(gate, up, act_fn)
@@ -854,9 +890,15 @@ def ffn_block(layer: dict, x: jax.Array, opts: ForwardOptions,
         act = gated_act(up[..., :nf], up[..., nf:], "silu")
     else:  # plain MLP (starcoder2): act(up) with ggml's tanh-approx GELU
         act = gated_act(up, jnp.ones((), up.dtype), act_fn)
+    if layer.get("ffn_sub_norm") is not None:
+        # bitnet: RMS sub-norm on the activation BEFORE ffn_down
+        # (build_bitnet @15793-15798)
+        act = rms_norm(act, layer["ffn_sub_norm"], eps)
     if taps is not None:
         _tap(taps, tap_prefix + "ffn_down.weight", act)
     out = linear_l(layer, "w_down", act, opts.matmul_impl)
+    if layer.get("w_down_scale") is not None:  # bitnet
+        out = out * layer["w_down_scale"].astype(out.dtype)
     if opts.tp_axis is not None:
         out = jax.lax.psum(out, opts.tp_axis)  # column-parallel w_down
     if layer.get("b_down") is not None:
@@ -933,6 +975,7 @@ def decode_layer(
     mask_pos: jax.Array | None = None,
     taps: dict | None = None,
     tap_prefix: str = "",
+    heads: tuple[int, int] | None = None,  # openelm per-layer (h, kvh)
 ):
     # chameleon swin_norm variant: the norm moves to the branch OUTPUT
     # (build_chameleon hparams.swin_norm, src/llama.cpp:16752-16756)
@@ -940,7 +983,7 @@ def decode_layer(
         x, layer.get("attn_norm"), layer.get("attn_norm_b"), cfg)
     attn_out, kv = attention_block(
         layer, cfg, attn_in, positions, kv, cache_pos, mask, inv_freq, mscale, opts,
-        mask_pos=mask_pos, taps=taps, tap_prefix=tap_prefix,
+        mask_pos=mask_pos, taps=taps, tap_prefix=tap_prefix, heads=heads,
     )
     if cfg.parallel_block:
         # command-r/phi2: ffn shares the attention norm input; gptneox-style
@@ -951,7 +994,7 @@ def decode_layer(
                                 layer.get("ffn_norm_b"), cfg)
         ffn_out = ffn_block(layer, ffn_in, opts, cfg.act,
                             gated=cfg.ffn_gated, taps=taps,
-                            tap_prefix=tap_prefix)
+                            tap_prefix=tap_prefix, eps=cfg.rms_eps)
         x = x + attn_out + ffn_out
         if layer.get("cvec") is not None:
             x = x + layer["cvec"].astype(x.dtype)
@@ -972,7 +1015,7 @@ def decode_layer(
         dense = ffn_block(layer, rms_norm(ffn_inp, layer["ffn_norm"],
                                           cfg.rms_eps),
                           opts, cfg.act, gated=True, taps=taps,
-                          tap_prefix=tap_prefix)
+                          tap_prefix=tap_prefix, eps=cfg.rms_eps)
         moe = moe_ffn(layer, cfg,
                       rms_norm(x_in, layer["ffn_norm_exps"], cfg.rms_eps),
                       opts)
@@ -988,7 +1031,7 @@ def decode_layer(
     else:
         ffn_out = ffn_block(layer, ffn_in, opts, cfg.act,
                             gated=cfg.ffn_gated, taps=taps,
-                            tap_prefix=tap_prefix)
+                            tap_prefix=tap_prefix, eps=cfg.rms_eps)
     if cfg.post_norms and layer.get("ffn_post_norm") is not None:
         ffn_out = rms_norm(ffn_out, layer["ffn_post_norm"], cfg.rms_eps)
     if cfg.swin_norm:
@@ -1057,10 +1100,12 @@ def forward(
         layer = params["layers"][i]
         assert layer is not None, f"layer {i} not loaded on this rank"
         m = mask_swa if (mask_swa is not None and i % 2 == 0) else mask
+        heads = ((cfg.n_heads_arr[i], cfg.n_kv_heads_arr[i])
+                 if cfg.n_heads_arr else None)
         x, new_kv[i] = decode_layer(
             layer, cfg, x, positions, new_kv[i], cache_pos, m, inv_freq,
             mscale, opts, mask_pos=mask_positions, taps=taps,
-            tap_prefix=f"blk.{i}.",
+            tap_prefix=f"blk.{i}.", heads=heads,
         )
 
     if hi < cfg.n_layers or return_hidden:
@@ -1096,7 +1141,8 @@ def init_kv_caches(
         if layer_filter is not None and not layer_filter(i):
             caches.append(None)
             continue
-        shape = (batch, max_seq, cfg.n_kv_heads, cfg.head_dim)
+        kvh = cfg.n_kv_heads_arr[i] if cfg.n_kv_heads_arr else cfg.n_kv_heads
+        shape = (batch, max_seq, kvh, cfg.head_dim)
         if isinstance(dtype, str) and dtype == "q4_0":
             from ..ops.kvquant import KVQ4
 

@@ -69,15 +69,13 @@ def forward_np(weights: dict, cfg: ModelConfig, tokens: np.ndarray) -> np.ndarra
     LN/RMS norms (with biases), fused qkv, parallel blocks, per-head q/k
     norms, swin (post) norm placement, gated/plain/split-gate FFNs."""
     b, s = tokens.shape
-    h, kvh, hd = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    hd = cfg.head_dim
     x = weights["token_embd.weight"][tokens]  # (b, s, e)
     if cfg.embd_scale != 1.0:
         x = x * np.float32(cfg.embd_scale)
     positions = np.broadcast_to(np.arange(s, dtype=np.float64), (b, s))
     rscale = np.float32(cfg.residual_scale)
     scale = cfg.attn_scale or 1.0 / np.sqrt(hd)
-    slopes = (_alibi_slopes_np(h, cfg.alibi_max_bias)
-              if cfg.alibi_max_bias else None)
 
     def norm(v, wkey):
         if cfg.norm_type == "ln":
@@ -87,6 +85,10 @@ def forward_np(weights: dict, cfg: ModelConfig, tokens: np.ndarray) -> np.ndarra
 
     for i in range(cfg.n_layers):
         p = f"blk.{i}."
+        h = cfg.n_heads_arr[i] if cfg.n_heads_arr else cfg.n_heads
+        kvh = cfg.n_kv_heads_arr[i] if cfg.n_kv_heads_arr else cfg.n_kv_heads
+        slopes = (_alibi_slopes_np(h, cfg.alibi_max_bias)
+                  if cfg.alibi_max_bias else None)
         xin = x if cfg.swin_norm else norm(x, p + "attn_norm.weight")
         if (p + "attn_qkv.weight") in weights:
             qkv = xin @ weights[p + "attn_qkv.weight"].T
@@ -98,6 +100,10 @@ def forward_np(weights: dict, cfg: ModelConfig, tokens: np.ndarray) -> np.ndarra
             q = xin @ weights[p + "attn_q.weight"].T
             k = xin @ weights[p + "attn_k.weight"].T
             v = xin @ weights[p + "attn_v.weight"].T
+            if (p + "attn_q.scale") in weights:  # bitnet per-tensor scales
+                q = q * weights[p + "attn_q.scale"]
+                k = k * weights[p + "attn_k.scale"]
+                v = v * weights[p + "attn_v.scale"]
             if cfg.qkv_bias:
                 q = q + weights[p + "attn_q.bias"]
                 k = k + weights[p + "attn_k.bias"]
@@ -106,10 +112,14 @@ def forward_np(weights: dict, cfg: ModelConfig, tokens: np.ndarray) -> np.ndarra
         k = k.reshape(b, s, kvh, hd)
         v = v.reshape(b, s, kvh, hd)
         if cfg.qk_norm_head and (p + "attn_q_norm.weight") in weights:
-            q = layer_norm(q, weights[p + "attn_q_norm.weight"],
-                           weights.get(p + "attn_q_norm.bias"), cfg.rms_eps)
-            k = layer_norm(k, weights[p + "attn_k_norm.weight"],
-                           weights.get(p + "attn_k_norm.bias"), cfg.rms_eps)
+            if cfg.qk_norm_rms:  # openelm per-head RMS
+                q = rms_norm(q, weights[p + "attn_q_norm.weight"], cfg.rms_eps)
+                k = rms_norm(k, weights[p + "attn_k_norm.weight"], cfg.rms_eps)
+            else:
+                q = layer_norm(q, weights[p + "attn_q_norm.weight"],
+                               weights.get(p + "attn_q_norm.bias"), cfg.rms_eps)
+                k = layer_norm(k, weights[p + "attn_k_norm.weight"],
+                               weights.get(p + "attn_k_norm.bias"), cfg.rms_eps)
         if cfg.rope_dim:
             q = rope(q, positions, cfg.rope_base, cfg.rope_dim, cfg.rope_type)
             k = rope(k, positions, cfg.rope_base, cfg.rope_dim, cfg.rope_type)
@@ -129,7 +139,12 @@ def forward_np(weights: dict, cfg: ModelConfig, tokens: np.ndarray) -> np.ndarra
         probs = np.exp(scores)
         probs /= probs.sum(axis=-1, keepdims=True)
         attn = np.einsum("bngst,btnh->bsngh", probs, v).reshape(b, s, h * hd)
+        if cfg.sub_norms and (p + "attn_sub_norm.weight") in weights:
+            attn = rms_norm(attn, weights[p + "attn_sub_norm.weight"],
+                            cfg.rms_eps)
         attn_out = attn @ weights[p + "attn_output.weight"].T
+        if (p + "attn_output.scale") in weights:  # bitnet
+            attn_out = attn_out * weights[p + "attn_output.scale"]
         if (p + "attn_output.bias") in weights:
             attn_out = attn_out + weights[p + "attn_output.bias"]
         if cfg.swin_norm:
@@ -220,10 +235,14 @@ def _gelu_tanh(v):
 
 def _ffn_np(weights: dict, p: str, cfg: ModelConfig, fin: np.ndarray):
     up = fin @ weights[p + "ffn_up.weight"].T
+    if (p + "ffn_up.scale") in weights:  # bitnet
+        up = up * weights[p + "ffn_up.scale"]
     if (p + "ffn_up.bias") in weights:
         up = up + weights[p + "ffn_up.bias"]
     if cfg.ffn_gated and (p + "ffn_gate.weight") in weights:
         gate = fin @ weights[p + "ffn_gate.weight"].T
+        if (p + "ffn_gate.scale") in weights:  # bitnet
+            gate = gate * weights[p + "ffn_gate.scale"]
         if (p + "ffn_gate.bias") in weights:
             gate = gate + weights[p + "ffn_gate.bias"]
         gf = gate.astype(np.float64)
@@ -236,7 +255,12 @@ def _ffn_np(weights: dict, p: str, cfg: ModelConfig, fin: np.ndarray):
     else:
         uf = up.astype(np.float64)
         act = _gelu_tanh(uf) if cfg.act == "gelu" else np.maximum(uf, 0)
-    out = act.astype(np.float32) @ weights[p + "ffn_down.weight"].T
+    act = act.astype(np.float32)
+    if cfg.sub_norms and (p + "ffn_sub_norm.weight") in weights:  # bitnet
+        act = rms_norm(act, weights[p + "ffn_sub_norm.weight"], cfg.rms_eps)
+    out = act @ weights[p + "ffn_down.weight"].T
+    if (p + "ffn_down.scale") in weights:  # bitnet
+        out = out * weights[p + "ffn_down.scale"]
     if (p + "ffn_down.bias") in weights:
         out = out + weights[p + "ffn_down.bias"]
     return out

@@ -282,3 +282,154 @@ def test_moe_archs_match_numpy(tmp_path, arch):
                         jnp.asarray(positions), kv,
                         jnp.zeros(b, jnp.int32), F32_OPTS)
     np.testing.assert_allclose(np.asarray(logits), want, rtol=3e-3, atol=3e-3)
+
+
+def test_openelm_matches_numpy(tmp_path):
+    """OpenELM: per-layer head/kv/ffn widths (array-valued KVs), fused qkv,
+    per-head RMS q/k norms before NEOX rope, tied lm_head
+    (build_openelm src/llama.cpp:15049, loader @8797)."""
+    arch = "openelm"
+    n_vocab, n_embd, hd, n_layers = 128, 64, 16, 3
+    heads = [2, 3, 4]
+    kv_heads = [1, 1, 2]
+    ffs = [48, 64, 96]
+    rng = np.random.default_rng(7)
+    path = tmp_path / "openelm.gguf"
+    w = GGUFWriter(str(path), arch=arch)
+    w.add_kv(f"{arch}.block_count", n_layers)
+    w.add_kv(f"{arch}.embedding_length", n_embd)
+    w.add_kv(f"{arch}.attention.head_count", heads)
+    w.add_kv(f"{arch}.attention.head_count_kv", kv_heads)
+    w.add_kv(f"{arch}.feed_forward_length", ffs)
+    w.add_kv(f"{arch}.context_length", 512)
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", 1e-6)
+    w.add_kv(f"{arch}.attention.key_length", hd)
+    w.add_kv(f"{arch}.attention.value_length", hd)
+    w.add_kv(f"{arch}.rope.freq_base", 10000.0)
+    w.add_kv(f"{arch}.rope.dimension_count", hd)
+    w.add_kv("tokenizer.ggml.tokens", [f"<t{i}>" for i in range(n_vocab)])
+
+    dense = {}
+
+    def add(name, rows, cols, scale=0.05):
+        x = (rng.standard_normal((rows, cols)) * scale).astype(np.float32)
+        w.add_tensor(name, x)
+        dense[name] = x
+
+    def vec(name, n, around=1.0):
+        x = (around + rng.standard_normal(n) * 0.05).astype(np.float32)
+        w.add_tensor(name, x)
+        dense[name] = x
+
+    add("token_embd.weight", n_vocab, n_embd)
+    for i in range(n_layers):
+        p = f"blk.{i}."
+        h, kvh, nf = heads[i], kv_heads[i], ffs[i]
+        vec(p + "attn_norm.weight", n_embd)
+        add(p + "attn_qkv.weight", (h + 2 * kvh) * hd, n_embd)
+        vec(p + "attn_q_norm.weight", hd)
+        vec(p + "attn_k_norm.weight", hd)
+        add(p + "attn_output.weight", n_embd, h * hd)
+        vec(p + "ffn_norm.weight", n_embd)
+        add(p + "ffn_gate.weight", nf, n_embd)
+        add(p + "ffn_up.weight", nf, n_embd)
+        add(p + "ffn_down.weight", n_embd, nf)
+    vec("output_norm.weight", n_embd)
+    w.write()
+
+    m = GGUFModel.open(str(path))
+    cfg = ModelConfig.from_gguf(m)
+    assert cfg.arch == arch
+    assert cfg.n_heads_arr == tuple(heads)
+    assert cfg.n_kv_heads_arr == tuple(kv_heads)
+    assert cfg.n_ff_arr == tuple(ffs)
+    assert cfg.qk_norm_rms and cfg.qk_norm_head
+    assert cfg.rope_type == RopeType.NEOX
+    assert cfg.tie_embeddings
+    params = load_params(m, cfg, dtype=jnp.float32)
+
+    b, s = 2, 6
+    tokens = rng.integers(0, n_vocab, size=(b, s)).astype(np.int32)
+    want = forward_np(dense, cfg, tokens)
+    positions = np.broadcast_to(np.arange(s, dtype=np.int32), (b, s))
+    kv = init_kv_caches(cfg, b, 16, dtype=jnp.float32)
+    assert kv[0][0].shape[2] == 1 and kv[2][0].shape[2] == 2
+    logits, _ = forward(params, cfg, jnp.asarray(tokens),
+                        jnp.asarray(positions), kv,
+                        jnp.zeros(b, jnp.int32), F32_OPTS)
+    np.testing.assert_allclose(np.asarray(logits), want, rtol=2e-3, atol=2e-3)
+
+
+def test_bitnet_matches_numpy(tmp_path):
+    """BitNet: per-tensor .scale multipliers, RMS sub-norms before the
+    attention output projection and before ffn_down, tied lm_head
+    (build_bitnet src/llama.cpp:15676, loader @8977)."""
+    arch = "bitnet"
+    n_vocab, n_embd, n_heads, n_kv, n_ff, n_layers = 128, 64, 4, 2, 96, 2
+    hd = n_embd // n_heads
+    rng = np.random.default_rng(11)
+    path = tmp_path / "bitnet.gguf"
+    w = GGUFWriter(str(path), arch=arch)
+    w.add_kv(f"{arch}.block_count", n_layers)
+    w.add_kv(f"{arch}.embedding_length", n_embd)
+    w.add_kv(f"{arch}.attention.head_count", n_heads)
+    w.add_kv(f"{arch}.attention.head_count_kv", n_kv)
+    w.add_kv(f"{arch}.feed_forward_length", n_ff)
+    w.add_kv(f"{arch}.context_length", 512)
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_kv(f"{arch}.rope.freq_base", 10000.0)
+    w.add_kv(f"{arch}.rope.dimension_count", hd)
+    w.add_kv("tokenizer.ggml.tokens", [f"<t{i}>" for i in range(n_vocab)])
+
+    dense = {}
+
+    def add(name, rows, cols, scale=0.05):
+        x = (rng.standard_normal((rows, cols)) * scale).astype(np.float32)
+        w.add_tensor(name, x)
+        dense[name] = x
+
+    def vec(name, n, around=1.0):
+        x = (around + rng.standard_normal(n) * 0.05).astype(np.float32)
+        w.add_tensor(name, x)
+        dense[name] = x
+
+    add("token_embd.weight", n_vocab, n_embd)
+    for i in range(n_layers):
+        p = f"blk.{i}."
+        vec(p + "attn_norm.weight", n_embd)
+        vec(p + "attn_sub_norm.weight", n_heads * hd)
+        add(p + "attn_q.weight", n_heads * hd, n_embd)
+        vec(p + "attn_q.scale", 1, around=1.2)
+        add(p + "attn_k.weight", n_kv * hd, n_embd)
+        vec(p + "attn_k.scale", 1, around=0.9)
+        add(p + "attn_v.weight", n_kv * hd, n_embd)
+        vec(p + "attn_v.scale", 1, around=1.1)
+        add(p + "attn_output.weight", n_embd, n_heads * hd)
+        vec(p + "attn_output.scale", 1, around=0.8)
+        vec(p + "ffn_norm.weight", n_embd)
+        vec(p + "ffn_sub_norm.weight", n_ff)
+        add(p + "ffn_gate.weight", n_ff, n_embd)
+        vec(p + "ffn_gate.scale", 1, around=1.3)
+        add(p + "ffn_up.weight", n_ff, n_embd)
+        vec(p + "ffn_up.scale", 1, around=0.7)
+        add(p + "ffn_down.weight", n_embd, n_ff)
+        vec(p + "ffn_down.scale", 1, around=1.4)
+    vec("output_norm.weight", n_embd)
+    w.write()
+
+    m = GGUFModel.open(str(path))
+    cfg = ModelConfig.from_gguf(m)
+    assert cfg.arch == arch and cfg.sub_norms and cfg.tie_embeddings
+    assert cfg.rope_type == RopeType.NEOX
+    params = load_params(m, cfg, dtype=jnp.float32)
+    assert params["layers"][0]["wq_scale"] is not None
+
+    b, s = 1, 6
+    tokens = rng.integers(0, n_vocab, size=(b, s)).astype(np.int32)
+    want = forward_np(dense, cfg, tokens)
+    positions = np.broadcast_to(np.arange(s, dtype=np.int32), (b, s))
+    kv = init_kv_caches(cfg, b, 16, dtype=jnp.float32)
+    logits, _ = forward(params, cfg, jnp.asarray(tokens),
+                        jnp.asarray(positions), kv,
+                        jnp.zeros(b, jnp.int32), F32_OPTS)
+    np.testing.assert_allclose(np.asarray(logits), want, rtol=2e-3, atol=2e-3)
