@@ -58,6 +58,12 @@ class DeepseekV2Config:
     yarn_log_mul: float = 0.0
     beta_fast: float = 32.0
     beta_slow: float = 1.0
+    # minicpm3 (build_minicpm3, src/llama.cpp:14016-14023): the MLA
+    # attention rides the minicpm residual/embedding/logit scalings and
+    # LongRoPE per-dim frequency factors (rope_factors_long/short tensors)
+    embd_scale: float = 1.0
+    residual_scale: float = 1.0
+    logit_scale: float = 1.0
 
     @classmethod
     def from_gguf(cls, m: GGUFModel) -> "DeepseekV2Config":
@@ -65,7 +71,20 @@ class DeepseekV2Config:
         tokens = m.get("tokenizer.ggml.tokens")
         qk_rope = int(g("{arch}.rope.dimension_count"))
         key_len = int(g("{arch}.attention.key_length"))
+        extra = {}
+        if m.arch == "minicpm3":
+            n_layer = int(g("{arch}.block_count"))
+            n_embd = int(g("{arch}.embedding_length"))
+            extra = dict(
+                embd_scale=float(g("{arch}.embedding_scale", 12.0) or 12.0),
+                residual_scale=float(g("{arch}.residual_scale",
+                                       1.4 / n_layer ** 0.5)
+                               or 1.4 / n_layer ** 0.5),
+                logit_scale=float(g("{arch}.logit_scale", 256.0 / n_embd)
+                                  or 256.0 / n_embd),
+            )
         return cls(
+            **extra,
             arch=m.arch,
             n_layers=int(g("{arch}.block_count")),
             n_embd=int(g("{arch}.embedding_length")),
@@ -146,6 +165,10 @@ def load_deepseek2_params(m: GGUFModel, cfg: DeepseekV2Config,
         params["layers"].append(layer)
     params["output_norm"] = get("output_norm.weight")
     params["output"] = get("output.weight", required=False)
+    # minicpm3 LongRoPE per-dim frequency factors (model-level tensors,
+    # loader @7746; selected by context length in build_rope_factors @10816)
+    params["rope_long"] = get("rope_factors_long.weight", required=False)
+    params["rope_short"] = get("rope_factors_short.weight", required=False)
     return params
 
 
@@ -190,13 +213,23 @@ def _rope_params(cfg: DeepseekV2Config) -> tuple[np.ndarray, float, float]:
 
 
 def _rope_interleaved(x: jax.Array, pos: np.ndarray, inv: np.ndarray,
-                      mscale: float = 1.0) -> jax.Array:
-    """NORM (adjacent-pair) rope over the full last dim of x (b,s,h,d)."""
+                      mscale: float = 1.0, factors=None,
+                      neox: bool = False) -> jax.Array:
+    """Rope over the full last dim of x (b,s,h,d): NORM (adjacent pairs,
+    deepseek2) or NEOX (split halves, minicpm3). `factors` are per-dim
+    LongRoPE divisors (ggml rope freq_factors semantics)."""
     d = x.shape[-1]
     half = d // 2
+    inv = jnp.asarray(inv)
+    if factors is not None:
+        inv = inv / factors.astype(inv.dtype)
     theta = pos[..., None].astype(np.float32) * inv  # (b,s,half)
     cos = (jnp.cos(theta) * mscale)[:, :, None, :]
     sin = (jnp.sin(theta) * mscale)[:, :, None, :]
+    if neox:
+        x0, x1 = x[..., :half], x[..., half:]
+        return jnp.concatenate([x0 * cos - x1 * sin,
+                                x0 * sin + x1 * cos], axis=-1)
     xr = x.reshape(x.shape[:-1] + (half, 2))
     x0, x1 = xr[..., 0], xr[..., 1]
     y0 = x0 * cos - x1 * sin
@@ -216,7 +249,20 @@ def deepseek2_forward(params: dict, cfg: DeepseekV2Config,
     qk = cfg.qk_nope + cfg.qk_rope
     pos = np.broadcast_to(np.arange(s, dtype=np.int32), (b, s))
     x = params["tok_embd"][tokens]
+    if cfg.embd_scale != 1.0:  # minicpm3 (@14035)
+        x = x * np.float32(cfg.embd_scale)
     rope_inv, rope_mscale, kq_scale = _rope_params(cfg)
+    neox = cfg.arch == "minicpm3"  # rope-type table @21548
+    if neox:
+        kq_scale = 1.0 / np.sqrt(cfg.qk_nope + cfg.qk_rope)  # @14023
+    # LongRoPE: long factors past the original ctx, short inside (@10816)
+    factors = None
+    if params.get("rope_short") is not None:
+        factors = (params["rope_long"]
+                   if cfg.rope_orig_ctx and s > cfg.rope_orig_ctx
+                   and params.get("rope_long") is not None
+                   else params["rope_short"])
+    rscale = np.float32(cfg.residual_scale)
     mask = np.triu(np.full((s, s), -np.inf, np.float32), 1)
 
     for i, layer in enumerate(params["layers"]):
@@ -237,8 +283,10 @@ def deepseek2_forward(params: dict, cfg: DeepseekV2Config,
             b, s, h, cfg.qk_nope + cfg.v_head_dim)
         k_nope, v = kv[..., :cfg.qk_nope], kv[..., cfg.qk_nope:]
 
-        q_pe = _rope_interleaved(q_pe, pos, rope_inv, rope_mscale)
-        k_pe = _rope_interleaved(k_pe, pos, rope_inv, rope_mscale)
+        q_pe = _rope_interleaved(q_pe, pos, rope_inv, rope_mscale,
+                                 factors=factors, neox=neox)
+        k_pe = _rope_interleaved(k_pe, pos, rope_inv, rope_mscale,
+                                 factors=factors, neox=neox)
         qs = jnp.concatenate([q_nope, q_pe], axis=-1)
         ks = jnp.concatenate(
             [k_nope, jnp.broadcast_to(k_pe, k_nope.shape[:-1] + (cfg.qk_rope,))],
@@ -247,12 +295,13 @@ def deepseek2_forward(params: dict, cfg: DeepseekV2Config,
         scores = jnp.einsum("bshd,bthd->bhst", qs, ks) * kq_scale + mask
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
         attn = jnp.einsum("bhst,bthd->bshd", probs.astype(v.dtype), v)
-        x = x + attn.reshape(b, s, h * cfg.v_head_dim) @ layer["wo"].T
+        x = x + rscale * (attn.reshape(b, s, h * cfg.v_head_dim)
+                          @ layer["wo"].T)
 
         fin = rms_norm(x, layer["ffn_norm"], cfg.rms_eps)
         if "w_gate" in layer:
-            x = x + _silu_mlp(fin, layer["w_gate"], layer["w_up"],
-                              layer["w_down"])
+            x = x + rscale * _silu_mlp(fin, layer["w_gate"], layer["w_up"],
+                                       layer["w_down"])
         else:
             logits = fin @ layer["gate_inp"].T
             pr = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
@@ -268,8 +317,10 @@ def deepseek2_forward(params: dict, cfg: DeepseekV2Config,
                 moe = moe + sel[..., None] * ye
             moe = moe + _silu_mlp(fin, layer["gate_shexp"],
                                   layer["up_shexp"], layer["down_shexp"])
-            x = x + moe
+            x = x + rscale * moe
     x = rms_norm(x, params["output_norm"], cfg.rms_eps)
+    if cfg.logit_scale != 1.0:  # minicpm3 n_embd_base/n_embd (@14212)
+        x = x * np.float32(cfg.logit_scale)
     w_out = params["output"] if params["output"] is not None else params["tok_embd"]
     return x @ w_out.T
 

@@ -182,7 +182,7 @@ def main(argv=None) -> int:
     probe = GGUFModel.open(args.model)
     probe_arch = probe.arch
     probe.close()
-    if probe_arch in ("deepseek2", "t5"):
+    if probe_arch in ("deepseek2", "minicpm3", "t5"):
         # correctness-tier runtimes (full-sequence recompute decode)
         prompt = args.prompt
         if args.file:
