@@ -41,6 +41,11 @@ class BertConfig:
     ln_eps: float
     pooling: int = PoolingType.MEAN
     name: str = ""
+    # jina-bert-v2 (build_bert's LLM_ARCH_JINA_BERT_V2 branches): no
+    # position embeddings — bidirectional ALiBi (f_max_alibi_bias=8,
+    # llm_load_hparams @6062) — and a gated-GELU FFN (@12197)
+    alibi_max_bias: float = 0.0
+    gated_ffn: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -49,8 +54,11 @@ class BertConfig:
     @classmethod
     def from_gguf(cls, m: GGUFModel) -> "BertConfig":
         arch = m.arch
-        assert arch in ("bert", "nomic-bert"), arch
+        assert arch in ("bert", "nomic-bert", "jina-bert-v2"), arch
         g = m.arch_key
+        extra = {}
+        if arch == "jina-bert-v2":
+            extra = {"alibi_max_bias": 8.0, "gated_ffn": True}
         return cls(
             arch=arch,
             n_layers=int(g("{arch}.block_count")),
@@ -63,6 +71,7 @@ class BertConfig:
             ln_eps=float(g("{arch}.attention.layer_norm_epsilon", 1e-12)),
             pooling=int(g("{arch}.pooling_type", PoolingType.MEAN) or PoolingType.MEAN),
             name=str(m.get("general.name", "")),
+            **extra,
         )
 
 
@@ -88,14 +97,16 @@ def load_bert_params(m: GGUFModel, cfg: BertConfig, dtype=jnp.float32) -> dict:
     params: dict[str, Any] = {
         "tok_embd": get("token_embd.weight"),
         "type_embd": get("token_types.weight", dense=True),
-        "pos_embd": get("position_embd.weight", dense=True),
+        # jina-bert-v2 has no position embeddings (ALiBi instead)
+        "pos_embd": get("position_embd.weight", dense=True,
+                        required=not cfg.alibi_max_bias),
         "tok_norm": get("token_embd_norm.weight", dense=True),
         "tok_norm_b": get("token_embd_norm.bias", dense=True),
         "layers": [],
     }
     for i in range(cfg.n_layers):
         p = f"blk.{i}."
-        params["layers"].append({
+        layer = {
             "wq": get(p + "attn_q.weight"), "bq": get(p + "attn_q.bias", dense=True),
             "wk": get(p + "attn_k.weight"), "bk": get(p + "attn_k.bias", dense=True),
             "wv": get(p + "attn_v.weight"), "bv": get(p + "attn_v.bias", dense=True),
@@ -104,12 +115,27 @@ def load_bert_params(m: GGUFModel, cfg: BertConfig, dtype=jnp.float32) -> dict:
             "attn_norm": get(p + "attn_output_norm.weight", dense=True),
             "attn_norm_b": get(p + "attn_output_norm.bias", dense=True),
             "w_up": get(p + "ffn_up.weight"),
-            "b_up": get(p + "ffn_up.bias", dense=True),
+            "b_up": get(p + "ffn_up.bias", dense=True,
+                        required=not cfg.gated_ffn),
             "w_down": get(p + "ffn_down.weight"),
             "b_down": get(p + "ffn_down.bias", dense=True),
             "out_norm": get(p + "layer_output_norm.weight", dense=True),
             "out_norm_b": get(p + "layer_output_norm.bias", dense=True),
-        })
+        }
+        if cfg.gated_ffn:  # jina: ungated-bias gate projection
+            layer["w_gate"] = get(p + "ffn_gate.weight")
+        # jina optional q/k LayerNorms (loader @8035-8044) and the extra
+        # attn_norm_2 post-residual norm (@8059-8060)
+        for nm, key in ((p + "attn_q_norm.weight", "q_norm"),
+                        (p + "attn_q_norm.bias", "q_norm_b"),
+                        (p + "attn_k_norm.weight", "k_norm"),
+                        (p + "attn_k_norm.bias", "k_norm_b"),
+                        (p + "attn_norm_2.weight", "norm_2"),
+                        (p + "attn_norm_2.bias", "norm_2_b")):
+            v = get(nm, dense=True, required=False)
+            if v is not None:
+                layer[key] = v
+        params["layers"].append(layer)
     # optional classification / rank head (LLM_TENSOR_CLS / CLS_OUT —
     # reranker models; reference RANK pooling src/llama.cpp:10919-10940)
     params["cls"] = get("cls.weight", dense=True, required=False)
@@ -134,25 +160,55 @@ def bert_forward(params: dict, cfg: BertConfig, tokens: jax.Array,
     h, hd = cfg.n_heads, cfg.head_dim
     x = embed_rows(params["tok_embd"], tokens, jnp.float32)
     x = x + params["type_embd"][0].astype(x.dtype)  # token type 0 (build_bert)
-    x = x + params["pos_embd"][:s][None].astype(x.dtype)
+    if params.get("pos_embd") is not None:
+        x = x + params["pos_embd"][:s][None].astype(x.dtype)
     x = layer_norm(x, params["tok_norm"], params["tok_norm_b"], cfg.ln_eps)
 
     if attn_mask is None:
         attn_mask = jnp.ones((b, s), jnp.float32)
     bias = jnp.where(attn_mask[:, None, None, :] > 0, 0.0, -jnp.inf)
+    if cfg.alibi_max_bias:
+        # jina-bert-v2: bidirectional ALiBi — the KQ mask carries
+        # -|pos_i - pos_j| scaled by per-head slopes (llama.cpp:17391,
+        # ggml soft_max_ext max_bias path)
+        from ..ops.layers import alibi_slopes
+
+        slopes = jnp.asarray(alibi_slopes(h, cfg.alibi_max_bias),
+                             jnp.float32)
+        dist = -jnp.abs(jnp.arange(s)[:, None] - jnp.arange(s)[None, :])
+        bias = bias + (slopes[:, None, None]
+                       * dist[None].astype(jnp.float32))[None]
 
     for layer in params["layers"]:
-        q = (linear(x, layer["wq"], matmul_impl) + layer["bq"]).reshape(b, s, h, hd)
-        k = (linear(x, layer["wk"], matmul_impl) + layer["bk"]).reshape(b, s, h, hd)
-        v = (linear(x, layer["wv"], matmul_impl) + layer["bv"]).reshape(b, s, h, hd)
+        x_in = x
+        q = linear(x, layer["wq"], matmul_impl) + layer["bq"]
+        k = linear(x, layer["wk"], matmul_impl) + layer["bk"]
+        v = linear(x, layer["wv"], matmul_impl) + layer["bv"]
+        if layer.get("q_norm") is not None:  # jina optional q/k LayerNorms
+            q = layer_norm(q, layer["q_norm"], layer["q_norm_b"], cfg.ln_eps)
+            k = layer_norm(k, layer["k_norm"], layer["k_norm_b"], cfg.ln_eps)
+        q = q.reshape(b, s, h, hd)
+        k = k.reshape(b, s, h, hd)
+        v = v.reshape(b, s, h, hd)
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32) / np.sqrt(hd)
         probs = jax.nn.softmax(scores + bias, axis=-1)
         attn = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
         attn = linear(attn.reshape(b, s, h * hd), layer["wo"], matmul_impl) + layer["bo"]
         x = layer_norm(x + attn, layer["attn_norm"], layer["attn_norm_b"], cfg.ln_eps)
-        ff = linear(x, layer["w_up"], matmul_impl) + layer["b_up"]
-        ff = linear(_gelu(ff), layer["w_down"], matmul_impl) + layer["b_down"]
+        if layer.get("norm_2") is not None:
+            # jina attn_norm_2: re-add the LAYER INPUT and norm again
+            # (build_bert @12185-12188)
+            x = layer_norm(x + x_in, layer["norm_2"], layer["norm_2_b"],
+                           cfg.ln_eps)
+        if cfg.gated_ffn and layer.get("w_gate") is not None:
+            up = linear(x, layer["w_up"], matmul_impl)
+            gate = linear(x, layer["w_gate"], matmul_impl)
+            ff = linear(_gelu(gate) * up, layer["w_down"], matmul_impl) \
+                + layer["b_down"]
+        else:
+            ff = linear(x, layer["w_up"], matmul_impl) + layer["b_up"]
+            ff = linear(_gelu(ff), layer["w_down"], matmul_impl) + layer["b_down"]
         x = layer_norm(x + ff, layer["out_norm"], layer["out_norm_b"], cfg.ln_eps)
     return x
 

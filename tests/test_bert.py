@@ -231,3 +231,126 @@ def test_rerank_endpoint_rank_head(tmp_path):
         assert {"index", "relevance_score"} <= set(out["results"][0])
     finally:
         httpd.shutdown()
+
+
+def test_jina_bert_v2_parity(tmp_path):
+    """jina-bert-v2 (build_bert's LLM_ARCH_JINA_BERT_V2 branches): no
+    position embeddings, bidirectional ALiBi (f_max_alibi_bias=8
+    @6062), optional q/k LayerNorms, attn_norm_2 second residual norm
+    (@12185-12188), gated-GELU FFN with biased down (@12197). Oracle is
+    an independent numpy implementation."""
+    from prima_tpu.gguf.reader import GGUFModel
+    from prima_tpu.gguf.writer import GGUFWriter
+    from prima_tpu.models.bert import (BertConfig, bert_forward,
+                                       load_bert_params)
+
+    arch = "jina-bert-v2"
+    V, E, H, FF, L = 64, 32, 4, 48, 2
+    hd = E // H
+    rng = np.random.default_rng(13)
+    path = str(tmp_path / "jina.gguf")
+    w = GGUFWriter(path, arch=arch)
+    w.add_kv(f"{arch}.block_count", L)
+    w.add_kv(f"{arch}.embedding_length", E)
+    w.add_kv(f"{arch}.attention.head_count", H)
+    w.add_kv(f"{arch}.feed_forward_length", FF)
+    w.add_kv(f"{arch}.context_length", 128)
+    w.add_kv(f"{arch}.attention.layer_norm_epsilon", 1e-12)
+    w.add_kv(f"{arch}.attention.causal", False)
+    w.add_kv(f"{arch}.vocab_size", V)
+    w.add_kv("tokenizer.ggml.token_type_count", 2)
+    w.add_kv("tokenizer.ggml.tokens", [f"<t{i}>" for i in range(V)])
+
+    dense = {}
+
+    def add(name, rows, cols=None, around=None):
+        if cols is None:
+            x = (around + rng.standard_normal(rows) * 0.05).astype(np.float32)
+        else:
+            x = (rng.standard_normal((rows, cols)) * 0.08).astype(np.float32)
+        w.add_tensor(name, x)
+        dense[name] = x
+
+    add("token_embd.weight", V, E)
+    add("token_types.weight", 2, E)
+    add("token_embd_norm.weight", E, around=1.0)
+    add("token_embd_norm.bias", E, around=0.0)
+    for i in range(L):
+        p = f"blk.{i}."
+        for nm, r, c in ((p + "attn_q.weight", E, E),
+                         (p + "attn_k.weight", E, E),
+                         (p + "attn_v.weight", E, E),
+                         (p + "attn_output.weight", E, E),
+                         (p + "ffn_up.weight", FF, E),
+                         (p + "ffn_gate.weight", FF, E),
+                         (p + "ffn_down.weight", E, FF)):
+            add(nm, r, c)
+        for nm in (p + "attn_q.bias", p + "attn_k.bias", p + "attn_v.bias",
+                   p + "attn_output.bias"):
+            add(nm, E, around=0.0)
+        add(p + "ffn_down.bias", E, around=0.0)
+        for nm in (p + "attn_q_norm", p + "attn_k_norm",
+                   p + "attn_output_norm", p + "attn_norm_2",
+                   p + "layer_output_norm"):
+            add(nm + ".weight", E, around=1.0)
+            add(nm + ".bias", E, around=0.0)
+    w.write()
+
+    m = GGUFModel.open(path)
+    cfg = BertConfig.from_gguf(m)
+    assert cfg.alibi_max_bias == 8.0 and cfg.gated_ffn
+    params = load_bert_params(m, cfg)
+    m.close()
+
+    # --- numpy oracle ---
+    def ln(x, wk, bk):
+        mu = x.mean(-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(-1, keepdims=True)
+        return (x - mu) / np.sqrt(var + 1e-12) * dense[wk] + dense[bk]
+
+    def gelu(x):
+        return 0.5 * x * (1.0 + np.tanh(
+            np.sqrt(2.0 / np.pi) * (x + 0.044715 * x ** 3)))
+
+    b, s = 2, 7
+    tokens = rng.integers(0, V, size=(b, s)).astype(np.int32)
+    x = dense["token_embd.weight"][tokens] + dense["token_types.weight"][0]
+    x = ln(x, "token_embd_norm.weight", "token_embd_norm.bias")
+    n_log2 = 1 << int(np.floor(np.log2(H)))
+    m0, m1 = 2.0 ** (-8.0 / n_log2), 2.0 ** (-4.0 / n_log2)
+    hidx = np.arange(H)
+    slopes = np.where(hidx < n_log2, m0 ** (hidx + 1),
+                      m1 ** (2 * (hidx - n_log2) + 1))
+    dist = -np.abs(np.arange(s)[:, None] - np.arange(s)[None, :])
+    bias = slopes[:, None, None] * dist[None]
+    for i in range(L):
+        p = f"blk.{i}."
+        x_in = x
+        q = ln(x @ dense[p + "attn_q.weight"].T + dense[p + "attn_q.bias"],
+               p + "attn_q_norm.weight", p + "attn_q_norm.bias")
+        k = ln(x @ dense[p + "attn_k.weight"].T + dense[p + "attn_k.bias"],
+               p + "attn_k_norm.weight", p + "attn_k_norm.bias")
+        v = x @ dense[p + "attn_v.weight"].T + dense[p + "attn_v.bias"]
+        q = q.reshape(b, s, H, hd)
+        k = k.reshape(b, s, H, hd)
+        v = v.reshape(b, s, H, hd)
+        sc = np.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(hd) + bias[None]
+        sc = sc - sc.max(-1, keepdims=True)
+        pr = np.exp(sc)
+        pr /= pr.sum(-1, keepdims=True)
+        at = np.einsum("bhqk,bkhd->bqhd", pr, v).reshape(b, s, E)
+        at = at @ dense[p + "attn_output.weight"].T + dense[p + "attn_output.bias"]
+        x = ln(x + at, p + "attn_output_norm.weight",
+               p + "attn_output_norm.bias")
+        x = ln(x + x_in, p + "attn_norm_2.weight", p + "attn_norm_2.bias")
+        up = x @ dense[p + "ffn_up.weight"].T
+        gate = x @ dense[p + "ffn_gate.weight"].T
+        ff = gelu(gate) * up @ dense[p + "ffn_down.weight"].T \
+            + dense[p + "ffn_down.bias"]
+        x = ln(x + ff, p + "layer_output_norm.weight",
+               p + "layer_output_norm.bias")
+    want = x
+
+    import jax.numpy as jnp
+    got = bert_forward(params, cfg, jnp.asarray(tokens))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
