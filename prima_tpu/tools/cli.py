@@ -182,7 +182,7 @@ def main(argv=None) -> int:
     probe = GGUFModel.open(args.model)
     probe_arch = probe.arch
     probe.close()
-    if probe_arch in ("deepseek2", "minicpm3", "t5"):
+    if probe_arch in ("deepseek2", "minicpm3", "t5", "rwkv6"):
         # correctness-tier runtimes (full-sequence recompute decode)
         prompt = args.prompt
         if args.file:
@@ -193,6 +193,10 @@ def main(argv=None) -> int:
             from ..models.t5 import T5Runtime
 
             rt = T5Runtime.load(args.model)
+        elif probe_arch == "rwkv6":
+            from ..models.rwkv6 import Rwkv6Runtime
+
+            rt = Rwkv6Runtime.load(args.model)
         else:
             from ..models.deepseek2 import DeepseekV2Runtime
 
