@@ -263,6 +263,10 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
         return _convert_t5(src_dir, dst_path, hf, ftype, logfile)
     if "DeepseekV2ForCausalLM" in archs:
         return _convert_deepseek2(src_dir, dst_path, hf, ftype, logfile)
+    from .convert_extra import convert_extra
+    n_extra = convert_extra(src_dir, dst_path, hf, ftype, logfile)
+    if n_extra is not None:
+        return n_extra
     if ("LlamaForCausalLM" in archs or "MistralForCausalLM" in archs
             or "MixtralForCausalLM" in archs):
         arch = "llama"  # Mixtral is llama with expert_count > 0
@@ -1182,6 +1186,11 @@ _PRE_BY_ARCH = (
     ("granite", "llama-bpe"),
     ("smaug", "smaug-bpe"),
     ("mixtral", "llama-bpe"),
+    ("exaone", "exaone"),
+    ("chatglm", "chatglm-bpe"),
+    ("jais", "jais"),
+    ("codeshell", "codeshell"),
+    ("refact", "refact"),
 )
 
 
