@@ -81,6 +81,17 @@ _PRE_REGEX: dict[str, list[str]] = {
     "smollm": _STARCODER,
     "codeshell": _STARCODER,
     "exaone": _STARCODER,
+    # chameleon keeps the upstream sentinel/image-token splits even though
+    # special-token partitioning would separate them anyway
+    # (llama-vocab.cpp:467-479)
+    "chameleon": [
+        r"<sentinel:[0-9]+>",
+        r"(IMGIMG)((A|B|C|D|E|F|G|H|I){1,4})Z",
+        "([\\t\\n]|    |  )",
+        r"\p{N}",
+        r"[\p{P}!-/:-@\[-`{-~]",
+        r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)""",
+    ],
     "poro-chat": _BLOOM,
     "bloom": _BLOOM,
     "gpt3-finnish": _BLOOM,

@@ -37,6 +37,8 @@ class ArchSpec:
     layer: list = field(default_factory=list)        # (suffix, gguf_suffix)
     layer_prefix: str = "model.layers."
     eps_key: str = "rms"                             # "rms" | "ln" | "both"
+    # mutate the derived-dims dict before the generic KV block: derive(hf, d)
+    derive: Callable | None = None
     # arch-specific KVs, called after the generic block: kv(w, hf, d)
     kv: Callable | None = None
     # full-control tensor hook: yields emits, or None -> fall back to maps
@@ -72,6 +74,7 @@ def _derived(hf: dict) -> dict:
     n_heads = int(hf.get("num_attention_heads") or hf.get("n_head")
                   or hf.get("n_heads") or 0)
     n_kv = int(hf.get("num_key_value_heads") or hf.get("num_kv_heads")
+               or hf.get("multi_query_group_num") or hf.get("num_query_groups")
                or n_heads or 0)
     n_layers = int(hf.get("num_hidden_layers") or hf.get("n_layer")
                    or hf.get("n_layers") or hf.get("num_layers") or 0)
@@ -80,7 +83,7 @@ def _derived(hf: dict) -> dict:
         "n_layers": n_layers,
         "head_dim": (n_embd // n_heads) if n_heads else 0,
         "n_ff": int(hf.get("intermediate_size") or hf.get("n_inner")
-                    or (4 * n_embd)),
+                    or hf.get("ffn_hidden_size") or (4 * n_embd)),
         "n_ctx": int(hf.get("max_sequence_length")
                      or hf.get("max_position_embeddings")
                      or hf.get("model_max_length")
@@ -102,6 +105,8 @@ def convert_extra(src_dir: str, dst_path: str, hf: dict, ftype: str,
     from .convert_hf import _iter_hf_tensors, _write_tokenizer
 
     d = _derived(hf)
+    if spec.derive is not None:
+        spec.derive(hf, d)
     arch = spec.arch
     w = GGUFWriter(dst_path, arch=arch)
     w.add_kv("general.name", os.path.basename(os.path.normpath(src_dir)))
@@ -112,7 +117,8 @@ def convert_extra(src_dir: str, dst_path: str, hf: dict, ftype: str,
     w.add_kv(f"{arch}.attention.head_count_kv", d["n_kv"])
     w.add_kv(f"{arch}.context_length", d["n_ctx"])
     eps = float(hf.get("rms_norm_eps") or hf.get("layer_norm_epsilon")
-                or hf.get("layer_norm_eps") or hf.get("norm_eps") or 1e-5)
+                or hf.get("layer_norm_eps") or hf.get("layernorm_epsilon")
+                or hf.get("norm_eps") or 1e-5)
     if spec.eps_key in ("rms", "both"):
         w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", eps)
     if spec.eps_key in ("ln", "both"):
@@ -294,6 +300,263 @@ _register("MiniCPMForCausalLM", ArchSpec(
                  float(hf.get("dim_model_base", 256)) / d["n_embd"]),
     ] and None,
 ))
+
+# ---------------------------------------------------------------------------
+# batch 2: refact / plamo / codeshell / jais / chatglm / chameleon
+# (reference converter classes RefactModel @1362, PlamoModel @2262,
+#  CodeShellModel @2310, JaisModel @3731, ChatGLMModel @3820,
+#  ChameleonModel @4172 in convert_hf_to_gguf.py)
+
+
+def _refact_ff(n_embd: int) -> int:
+    """Refact's implied FFN width (RefactModel set_gguf_parameters)."""
+    hidden = int(2 * (4 * n_embd) / 3)
+    return 256 * ((hidden + 255) // 256)
+
+
+def _refact_derive(hf, d):
+    d["n_kv"] = 1  # multi-query attention, not in config.json
+    d["n_ff"] = _refact_ff(d["n_embd"])
+
+
+def _refact_transform(hf_name, data, hf, d, state):
+    if ".attn.kv.weight" in hf_name:
+        idx = hf_name.split(".")[2]
+        hd = d["head_dim"]
+        return [(f"blk.{idx}.attn_k.weight", data[:hd]),
+                (f"blk.{idx}.attn_v.weight", data[hd:])]
+    if ".mlp.gate_up_proj.weight" in hf_name:
+        idx = hf_name.split(".")[2]
+        ff = d["n_ff"]
+        return [(f"blk.{idx}.ffn_gate.weight", data[:ff]),
+                (f"blk.{idx}.ffn_up.weight", data[ff:])]
+    return None
+
+
+_register("GPTRefactForCausalLM", ArchSpec(
+    arch="refact",
+    layer_prefix="transformer.h.",
+    top=[("transformer.wte.weight", "token_embd.weight"),
+         ("ln_f.weight", "output_norm.weight"),
+         ("lm_head.weight", "output.weight")],
+    layer=[("ln_1.weight", "attn_norm.weight"),
+           ("ln_2.weight", "ffn_norm.weight"),
+           ("attn.q.weight", "attn_q.weight"),
+           ("attn.c_proj.weight", "attn_output.weight"),
+           ("mlp.linear_1.weight", "ffn_gate.weight"),
+           ("mlp.linear_3.weight", "ffn_up.weight"),
+           ("mlp.c_proj.weight", "ffn_down.weight")],
+    derive=_refact_derive,
+    transform=_refact_transform,
+))
+
+
+def _plamo_derive(hf, d):
+    # plamo-13b's config.json carries a wrong num_key_value_heads; the
+    # reference hardcodes 5 for the 40-head/5120-wide model (PlamoModel
+    # set_gguf_parameters comment) — special-case that shape only.
+    if d["n_embd"] == 5120 and d["n_heads"] == 40:
+        d["n_kv"] = 5
+
+
+def _plamo_transform(hf_name, data, hf, d, state):
+    """De-interleave q heads across kv groups (PlamoModel shuffle_attn_*):
+    HF head a*n_kv+b -> GGUF head b*q_per_kv+a, inverse on o_proj cols."""
+    nh, nkv, hd, ne = d["n_heads"], d["n_kv"], d["head_dim"], d["n_embd"]
+    qpk = nh // nkv
+    idx = hf_name.split(".")[3] if hf_name.count(".") > 3 else "?"
+    if hf_name.endswith("self_attn.q_proj.weight"):
+        q = (data.reshape(qpk, nkv, hd, ne).transpose(1, 0, 2, 3)
+             .reshape(nh * hd, ne))
+        return [(f"blk.{idx}.attn_q.weight", q)]
+    if hf_name.endswith("self_attn.o_proj.weight"):
+        o = (data.reshape(ne, qpk, nkv, hd).transpose(0, 2, 1, 3)
+             .reshape(ne, nh * hd))
+        return [(f"blk.{idx}.attn_output.weight", o)]
+    return None
+
+
+_register("PlamoForCausalLM", ArchSpec(
+    arch="plamo",
+    layer_prefix="model.layers.layers.",
+    top=[("model.embed_tokens.weight", "token_embd.weight"),
+         ("model.norm.weight", "output_norm.weight"),
+         ("lm_head.weight", "output.weight")],
+    layer=[("norm.weight", "attn_norm.weight"),  # shared attn+ffn norm
+           ("self_attn.k_proj.weight", "attn_k.weight"),
+           ("self_attn.v_proj.weight", "attn_v.weight"),
+           ("mlp.gate_proj.weight", "ffn_gate.weight"),
+           ("mlp.up_proj.weight", "ffn_up.weight"),
+           ("mlp.down_proj.weight", "ffn_down.weight")],
+    derive=_plamo_derive,
+    transform=_plamo_transform,
+))
+
+
+def _codeshell_derive(hf, d):
+    d["n_ff"] = int(hf.get("n_inner") or 0) or 4 * d["n_embd"]
+
+
+def _codeshell_transform(hf_name, data, hf, d, state):
+    if hf_name == "transformer.wte.weight":
+        state["embd"] = data
+        return [("token_embd.weight", data)]
+    if hf_name in ("lm_head.weight", "output.weight"):
+        state["has_output"] = True
+        return [("output.weight", data)]
+    return None
+
+
+def _codeshell_finish(hf, d, state):
+    # tied output head: reference copies tok_embd into output.weight when
+    # the checkpoint ships neither lm_head nor output (CodeShellModel)
+    if not state.get("has_output") and "embd" in state:
+        yield ("output.weight", state["embd"])
+
+
+_register("CodeShellForCausalLM", ArchSpec(
+    arch="codeshell",
+    layer_prefix="transformer.h.",
+    eps_key="ln",
+    top=[("transformer.ln_f.weight", "output_norm.weight"),
+         ("transformer.ln_f.bias", "output_norm.bias")],
+    layer=[("ln_1.weight", "attn_norm.weight"),
+           ("ln_1.bias", "attn_norm.bias"),
+           ("attn.c_attn.weight", "attn_qkv.weight"),
+           ("attn.c_attn.bias", "attn_qkv.bias"),
+           ("attn.c_proj.weight", "attn_output.weight"),
+           ("attn.c_proj.bias", "attn_output.bias"),
+           ("ln_2.weight", "ffn_norm.weight"),
+           ("ln_2.bias", "ffn_norm.bias"),
+           ("mlp.c_fc.weight", "ffn_up.weight"),
+           ("mlp.c_fc.bias", "ffn_up.bias"),
+           ("mlp.c_proj.weight", "ffn_down.weight"),
+           ("mlp.c_proj.bias", "ffn_down.bias")],
+    derive=_codeshell_derive,
+    transform=_codeshell_transform,
+    finish=_codeshell_finish,
+))
+
+
+def _jais_transform(hf_name, data, hf, d, state):
+    """gpt2-style Conv1D weights are stored (in, out): transpose the four
+    projection weights; scale wte/output by the muP factors (JaisModel)."""
+    if hf_name.endswith((".attn.bias", ".attn.masked_bias",
+                         "relative_pe.slopes")):
+        return []  # causal-mask buffers / precomputed ALiBi slopes
+    emb_scale = float(hf.get("mup_embeddings_scale")
+                      or hf.get("embeddings_scale") or 1.0)
+    width = 1.0
+    if hf.get("mup_output_alpha") is not None:
+        width = float(hf["mup_output_alpha"]) * float(hf["mup_width_scale"])
+    elif hf.get("width_scale") is not None:
+        width = float(hf["width_scale"])
+    if hf_name == "transformer.wte.weight":
+        outs = [("token_embd.weight", data * emb_scale)]
+        if hf.get("mup_embeddings_scale") is not None:
+            # mup flavors tie the output head to wte, scaled differently
+            outs.append(("output.weight", data * width))
+        return outs
+    if hf_name == "lm_head.weight":
+        return [("output.weight", data * width)]
+    if hf_name.endswith((".attn.c_attn.weight", ".attn.c_proj.weight",
+                         ".mlp.c_fc.weight", ".mlp.c_fc2.weight",
+                         ".mlp.c_proj.weight")):
+        idx = hf_name.split(".")[2]
+        suffix = {"c_attn": "attn_qkv.weight", "c_fc": "ffn_up.weight",
+                  "c_fc2": "ffn_gate.weight"}.get(hf_name.split(".")[-2])
+        if suffix is None:
+            suffix = ("attn_output.weight" if ".attn." in hf_name
+                      else "ffn_down.weight")
+        return [(f"blk.{idx}.{suffix}", np.ascontiguousarray(data.T))]
+    return None
+
+
+_register("JAISLMHeadModel", ArchSpec(
+    arch="jais",
+    layer_prefix="transformer.h.",
+    eps_key="ln",
+    top=[("transformer.ln_f.weight", "output_norm.weight"),
+         ("transformer.ln_f.bias", "output_norm.bias")],
+    layer=[("ln_1.weight", "attn_norm.weight"),
+           ("ln_1.bias", "attn_norm.bias"),
+           ("attn.c_attn.bias", "attn_qkv.bias"),
+           ("attn.c_proj.bias", "attn_output.bias"),
+           ("ln_2.weight", "ffn_norm.weight"),
+           ("ln_2.bias", "ffn_norm.bias"),
+           ("mlp.c_fc.bias", "ffn_up.bias"),
+           ("mlp.c_fc2.bias", "ffn_gate.bias"),
+           ("mlp.c_proj.bias", "ffn_down.bias")],
+    transform=_jais_transform,
+    # all public JAIS checkpoints precompute slopes for max_alibi_bias=8
+    # (the runtime hardcodes 8.0 too, models/config.py jais branch)
+    kv=lambda w, hf, d: w.add_kv("jais.attention.max_alibi_bias", 8.0),
+))
+
+
+def _chatglm_derive(hf, d):
+    # generic-block inputs that chatglm spells differently: rope base is
+    # 10000*rope_ratio, rotary dim is half the head dim (ChatGLMModel
+    # writes 64 for the 128-wide heads), vocab may only be padded_
+    hf.setdefault("rope_theta", 10000.0 * float(hf.get("rope_ratio", 1.0)))
+    hf.setdefault("partial_rotary_factor", 0.5)
+    if hf.get("padded_vocab_size") and not hf.get("vocab_size"):
+        hf["vocab_size"] = hf["padded_vocab_size"]
+
+
+_register(["ChatGLMModel", "ChatGLMForConditionalGeneration"], ArchSpec(
+    arch="chatglm",
+    layer_prefix="transformer.encoder.layers.",
+    top=[("transformer.embedding.word_embeddings.weight",
+          "token_embd.weight"),
+         ("transformer.encoder.final_layernorm.weight",
+          "output_norm.weight"),
+         ("transformer.output_layer.weight", "output.weight")],
+    layer=[("input_layernorm.weight", "attn_norm.weight"),
+           ("self_attention.query_key_value.weight", "attn_qkv.weight"),
+           ("self_attention.query_key_value.bias", "attn_qkv.bias"),
+           ("self_attention.dense.weight", "attn_output.weight"),
+           ("post_attention_layernorm.weight", "ffn_norm.weight"),
+           # dense_h_to_4h holds [gate|up]; the runtime splits it
+           # (LLM_FFN_SWIGLU, build_chatglm)
+           ("mlp.dense_h_to_4h.weight", "ffn_up.weight"),
+           ("mlp.dense_4h_to_h.weight", "ffn_down.weight")],
+    derive=_chatglm_derive,
+))
+
+
+def _chameleon_qk_norm(data, hd):
+    """Per-head norm params: reference takes head 0, un-interleaves the
+    rotary halves, and replicates across heads (ChameleonModel
+    _reverse_hf_permute) — we emit the shared (hd,) row the runtime
+    broadcasts over heads."""
+    row = np.asarray(data).reshape(-1, hd)[0]
+    return np.ascontiguousarray(row.reshape(2, hd // 2).T.reshape(-1))
+
+
+def _chameleon_transform(hf_name, data, hf, d, state):
+    if hf_name.startswith("model.vqmodel"):
+        return []  # image tokenizer: not converted (reference skips too)
+    base = _llama_permute_transform(hf_name, data, hf, d, state)
+    if base is not None:
+        return base
+    for part, gg in (("q_norm", "attn_q_norm"), ("k_norm", "attn_k_norm")):
+        for kind in ("weight", "bias"):
+            if hf_name.endswith(f"self_attn.{part}.{kind}"):
+                idx = hf_name.split(".")[2]
+                return [(f"blk.{idx}.{gg}.{kind}",
+                         _chameleon_qk_norm(data, d["head_dim"]))]
+    return None
+
+
+_register("ChameleonForCausalLM", ArchSpec(
+    arch="chameleon",
+    top=_LLAMA_TOP, layer=_LLAMA_LAYER,
+    transform=_chameleon_transform,
+    kv=lambda w, hf, d: w.add_kv("chameleon.swin_norm",
+                                 bool(hf.get("swin_norm", False))),
+))
+
 
 _register("ExaoneForCausalLM", ArchSpec(
     arch="exaone",

@@ -1191,6 +1191,7 @@ _PRE_BY_ARCH = (
     ("jais", "jais"),
     ("codeshell", "codeshell"),
     ("refact", "refact"),
+    ("chameleon", "chameleon"),
 )
 
 

@@ -248,6 +248,279 @@ def test_minicpm_conversion_scales(tmp_path):
     _forward_vs_oracle(dst)
 
 
+def test_refact_conversion(tmp_path):
+    from prima_tpu.tools.convert_extra import _refact_ff
+
+    rng = np.random.default_rng(6)
+    nv, ne, nh, nl = 256, 64, 4, 2
+    hd = ne // nh
+    ff = _refact_ff(ne)          # 256*ceil((2*(4*64)/3)/256) = 256
+    cfg = {"architectures": ["GPTRefactForCausalLM"], "vocab_size": nv,
+           "n_embd": ne, "n_head": nh, "n_layer": nl, "n_positions": 512,
+           "layer_norm_epsilon": 1e-5}
+    t = {"transformer.wte.weight": _rand(rng, nv, ne),
+         "ln_f.weight": 1.0 + _rand(rng, ne),
+         "lm_head.weight": _rand(rng, nv, ne)}
+    for i in range(nl):
+        p = f"transformer.h.{i}."
+        t[p + "ln_1.weight"] = 1.0 + _rand(rng, ne)
+        t[p + "ln_2.weight"] = 1.0 + _rand(rng, ne)
+        t[p + "attn.q.weight"] = _rand(rng, nh * hd, ne)
+        t[p + "attn.kv.weight"] = _rand(rng, 2 * hd, ne)   # MQA: n_kv=1
+        t[p + "attn.c_proj.weight"] = _rand(rng, ne, nh * hd)
+        t[p + "mlp.gate_up_proj.weight"] = _rand(rng, 2 * ff, ne)
+        t[p + "mlp.c_proj.weight"] = _rand(rng, ne, ff)
+    d = str(tmp_path / "hf")
+    _save_ckpt(d, cfg, t)
+    dst = str(tmp_path / "m.gguf")
+    assert convert_hf_to_gguf(d, dst, "F32", logfile=open(os.devnull, "w")) > 0
+    m = GGUFModel.open(dst)
+    assert m.arch == "refact"
+    assert m.get("refact.attention.head_count_kv") == 1
+    assert m.get("refact.feed_forward_length") == ff
+    kv = t["transformer.h.0.attn.kv.weight"]
+    np.testing.assert_array_equal(
+        dequantize_tensor(m.tensors["blk.0.attn_k.weight"]), kv[:hd])
+    np.testing.assert_array_equal(
+        dequantize_tensor(m.tensors["blk.0.attn_v.weight"]), kv[hd:])
+    gu = t["transformer.h.0.mlp.gate_up_proj.weight"]
+    np.testing.assert_array_equal(
+        dequantize_tensor(m.tensors["blk.0.ffn_gate.weight"]), gu[:ff])
+    np.testing.assert_array_equal(
+        dequantize_tensor(m.tensors["blk.0.ffn_up.weight"]), gu[ff:])
+    m.close()
+    cfgm = _forward_vs_oracle(dst)
+    assert cfgm.alibi_max_bias == 8.0 and cfgm.rope_dim == 0
+
+
+def test_plamo_head_shuffle(tmp_path):
+    rng = np.random.default_rng(7)
+    nv, ne, nh, nkv, nff, nl = 256, 64, 4, 2, 96, 2
+    hd, qpk = ne // nh, nh // nkv
+    cfg = {"architectures": ["PlamoForCausalLM"], "vocab_size": nv,
+           "hidden_size": ne, "num_attention_heads": nh,
+           "num_key_value_heads": nkv, "intermediate_size": nff,
+           "num_hidden_layers": nl, "rms_norm_eps": 1e-5}
+    t = {"model.embed_tokens.weight": _rand(rng, nv, ne),
+         "model.norm.weight": 1.0 + _rand(rng, ne),
+         "lm_head.weight": _rand(rng, nv, ne)}
+    # per-head q blocks so the de-interleave is checkable head-by-head
+    q_heads = [[_rand(rng, hd, ne) for b in range(nkv)] for a in range(qpk)]
+    o_cols = [[_rand(rng, ne, hd) for b in range(nkv)] for a in range(qpk)]
+    for i in range(nl):
+        p = f"model.layers.layers.{i}."
+        t[p + "norm.weight"] = 1.0 + _rand(rng, ne)
+        t[p + "self_attn.q_proj.weight"] = np.concatenate(
+            [q_heads[a][b] for a in range(qpk) for b in range(nkv)])
+        t[p + "self_attn.k_proj.weight"] = _rand(rng, nkv * hd, ne)
+        t[p + "self_attn.v_proj.weight"] = _rand(rng, nkv * hd, ne)
+        t[p + "self_attn.o_proj.weight"] = np.concatenate(
+            [o_cols[a][b] for a in range(qpk) for b in range(nkv)], axis=1)
+        t[p + "mlp.gate_proj.weight"] = _rand(rng, nff, ne)
+        t[p + "mlp.up_proj.weight"] = _rand(rng, nff, ne)
+        t[p + "mlp.down_proj.weight"] = _rand(rng, ne, nff)
+    d = str(tmp_path / "hf")
+    _save_ckpt(d, cfg, t)
+    dst = str(tmp_path / "m.gguf")
+    assert convert_hf_to_gguf(d, dst, "F32", logfile=open(os.devnull, "w")) > 0
+    m = GGUFModel.open(dst)
+    assert m.arch == "plamo"
+    # HF head a*nkv+b lands at GGUF head b*qpk+a (PlamoModel shuffle)
+    got_q = dequantize_tensor(m.tensors["blk.0.attn_q.weight"])
+    got_o = dequantize_tensor(m.tensors["blk.0.attn_output.weight"])
+    np.testing.assert_array_equal(
+        got_q, np.concatenate(
+            [q_heads[a][b] for b in range(nkv) for a in range(qpk)]))
+    np.testing.assert_array_equal(
+        got_o, np.concatenate(
+            [o_cols[a][b] for b in range(nkv) for a in range(qpk)], axis=1))
+    assert "blk.0.ffn_norm.weight" not in m.tensors  # shared attn norm
+    m.close()
+    cfgm = _forward_vs_oracle(dst)
+    assert cfgm.parallel_block
+
+
+def test_codeshell_conversion_tied_output(tmp_path):
+    rng = np.random.default_rng(8)
+    nv, ne, nh, nkv, nl = 256, 64, 4, 2, 2
+    hd = ne // nh
+    cfg = {"architectures": ["CodeShellForCausalLM"], "vocab_size": nv,
+           "n_embd": ne, "n_head": nh, "num_query_groups": nkv,
+           "n_layer": nl, "n_positions": 512, "n_inner": None,
+           "layer_norm_epsilon": 1e-5}
+    t = {"transformer.wte.weight": _rand(rng, nv, ne),
+         "transformer.ln_f.weight": 1.0 + _rand(rng, ne),
+         "transformer.ln_f.bias": _rand(rng, ne)}
+    for i in range(nl):
+        p = f"transformer.h.{i}."
+        t[p + "ln_1.weight"] = 1.0 + _rand(rng, ne)
+        t[p + "ln_1.bias"] = _rand(rng, ne)
+        t[p + "ln_2.weight"] = 1.0 + _rand(rng, ne)
+        t[p + "ln_2.bias"] = _rand(rng, ne)
+        t[p + "attn.c_attn.weight"] = _rand(rng, (nh + 2 * nkv) * hd, ne)
+        t[p + "attn.c_attn.bias"] = _rand(rng, (nh + 2 * nkv) * hd)
+        t[p + "attn.c_proj.weight"] = _rand(rng, ne, nh * hd)
+        t[p + "attn.c_proj.bias"] = _rand(rng, ne)
+        t[p + "mlp.c_fc.weight"] = _rand(rng, 4 * ne, ne)
+        t[p + "mlp.c_fc.bias"] = _rand(rng, 4 * ne)
+        t[p + "mlp.c_proj.weight"] = _rand(rng, ne, 4 * ne)
+        t[p + "mlp.c_proj.bias"] = _rand(rng, ne)
+    d = str(tmp_path / "hf")
+    _save_ckpt(d, cfg, t)
+    dst = str(tmp_path / "m.gguf")
+    assert convert_hf_to_gguf(d, dst, "F32", logfile=open(os.devnull, "w")) > 0
+    m = GGUFModel.open(dst)
+    assert m.arch == "codeshell"
+    assert m.get("codeshell.feed_forward_length") == 4 * ne
+    assert m.get("codeshell.attention.head_count_kv") == nkv
+    assert m.get("codeshell.attention.layer_norm_epsilon") == pytest.approx(1e-5)
+    # no lm_head in the checkpoint -> output tied to wte (CodeShellModel)
+    np.testing.assert_array_equal(
+        dequantize_tensor(m.tensors["output.weight"]),
+        t["transformer.wte.weight"])
+    assert "blk.0.attn_qkv.weight" in m.tensors
+    m.close()
+    cfgm = _forward_vs_oracle(dst)
+    assert cfgm.norm_type == "ln" and cfgm.act == "gelu"
+
+
+def test_jais_conv1d_and_mup_scales(tmp_path):
+    rng = np.random.default_rng(9)
+    nv, ne, nh, nff, nl = 256, 64, 4, 96, 2
+    cfg = {"architectures": ["JAISLMHeadModel"], "vocab_size": nv,
+           "n_embd": ne, "n_head": nh, "n_layer": nl, "n_positions": 512,
+           "n_inner": nff, "layer_norm_epsilon": 1e-5,
+           "activation_function": "swiglu", "position_embedding_type": "alibi",
+           "mup_embeddings_scale": 9.17, "mup_output_alpha": 1.22,
+           "mup_width_scale": 0.35}
+    wte = _rand(rng, nv, ne)
+    t = {"transformer.wte.weight": wte,
+         "transformer.ln_f.weight": 1.0 + _rand(rng, ne),
+         "transformer.ln_f.bias": _rand(rng, ne),
+         "transformer.relative_pe.slopes": np.asarray(
+             [0.25, 0.0625, 0.015625, 0.00390625], np.float32)}
+    for i in range(nl):
+        p = f"transformer.h.{i}."
+        t[p + "ln_1.weight"] = 1.0 + _rand(rng, ne)
+        t[p + "ln_1.bias"] = _rand(rng, ne)
+        t[p + "ln_2.weight"] = 1.0 + _rand(rng, ne)
+        t[p + "ln_2.bias"] = _rand(rng, ne)
+        # Conv1D storage: (in_features, out_features)
+        t[p + "attn.c_attn.weight"] = _rand(rng, ne, 3 * ne)
+        t[p + "attn.c_attn.bias"] = _rand(rng, 3 * ne)
+        t[p + "attn.c_proj.weight"] = _rand(rng, ne, ne)
+        t[p + "attn.c_proj.bias"] = _rand(rng, ne)
+        t[p + "mlp.c_fc.weight"] = _rand(rng, ne, nff)
+        t[p + "mlp.c_fc.bias"] = _rand(rng, nff)
+        t[p + "mlp.c_fc2.weight"] = _rand(rng, ne, nff)
+        t[p + "mlp.c_fc2.bias"] = _rand(rng, nff)
+        t[p + "mlp.c_proj.weight"] = _rand(rng, nff, ne)
+        t[p + "mlp.c_proj.bias"] = _rand(rng, ne)
+    d = str(tmp_path / "hf")
+    _save_ckpt(d, cfg, t)
+    dst = str(tmp_path / "m.gguf")
+    assert convert_hf_to_gguf(d, dst, "F32", logfile=open(os.devnull, "w")) > 0
+    m = GGUFModel.open(dst)
+    assert m.arch == "jais"
+    np.testing.assert_allclose(
+        dequantize_tensor(m.tensors["token_embd.weight"]), wte * 9.17,
+        rtol=1e-6)
+    np.testing.assert_allclose(
+        dequantize_tensor(m.tensors["output.weight"]), wte * (1.22 * 0.35),
+        rtol=1e-6)
+    np.testing.assert_array_equal(
+        dequantize_tensor(m.tensors["blk.0.attn_qkv.weight"]),
+        t["transformer.h.0.attn.c_attn.weight"].T)
+    np.testing.assert_array_equal(
+        dequantize_tensor(m.tensors["blk.1.ffn_gate.weight"]),
+        t["transformer.h.1.mlp.c_fc2.weight"].T)
+    assert "transformer.relative_pe.slopes" not in [ti.name for ti in m]
+    m.close()
+    cfgm = _forward_vs_oracle(dst)
+    assert cfgm.alibi_max_bias == 8.0 and cfgm.rope_dim == 0
+
+
+def test_chatglm_conversion(tmp_path):
+    rng = np.random.default_rng(10)
+    nv, ne, nh, nkv, nff, nl = 256, 64, 4, 2, 96, 2
+    hd = ne // nh
+    cfg = {"architectures": ["ChatGLMModel"], "padded_vocab_size": nv,
+           "hidden_size": ne, "num_attention_heads": nh,
+           "multi_query_group_num": nkv, "ffn_hidden_size": nff,
+           "num_layers": nl, "seq_length": 512,
+           "layernorm_epsilon": 1e-5, "rope_ratio": 50.0, "vocab_size": nv}
+    t = {"transformer.embedding.word_embeddings.weight": _rand(rng, nv, ne),
+         "transformer.encoder.final_layernorm.weight": 1.0 + _rand(rng, ne),
+         "transformer.output_layer.weight": _rand(rng, nv, ne),
+         "transformer.rotary_pos_emb.inv_freq": _rand(rng, hd // 4)}
+    for i in range(nl):
+        p = f"transformer.encoder.layers.{i}."
+        t[p + "input_layernorm.weight"] = 1.0 + _rand(rng, ne)
+        t[p + "post_attention_layernorm.weight"] = 1.0 + _rand(rng, ne)
+        t[p + "self_attention.query_key_value.weight"] = _rand(
+            rng, (nh + 2 * nkv) * hd, ne)
+        t[p + "self_attention.query_key_value.bias"] = _rand(
+            rng, (nh + 2 * nkv) * hd)
+        t[p + "self_attention.dense.weight"] = _rand(rng, ne, nh * hd)
+        t[p + "mlp.dense_h_to_4h.weight"] = _rand(rng, 2 * nff, ne)
+        t[p + "mlp.dense_4h_to_h.weight"] = _rand(rng, ne, nff)
+    d = str(tmp_path / "hf")
+    _save_ckpt(d, cfg, t)
+    dst = str(tmp_path / "m.gguf")
+    assert convert_hf_to_gguf(d, dst, "F32", logfile=open(os.devnull, "w")) > 0
+    m = GGUFModel.open(dst)
+    assert m.arch == "chatglm"
+    assert m.get("chatglm.attention.head_count_kv") == nkv
+    assert m.get("chatglm.feed_forward_length") == nff
+    assert m.get("chatglm.rope.freq_base") == pytest.approx(500000.0)
+    assert m.get("chatglm.rope.dimension_count") == hd // 2
+    assert "rotary_pos_emb.inv_freq" not in [ti.name for ti in m]
+    assert "blk.0.attn_qkv.bias" in m.tensors
+    m.close()
+    cfgm = _forward_vs_oracle(dst)
+    assert cfgm.act == "swiglu_split"
+
+
+def test_chameleon_qk_norms(tmp_path):
+    rng = np.random.default_rng(11)
+    nv, ne, nh, nkv, nff, nl = 256, 64, 4, 2, 96, 2
+    hd = ne // nh
+    cfg = {"architectures": ["ChameleonForCausalLM"], "vocab_size": nv,
+           "hidden_size": ne, "num_attention_heads": nh,
+           "num_key_value_heads": nkv, "intermediate_size": nff,
+           "num_hidden_layers": nl, "max_position_embeddings": 512,
+           "rms_norm_eps": 1e-5, "swin_norm": False}
+    t = _llama_style_tensors(rng, nv, ne, nh, nkv, nff, nl)
+    qn = _rand(rng, hd) + 1.0
+    kn = _rand(rng, hd) + 1.0
+    for i in range(nl):
+        p = f"model.layers.{i}.self_attn."
+        # HF stores per-head (n_heads, hd); reference uses head 0 only
+        t[p + "q_norm.weight"] = np.tile(qn, (nh, 1))
+        t[p + "q_norm.bias"] = np.zeros((nh, hd), np.float32)
+        t[p + "k_norm.weight"] = np.tile(kn, (nkv, 1))
+        t[p + "k_norm.bias"] = np.zeros((nkv, hd), np.float32)
+    t["model.vqmodel.encoder.conv_in.weight"] = _rand(rng, 4, 4)
+    d = str(tmp_path / "hf")
+    _save_ckpt(d, cfg, t)
+    dst = str(tmp_path / "m.gguf")
+    assert convert_hf_to_gguf(d, dst, "F32", logfile=open(os.devnull, "w")) > 0
+    m = GGUFModel.open(dst)
+    assert m.arch == "chameleon"
+    assert m.get("chameleon.swin_norm") is False
+    # norm row 0, rotary halves re-interleaved (_reverse_hf_permute)
+    want = qn.reshape(2, hd // 2).T.reshape(-1)
+    np.testing.assert_array_equal(
+        dequantize_tensor(m.tensors["blk.0.attn_q_norm.weight"]), want)
+    assert not any(ti.name.startswith("model.vqmodel") for ti in m)
+    np.testing.assert_array_equal(
+        dequantize_tensor(m.tensors["blk.1.attn_q.weight"]),
+        _permute_qk(t["model.layers.1.self_attn.q_proj.weight"], nh))
+    m.close()
+    cfgm = _forward_vs_oracle(dst)
+    assert cfgm.qk_norm_head
+
+
 def test_exaone_conversion(tmp_path):
     rng = np.random.default_rng(5)
     nv, ne, nh, nkv, nff, nl = 256, 64, 4, 2, 96, 2

@@ -1,72 +1,60 @@
-"""Profile the single-chip decode step on real TPU: where does the token
-budget go? (VERDICT r1: 57.6 tok/s vs 66.7 baseline — find the gap instead
-of normalizing it away.)
+"""Decompose the 8B Q4_K decode step on the real TPU (VERDICT r1 weak #1).
 
-Measures, each as ONE jit with an internal fori_loop (dispatch-amortized,
-value-readback synchronized — see .claude/skills/verify/SKILL.md):
-  * full decode step (pallas, f32 accumulate)      -> tok/s
-  * full decode step (pallas, fast=bf16)           -> tok/s
-  * layers-only (no output head)                   -> isolates head cost
-  * per-shape fused qmatmul GEMV                   -> GB/s per weight shape
-  * attention-only                                  -> us/layer
-  * raw HBM read probe                              -> GB/s ceiling
+Times, with the bench methodology (whole loop in ONE jit via lax.fori_loop,
+value readback to sync, tunnel RTT subtracted, paired raw-HBM probes):
 
-Usage: python tools/profile_decode.py [--small] [--steps 32]
+  full        the bench's decode step (unfused weights, default precision)
+  fused       fused QKV + gate-up weights (4 GEMV launches/layer instead of 7)
+  fused_fast  fused + bf16 in-kernel compute (PRIMA_QMM_FAST=1)
+  gemv        the 7 per-layer qmatmuls alone (no attention/norm/rope/KV)
+  head        the 128256x4096 logits head matmul alone
+  attn        full minus GEMVs: attention + norms + rope + KV update + glue
+
+Prints a JSON object with ms/token per variant and derived effective GB/s,
+so the gap between the decode step and the moment's memory speed-of-light
+is attributable to a specific component.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
 
-
-def sync(x):
-    import jax.numpy as jnp
-
-    return float(jnp.asarray(x).reshape(-1)[0])
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def timeit(fn, *args, trials=3, sleep=0.0, tag=""):
-    import sys
-    t0 = time.perf_counter()
-    fn(*args)  # compile + warm
-    print(f"[{tag}] compiled+warm in {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
-    best = float("inf")
-    for t in range(trials):
-        t0 = time.perf_counter()
-        fn(*args)
-        best = min(best, time.perf_counter() - t0)
-        if sleep and t < trials - 1:
-            time.sleep(sleep)
-    return best
-
-
-def main():
+def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--small", action="store_true")
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--ctx", type=int, default=1024)
-    ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--small", action="store_true")
     args = ap.parse_args()
 
     import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the axon TPU plugin initializes (and hangs if the tunnel is down)
+        # unless the platform is ALSO forced via config (tests/conftest.py)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from prima_tpu.gguf.constants import GGMLType
     from prima_tpu.models.config import tiny_config
     from prima_tpu.models.llama import (ForwardOptions, forward_scan,
                                         init_kv_stacked,
-                                        synth_params_device_stacked,
-                                        synth_qtensor_device)
-    from prima_tpu.quant.pallas.qmatmul import qmatmul_pallas
-
+                                        synth_params_device_stacked)
     on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        from prima_tpu.quant.pallas.qmatmul import qmatmul_pallas as qmm
+    else:
+        # interpret-mode Pallas is far too slow for a smoke run; the XLA
+        # path keeps the tool executable off-TPU (numbers only matter on)
+        from prima_tpu.quant.dequant_jax import qmatmul_xla as qmm
     if not on_tpu:
-        import os
-
         os.environ.setdefault("PRIMA_PALLAS_INTERPRET", "1")
-
     if args.small or not on_tpu:
         cfg = tiny_config(n_layers=4, n_embd=1024, n_heads=16, n_kv_heads=8,
                           head_dim=64, n_ff=2816, n_vocab=32000, rope_dim=64)
@@ -74,218 +62,142 @@ def main():
         cfg = tiny_config(n_layers=32, n_embd=4096, n_heads=32, n_kv_heads=8,
                           head_dim=128, n_ff=14336, n_vocab=128256,
                           n_ctx_train=8192, rope_base=500000.0, rope_dim=128)
-
-    impl = "pallas" if on_tpu else "xla"
     steps = args.steps
-    report = {}
+    impl = "pallas" if on_tpu else "xla"
+    opts = ForwardOptions(matmul_impl=impl)
 
-    import sys as _sys
-    t0 = time.perf_counter()
     params = jax.jit(lambda: synth_params_device_stacked(cfg, GGMLType.Q4_K))()
     jax.block_until_ready(jax.tree.leaves(params)[0])
-    print(f"[synth] params ready in {time.perf_counter()-t0:.1f}s", file=_sys.stderr, flush=True)
+    params_f = jax.jit(
+        lambda: synth_params_device_stacked(cfg, GGMLType.Q4_K, fused=True))()
+    jax.block_until_ready(jax.tree.leaves(params_f)[0])
+
     kv = init_kv_stacked(cfg, 1, args.ctx)
+    token = jnp.ones((1, 1), jnp.int32)
+    pos0 = jnp.ones((1,), jnp.int32)
 
-    def weight_bytes(tree):
-        return sum(l.size * l.dtype.itemsize for l in jax.tree.leaves(tree))
-
-    wb = weight_bytes(params)
-    report["weight_bytes_gb"] = round(wb / 1e9, 3)
-
-    def decode_fn(fast):
-        opts = ForwardOptions(matmul_impl=impl)
+    def decode_loop(prm):
+        o = ForwardOptions(matmul_impl=impl)
 
         @jax.jit
-        def run(params, kv, token, pos0):
-            def body(i, carry):
-                kv, token = carry
-                pos = pos0 + i
-                logits, kv = forward_scan(params, cfg, token, pos[:, None],
-                                          kv, pos, opts)
-                nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
-                return (kv, nxt[:, None])
-            out = jax.lax.fori_loop(0, steps, body, (kv, token))
-            return out[1]
-
-        return lambda: sync(run(params, kv, jnp.ones((1, 1), jnp.int32),
-                                jnp.ones((1,), jnp.int32)))
-
-    def layers_only_fn():
-        opts = ForwardOptions(matmul_impl=impl)
-
-        @jax.jit
-        def run(params, kv, x0, pos0):
+        def fn(prm, kv, token, pos0):
             def body(i, carry):
                 kv, tok = carry
                 pos = pos0 + i
-                hid, kv = forward_scan(params, cfg, tok, pos[:, None], kv,
-                                       pos, opts, return_hidden=True)
-                nxt = (jnp.abs(hid[0, -1, :8]).argmax()).astype(jnp.int32)
-                return (kv, nxt[None, None])
-            out = jax.lax.fori_loop(0, steps, body, (kv, x0))
-            return out[1]
+                logits, kv = forward_scan(prm, cfg, tok, pos[:, None], kv,
+                                          pos, o)
+                nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+                return (kv, nxt[:, None])
+            return jax.lax.fori_loop(0, steps, body, (kv, token))
 
-        return lambda: sync(run(params, kv, jnp.ones((1, 1), jnp.int32),
-                                jnp.ones((1,), jnp.int32)))
+        def run():
+            out = fn(prm, kv, token, pos0)
+            return int(out[1][0, 0])
+        return run
 
-    import os
-
-    os.environ["PRIMA_QMM_FAST"] = "0"
-    t = timeit(decode_fn(False), trials=args.trials, sleep=2, tag="decode_f32")
-    report["decode_f32_tok_s"] = round(steps / t, 2)
-
-    t = timeit(layers_only_fn(), trials=args.trials, sleep=2, tag="layers_only")
-    report["layers_only_tok_s"] = round(steps / t, 2)
-
-    def decode_fast_fn():
-        os.environ["PRIMA_QMM_FAST"] = "1"
-        return decode_fn(True)
-
-    t = timeit(decode_fast_fn(), trials=args.trials, sleep=2, tag="decode_bf16")
-    report["decode_bf16_tok_s"] = round(steps / t, 2)
-    os.environ["PRIMA_QMM_FAST"] = "0"
-
-    # per-shape qmm GEMV
-    e, f, v = cfg.n_embd, cfg.n_ff, cfg.n_vocab
-    shapes = [("wq", e, e), ("wkv", cfg.n_kv_heads * cfg.head_dim, e),
-              ("ffn", f, e), ("down", e, f), ("head", v, e)]
-    qmm_iters = 32
-    for name, n, k in shapes:
-        qt = synth_qtensor_device(jax.random.PRNGKey(1), n, k, GGMLType.Q4_K)
-        jax.block_until_ready(qt.qs)
-        qb = (qt.qs.size * qt.qs.dtype.itemsize
-              + sum(a.size * a.dtype.itemsize
-                    for a in (qt.scales, qt.mins, qt.d, qt.dmin)
-                    if a is not None))
-
-        @jax.jit
-        def run(qt, x):
-            def body(i, x):
-                y = qmatmul_pallas(x, qt, out_dtype=jnp.float32)
-                return (y[..., :k] * 1e-3 if y.shape[-1] >= k
-                        else jnp.pad(y, ((0, 0), (0, k - y.shape[-1]))) * 1e-3)
-            return jax.lax.fori_loop(0, qmm_iters, body,
-                                     x, unroll=False)
-
-        x = jnp.ones((1, k), jnp.float32)
-        t = timeit(lambda r=run, q=qt, xx=x: sync(r(q, xx)),
-                   trials=args.trials, tag=f"qmm_{name}")
-        report[f"qmm_{name}_gbs"] = round(qb * qmm_iters / t / 1e9, 1)
-
-    # attention-only
-    from prima_tpu.ops.layers import causal_mask, gqa_attention
-
-    b, T = 1, args.ctx
-    q1 = jnp.ones((b, 1, cfg.n_heads, cfg.head_dim), jnp.bfloat16)
-    kc = jnp.ones((b, T, cfg.n_kv_heads, cfg.head_dim), jnp.bfloat16)
-    att_iters = 256
+    # GEMV-only: every per-layer matmul with a live data dependency, no
+    # attention/norm/rope/KV — measures the fused kernels' streaming rate.
+    e = cfg.n_embd
 
     @jax.jit
-    def att_run(q1, kc):
-        mask = causal_mask(jnp.full((b, 1), T - 1, jnp.int32), T)
+    def gemv_loop(prm, x0):
+        layers = prm["layers"]
 
-        def body(i, q):
-            o = gqa_attention(q, kc, kc, mask, 0.088)
-            return (q + o * 1e-6).astype(q.dtype)
-        return jax.lax.fori_loop(0, att_iters, body, q1)
-
-    t = timeit(lambda: sync(att_run(q1, kc)), trials=args.trials, tag='attn')
-    report["attn_us_per_layer"] = round(t / att_iters * 1e6, 1)
-
-    # raw HBM probe
-    n = 48 * 1024 * 1024
-    xbig = jnp.ones((n,), jnp.int8)
-    probe_iters = 100
+        def body(i, x):
+            def scan_body(xc, layer):
+                q = qmm(xc, layer["wq"])
+                k = qmm(xc, layer["wk"])
+                v = qmm(xc, layer["wv"])
+                o = qmm(q, layer["wo"])
+                g = qmm(xc, layer["w_gate"])
+                u = qmm(xc, layer["w_up"])
+                d = qmm(g * 0 + u * 0 + 1.0, layer["w_down"])
+                nxt = xc + o * 0 + d * 0 + k.sum() * 0 + v.sum() * 0
+                return nxt, ()
+            x, _ = jax.lax.scan(scan_body, x, layers)
+            return x
+        return jax.lax.fori_loop(0, steps, body, x0).sum()
 
     @jax.jit
-    def hbm_chain(x):
-        def body(i, acc):
-            z = (acc * 0).astype(x.dtype)
-            return acc + jnp.sum((x + z[None]).astype(jnp.int32)).astype(jnp.float32)
-        return jax.lax.fori_loop(0, probe_iters, body, jnp.float32(0))
+    def head_loop(prm, x0):
+        w = prm["output"]
 
-    t = timeit(lambda: sync(hbm_chain(xbig)), trials=args.trials, tag='hbm')
-    report["hbm_probe_gbs"] = round(n * probe_iters / t / 1e9, 1)
+        def body(i, x):
+            lg = qmm(x, w)
+            return x + lg.max() * 0
+        return jax.lax.fori_loop(0, steps, body, x0).sum()
 
-    report["decode_f32_eff_gbs"] = round(wb * report["decode_f32_tok_s"] / 1e9, 1)
-    report["decode_bf16_eff_gbs"] = round(wb * report["decode_bf16_tok_s"] / 1e9, 1)
-    print(json.dumps(report, indent=2))
+    x0 = jnp.ones((1, e), jnp.float32)
+
+    variants = {
+        "full": decode_loop(params),
+        "fused": decode_loop(params_f),
+        "gemv": lambda: float(gemv_loop(params, x0)),
+        "head": lambda: float(head_loop(params, x0)),
+    }
+    # RTT measurement
+    _trivial = jax.jit(lambda x: x + 1)
+    _ = float(_trivial(jnp.float32(0)))
+    rtts = []
+    for _t in range(3):
+        t0 = time.perf_counter()
+        _ = float(_trivial(jnp.float32(_t)))
+        rtts.append(time.perf_counter() - t0)
+    rtt = sorted(rtts)[1]
+
+    def time_variant(run, trials=3):
+        run()  # compile + warm
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            run()
+            d = time.perf_counter() - t0
+            best = min(best, max(d - rtt, d * 0.5))
+        return best / steps * 1e3  # ms per step
+
+    results = {}
+    for name, run in variants.items():
+        try:
+            results[name] = round(time_variant(run), 3)
+        except Exception as exc:  # noqa: BLE001 — report all variants
+            results[name] = str(exc)[:160]
+        print(f"[{name}] {results[name]}", file=sys.stderr, flush=True)
+
+    # fused_fast: compile under the env flag (lru_cache keys include fast)
+    os.environ["PRIMA_QMM_FAST"] = "1"
+    try:
+        ff = decode_loop(params_f)
+        results["fused_fast"] = round(time_variant(ff), 3)
+    except Exception as exc:  # noqa: BLE001
+        results["fused_fast"] = str(exc)[:160]
+    finally:
+        os.environ["PRIMA_QMM_FAST"] = "0"
+
+    layer_bytes = sum(
+        leaf.size * leaf.dtype.itemsize
+        for leaf in jax.tree.leaves(params["layers"]))
+    head_bytes = sum(
+        leaf.size * leaf.dtype.itemsize
+        for leaf in jax.tree.leaves(params["output"]))
+    derived = {}
+    if isinstance(results.get("gemv"), float):
+        derived["gemv_gbs"] = round(layer_bytes / (results["gemv"] / 1e3) / 1e9, 1)
+    if isinstance(results.get("head"), float):
+        derived["head_gbs"] = round(head_bytes / (results["head"] / 1e3) / 1e9, 1)
+    if isinstance(results.get("full"), float) and isinstance(results.get("gemv"), float) \
+            and isinstance(results.get("head"), float):
+        derived["attn_glue_ms"] = round(
+            results["full"] - results["gemv"] - results["head"], 3)
+    print(json.dumps({
+        "steps": steps,
+        "rtt_ms": round(rtt * 1e3, 1),
+        "ms_per_token": results,
+        "layer_gb": round(layer_bytes / 1e9, 3),
+        "head_gb": round(head_bytes / 1e9, 3),
+        **derived,
+    }))
+    return 0
 
 
 if __name__ == "__main__":
-    import sys as _sys0
-
-    if "--experiment" not in _sys0.argv:
-        main()
-
-
-def experiment_unstacked(steps=32, trials=3, ctx=1024, flash=False,
-                         unstacked=True, fused=False):
-    """Hypothesis test: lax.scan's per-layer dynamic slice of stacked params
-    materializes a copy of every weight every token (3x HBM traffic).
-    Decode with UNSTACKED per-layer params (forward(), no slicing) should
-    approach the true streaming rate if so."""
-    import sys
-
-    import jax
-    import jax.numpy as jnp
-
-    from prima_tpu.gguf.constants import GGMLType
-    from prima_tpu.models.config import tiny_config
-    from prima_tpu.models.llama import (ForwardOptions, forward,
-                                        forward_scan, init_kv_caches,
-                                        init_kv_stacked,
-                                        synth_params_device,
-                                        synth_params_device_stacked)
-
-    cfg = tiny_config(n_layers=32, n_embd=4096, n_heads=32, n_kv_heads=8,
-                      head_dim=128, n_ff=14336, n_vocab=128256,
-                      n_ctx_train=8192, rope_base=500000.0, rope_dim=128)
-    opts = ForwardOptions(matmul_impl="pallas",
-                          attn_impl="pallas" if flash else "xla")
-    t0 = time.perf_counter()
-    if unstacked:
-        params = jax.jit(lambda: synth_params_device(cfg, GGMLType.Q4_K))()
-        kv = init_kv_caches(cfg, 1, ctx)
-        fwd = forward
-    else:
-        params = jax.jit(lambda: synth_params_device_stacked(
-            cfg, GGMLType.Q4_K, fused=fused))()
-        kv = init_kv_stacked(cfg, 1, ctx)
-        fwd = forward_scan
-    jax.block_until_ready(jax.tree.leaves(params)[0])
-    print(f"[synth] {time.perf_counter()-t0:.1f}s", file=sys.stderr,
-          flush=True)
-
-    @jax.jit
-    def decode_many(params, kv, token, pos0):
-        def body(i, carry):
-            kv, token = carry
-            pos = pos0 + i
-            logits, kv = fwd(params, cfg, token, pos[:, None], kv, pos, opts)
-            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
-            return (kv, nxt[:, None])
-        return jax.lax.fori_loop(0, steps, body, (kv, token))[1]
-
-    fn = lambda: sync(decode_many(params, kv, jnp.ones((1, 1), jnp.int32),
-                                  jnp.ones((1,), jnp.int32)))
-    t = timeit(fn, trials=trials, sleep=3,
-               tag=f"decode_{'unstacked' if unstacked else 'scan'}"
-                   f"{'_flash' if flash else ''}{'_fused' if fused else ''}")
-    wb = sum(l.size * l.dtype.itemsize for l in jax.tree.leaves(params))
-    print(json.dumps({
-        "mode": ("unstacked" if unstacked else "scan")
-        + ("_flash" if flash else "") + ("_fused" if fused else ""),
-        "tok_s": round(steps / t, 2),
-        "eff_gbs": round(wb * steps / t / 1e9, 1),
-    }), flush=True)
-
-
-if __name__ == "__main__" and "--experiment" in __import__("sys").argv:
-    import sys as _s
-
-    _s.argv.remove("--experiment")
-    experiment_unstacked(flash="--flash" in _s.argv,
-                         unstacked="--scan" not in _s.argv,
-                         fused="--fused" in _s.argv)
-    _s.exit(0)
+    sys.exit(main())
