@@ -39,8 +39,14 @@ class ArchSpec:
     eps_key: str = "rms"                             # "rms" | "ln" | "both"
     # mutate the derived-dims dict before the generic KV block: derive(hf, d)
     derive: Callable | None = None
+    # False: skip the generic dims/eps/rope KV block entirely — the kv hook
+    # writes everything (archs with array-valued or non-standard KVs)
+    generic_kv: bool = True
     # arch-specific KVs, called after the generic block: kv(w, hf, d)
     kv: Callable | None = None
+    # custom vocabulary writer: vocab(w, src_dir, hf); None -> the shared
+    # tokenizer.json / tokenizer.model path (rwkv6's world vocab differs)
+    vocab: Callable | None = None
     # full-control tensor hook: yields emits, or None -> fall back to maps
     transform: Callable | None = None
     # post-iteration hook for buffered tensors (MoE stacking etc.)
@@ -70,14 +76,22 @@ def _rename(spec: ArchSpec, hf_name: str) -> str | None:
 
 
 def _derived(hf: dict) -> dict:
-    n_embd = int(hf.get("hidden_size") or hf.get("n_embd") or hf.get("d_model") or 0)
-    n_heads = int(hf.get("num_attention_heads") or hf.get("n_head")
-                  or hf.get("n_heads") or 0)
-    n_kv = int(hf.get("num_key_value_heads") or hf.get("num_kv_heads")
-               or hf.get("multi_query_group_num") or hf.get("num_query_groups")
-               or n_heads or 0)
-    n_layers = int(hf.get("num_hidden_layers") or hf.get("n_layer")
-                   or hf.get("n_layers") or hf.get("num_layers") or 0)
+    def scalar(*keys, default=0):
+        # list-valued entries (openelm per-layer head counts) are the
+        # arch hook's job — the generic dims only take scalars
+        for k in keys:
+            v = hf.get(k)
+            if v is not None and not isinstance(v, (list, tuple)):
+                return int(v)
+        return int(default)
+
+    n_embd = scalar("hidden_size", "n_embd", "d_model")
+    n_heads = scalar("num_attention_heads", "n_head", "n_heads")
+    n_kv = scalar("num_key_value_heads", "num_kv_heads",
+                  "multi_query_group_num", "num_query_groups",
+                  default=n_heads)
+    n_layers = scalar("num_hidden_layers", "n_layer", "n_layers",
+                      "num_layers")
     return {
         "n_embd": n_embd, "n_heads": n_heads, "n_kv": n_kv,
         "n_layers": n_layers,
@@ -110,35 +124,40 @@ def convert_extra(src_dir: str, dst_path: str, hf: dict, ftype: str,
     arch = spec.arch
     w = GGUFWriter(dst_path, arch=arch)
     w.add_kv("general.name", os.path.basename(os.path.normpath(src_dir)))
-    w.add_kv(f"{arch}.block_count", d["n_layers"])
-    w.add_kv(f"{arch}.embedding_length", d["n_embd"])
-    w.add_kv(f"{arch}.feed_forward_length", d["n_ff"])
-    w.add_kv(f"{arch}.attention.head_count", d["n_heads"])
-    w.add_kv(f"{arch}.attention.head_count_kv", d["n_kv"])
-    w.add_kv(f"{arch}.context_length", d["n_ctx"])
-    eps = float(hf.get("rms_norm_eps") or hf.get("layer_norm_epsilon")
-                or hf.get("layer_norm_eps") or hf.get("layernorm_epsilon")
-                or hf.get("norm_eps") or 1e-5)
-    if spec.eps_key in ("rms", "both"):
-        w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", eps)
-    if spec.eps_key in ("ln", "both"):
-        w.add_kv(f"{arch}.attention.layer_norm_epsilon", eps)
-    w.add_kv(f"{arch}.rope.freq_base", float(hf.get("rope_theta", 10000.0)))
-    rot_pct = hf.get("partial_rotary_factor") or hf.get("rope_pct") or 1.0
-    w.add_kv(f"{arch}.rope.dimension_count",
-             int(d["head_dim"] * float(rot_pct)))
-    if hf.get("vocab_size"):
-        w.add_kv(f"{arch}.vocab_size", int(hf["vocab_size"]))
-    rs = hf.get("rope_scaling") or {}
-    if rs.get("type") in ("linear", "yarn") and rs.get("factor"):
-        w.add_kv(f"{arch}.rope.scaling.type", rs["type"])
-        w.add_kv(f"{arch}.rope.scaling.factor", float(rs["factor"]))
-        if rs.get("original_max_position_embeddings"):
-            w.add_kv(f"{arch}.rope.scaling.original_context_length",
-                     rs["original_max_position_embeddings"])
+    if spec.generic_kv:
+        w.add_kv(f"{arch}.block_count", d["n_layers"])
+        w.add_kv(f"{arch}.embedding_length", d["n_embd"])
+        w.add_kv(f"{arch}.feed_forward_length", d["n_ff"])
+        w.add_kv(f"{arch}.attention.head_count", d["n_heads"])
+        w.add_kv(f"{arch}.attention.head_count_kv", d["n_kv"])
+        w.add_kv(f"{arch}.context_length", d["n_ctx"])
+        eps = float(hf.get("rms_norm_eps") or hf.get("layer_norm_epsilon")
+                    or hf.get("layer_norm_eps") or hf.get("layernorm_epsilon")
+                    or hf.get("norm_eps") or 1e-5)
+        if spec.eps_key in ("rms", "both"):
+            w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", eps)
+        if spec.eps_key in ("ln", "both"):
+            w.add_kv(f"{arch}.attention.layer_norm_epsilon", eps)
+        w.add_kv(f"{arch}.rope.freq_base",
+                 float(hf.get("rope_theta", 10000.0)))
+        rot_pct = hf.get("partial_rotary_factor") or hf.get("rope_pct") or 1.0
+        w.add_kv(f"{arch}.rope.dimension_count",
+                 int(d["head_dim"] * float(rot_pct)))
+        if hf.get("vocab_size"):
+            w.add_kv(f"{arch}.vocab_size", int(hf["vocab_size"]))
+        rs = hf.get("rope_scaling") or {}
+        if rs.get("type") in ("linear", "yarn") and rs.get("factor"):
+            w.add_kv(f"{arch}.rope.scaling.type", rs["type"])
+            w.add_kv(f"{arch}.rope.scaling.factor", float(rs["factor"]))
+            if rs.get("original_max_position_embeddings"):
+                w.add_kv(f"{arch}.rope.scaling.original_context_length",
+                         rs["original_max_position_embeddings"])
     if spec.kv is not None:
         spec.kv(w, hf, d)
-    _write_tokenizer(w, src_dir, hf)
+    if spec.vocab is not None:
+        spec.vocab(w, src_dir, hf)
+    else:
+        _write_tokenizer(w, src_dir, hf)
 
     default_t, out_t = FTYPES[ftype.upper()]
     n = 0
@@ -573,4 +592,410 @@ _register("ExaoneForCausalLM", ArchSpec(
            ("mlp.c_fc_0.weight", "ffn_gate.weight"),
            ("mlp.c_fc_1.weight", "ffn_up.weight"),
            ("mlp.c_proj.weight", "ffn_down.weight")],
+))
+
+
+# ---------------------------------------------------------------------------
+# batch 3: minicpm3 / openelm / bitnet / grok / arctic / rwkv6
+# (reference converter classes MiniCPM3Model @1870, OpenELMModel @3144,
+#  BitnetModel @1663, GrokModel @1704, ArcticModel @3219, Rwkv6Model @2835
+#  in convert_hf_to_gguf.py)
+
+
+_MCPM3_LAYER = [
+    ("input_layernorm.weight", "attn_norm.weight"),
+    ("post_attention_layernorm.weight", "ffn_norm.weight"),
+    ("self_attn.q_a_proj.weight", "attn_q_a.weight"),
+    ("self_attn.q_a_layernorm.weight", "attn_q_a_norm.weight"),
+    ("self_attn.q_b_proj.weight", "attn_q_b.weight"),
+    ("self_attn.kv_a_proj_with_mqa.weight", "attn_kv_a_mqa.weight"),
+    ("self_attn.kv_a_layernorm.weight", "attn_kv_a_norm.weight"),
+    ("self_attn.kv_b_proj.weight", "attn_kv_b.weight"),
+    ("self_attn.o_proj.weight", "attn_output.weight"),
+    ("mlp.gate_proj.weight", "ffn_gate.weight"),
+    ("mlp.up_proj.weight", "ffn_up.weight"),
+    ("mlp.down_proj.weight", "ffn_down.weight"),
+]
+
+
+def _minicpm3_kv(w, hf, d):
+    """MLA geometry + minicpm scale knobs (MiniCPM3Model
+    set_gguf_parameters; loaded by DeepseekV2Config.from_gguf)."""
+    arch = "minicpm3"
+    w.add_kv(f"{arch}.block_count", d["n_layers"])
+    w.add_kv(f"{arch}.embedding_length", d["n_embd"])
+    w.add_kv(f"{arch}.feed_forward_length", d["n_ff"])
+    w.add_kv(f"{arch}.attention.head_count", d["n_heads"])
+    w.add_kv(f"{arch}.attention.head_count_kv", d["n_kv"])
+    w.add_kv(f"{arch}.context_length", d["n_ctx"])
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon",
+             float(hf.get("rms_norm_eps", 1e-6)))
+    w.add_kv(f"{arch}.vocab_size", int(hf["vocab_size"]))
+    if hf.get("q_lora_rank"):
+        w.add_kv(f"{arch}.attention.q_lora_rank", int(hf["q_lora_rank"]))
+    w.add_kv(f"{arch}.attention.kv_lora_rank", int(hf["kv_lora_rank"]))
+    w.add_kv(f"{arch}.attention.key_length",
+             int(hf["qk_nope_head_dim"]) + int(hf["qk_rope_head_dim"]))
+    w.add_kv(f"{arch}.attention.value_length",
+             int(hf.get("v_head_dim") or d["n_embd"] // d["n_heads"]))
+    w.add_kv(f"{arch}.rope.dimension_count", int(hf["qk_rope_head_dim"]))
+    w.add_kv(f"{arch}.rope.freq_base", float(hf.get("rope_theta", 10000.0)))
+    # the runtime defaults these to the reference's hardcoded values
+    # (build_minicpm3 @14016-14023) but newer configs carry them
+    if hf.get("scale_emb"):
+        w.add_kv(f"{arch}.embedding_scale", float(hf["scale_emb"]))
+    if hf.get("scale_depth"):
+        w.add_kv(f"{arch}.residual_scale",
+                 float(hf["scale_depth"]) / d["n_layers"] ** 0.5)
+    if hf.get("dim_model_base"):
+        w.add_kv(f"{arch}.logit_scale",
+                 float(hf["dim_model_base"]) / d["n_embd"])
+
+
+def _minicpm3_finish(hf, d, state):
+    """LongRoPE per-dim frequency factors -> model-level tensors
+    (MiniCPM3Model generate_extra_tensors)."""
+    rs = hf.get("rope_scaling") or {}
+    lf, sf = rs.get("long_factor"), rs.get("short_factor")
+    if lf is None or sf is None:
+        return
+    rope_dims = int(hf["qk_rope_head_dim"])
+    if len(lf) != len(sf) or 2 * len(lf) != rope_dims:
+        raise ValueError(
+            f"rope long/short factors must have length {rope_dims // 2}")
+    yield ("rope_factors_long.weight", np.asarray(lf, np.float32))
+    yield ("rope_factors_short.weight", np.asarray(sf, np.float32))
+
+
+_register("MiniCPM3ForCausalLM", ArchSpec(
+    arch="minicpm3",
+    generic_kv=False,
+    top=_LLAMA_TOP,
+    layer=_MCPM3_LAYER,
+    kv=_minicpm3_kv,
+    finish=_minicpm3_finish,
+))
+
+
+def _openelm_make_divisible(v, divisor: int) -> int:
+    """OpenELM's rounded FFN width (OpenELMModel._make_divisible)."""
+    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+def _openelm_ffn_dims(hf: dict) -> list[int]:
+    return [_openelm_make_divisible(m * int(hf["model_dim"]),
+                                    int(hf["ffn_dim_divisor"]))
+            for m in hf["ffn_multipliers"]]
+
+
+def _openelm_derive(hf, d):
+    d["n_layers"] = int(hf["num_transformer_layers"])
+    d["n_embd"] = int(hf["model_dim"])
+    d["head_dim"] = int(hf["head_dim"])
+
+
+def _openelm_kv(w, hf, d):
+    """Array-valued per-layer widths (OpenELMModel set_gguf_parameters;
+    read back via ModelConfig's scalar_or_arr)."""
+    arch = "openelm"
+    w.add_kv(f"{arch}.block_count", d["n_layers"])
+    w.add_kv(f"{arch}.context_length", int(hf["max_context_length"]))
+    w.add_kv(f"{arch}.embedding_length", d["n_embd"])
+    w.add_kv(f"{arch}.feed_forward_length", _openelm_ffn_dims(hf))
+    w.add_kv(f"{arch}.attention.head_count",
+             [int(x) for x in hf["num_query_heads"]])
+    w.add_kv(f"{arch}.attention.head_count_kv",
+             [int(x) for x in hf["num_kv_heads"]])
+    w.add_kv(f"{arch}.rope.freq_base", float(hf["rope_freq_constant"]))
+    # hardcoded in modeling_openelm.py, absent from config.json
+    w.add_kv(f"{arch}.attention.layer_norm_rms_epsilon", 1e-6)
+    w.add_kv(f"{arch}.rope.dimension_count", d["head_dim"])
+    w.add_kv(f"{arch}.attention.key_length", d["head_dim"])
+    w.add_kv(f"{arch}.attention.value_length", d["head_dim"])
+    if hf.get("vocab_size"):
+        w.add_kv(f"{arch}.vocab_size", int(hf["vocab_size"]))
+
+
+def _openelm_transform(hf_name, data, hf, d, state):
+    """Split the fused gate|up projection at the per-layer FFN width
+    (OpenELMModel modify_tensors)."""
+    if hf_name.endswith("ffn.proj_1.weight"):
+        idx = int(hf_name.split(".")[2])
+        ff = _openelm_ffn_dims(hf)[idx]
+        return [(f"blk.{idx}.ffn_gate.weight", data[:ff]),
+                (f"blk.{idx}.ffn_up.weight", data[ff:])]
+    return None
+
+
+_register("OpenELMForCausalLM", ArchSpec(
+    arch="openelm",
+    generic_kv=False,
+    layer_prefix="transformer.layers.",
+    top=[("transformer.token_embeddings.weight", "token_embd.weight"),
+         ("transformer.norm.weight", "output_norm.weight")],
+    layer=[("attn_norm.weight", "attn_norm.weight"),
+           ("attn.qkv_proj.weight", "attn_qkv.weight"),
+           ("attn.q_norm.weight", "attn_q_norm.weight"),
+           ("attn.k_norm.weight", "attn_k_norm.weight"),
+           ("attn.out_proj.weight", "attn_output.weight"),
+           ("ffn_norm.weight", "ffn_norm.weight"),
+           ("ffn.proj_2.weight", "ffn_down.weight")],
+    derive=_openelm_derive,
+    kv=_openelm_kv,
+    transform=_openelm_transform,
+))
+
+
+def _bitnet_weight_quant(w: np.ndarray) -> np.ndarray:
+    """Ternarize to {-1,0,+1}*scale with the abs-mean scale (BitnetModel
+    weight_quant — the b1.58 quantization, scale baked into the weight)."""
+    x = w.astype(np.float64)
+    scale = max(float(np.abs(x).mean()), 1e-5)
+    return (np.clip(np.round(x / scale), -1, 1) * scale).astype(np.float32)
+
+
+_BITNET_PROJ = ("self_attn.q_proj.weight", "self_attn.k_proj.weight",
+                "self_attn.v_proj.weight", "self_attn.o_proj.weight",
+                "mlp.gate_proj.weight", "mlp.up_proj.weight",
+                "mlp.down_proj.weight")
+
+
+def _bitnet_transform(hf_name, data, hf, d, state):
+    if hf_name.endswith(_BITNET_PROJ):
+        name = _rename(_SPECS["BitnetForCausalLM"], hf_name)
+        return [(name, _bitnet_weight_quant(data))]
+    return None
+
+
+_register(["BitnetForCausalLM", "BitNetForCausalLM"], ArchSpec(
+    arch="bitnet",
+    top=_LLAMA_TOP,
+    layer=_LLAMA_LAYER + [
+        # RMS sub-norms before wo / ffn_down (loader LLM_ARCH_BITNET case)
+        ("self_attn.inner_attn_ln.weight", "attn_sub_norm.weight"),
+        ("mlp.ffn_layernorm.weight", "ffn_sub_norm.weight"),
+    ],
+    transform=_bitnet_transform,
+    # BitnetModel pins rope_scaling to linear/1.0
+    kv=lambda w, hf, d: [
+        w.add_kv("bitnet.rope.scaling.type", "linear"),
+        w.add_kv("bitnet.rope.scaling.factor", 1.0),
+    ] and None,
+))
+
+
+def _grok_transform(hf_name, data, hf, d, state):
+    """Buffer per-expert MoE weights; merged in finish (GrokModel
+    modify_tensors merges once all num_local_experts arrive — here the
+    buffered dict makes order irrelevant)."""
+    if ".moe." in hf_name:
+        parts = hf_name.split(".")  # transformer.decoder_layer.L.moe.X.w.weight
+        li, xi, wname = int(parts[2]), int(parts[4]), parts[5]
+        state.setdefault(li, {}).setdefault(wname, {})[xi] = data
+        return []
+    return None
+
+
+def _grok_finish(hf, d, state):
+    gg = {"linear": "ffn_gate_exps", "linear_1": "ffn_down_exps",
+          "linear_v": "ffn_up_exps"}
+    for li in sorted(k for k in state if isinstance(k, int)):
+        for wname, exps in sorted(state[li].items()):
+            stacked = np.stack([exps[x] for x in sorted(exps)])
+            yield (f"blk.{li}.{gg[wname]}.weight", stacked,
+                   tuple(reversed(stacked.shape)))
+
+
+_register(["GrokForCausalLM", "Grok1ForCausalLM"], ArchSpec(
+    arch="grok",
+    layer_prefix="transformer.decoder_layer.",
+    top=[("transformer.in_out_embed.weight", "token_embd.weight"),
+         ("transformer.rms_norm.weight", "output_norm.weight"),
+         ("lm_head.weight", "output.weight")],
+    layer=[("rms_norm.weight", "attn_norm.weight"),
+           ("rms_norm_1.weight", "attn_out_norm.weight"),
+           ("rms_norm_2.weight", "ffn_norm.weight"),
+           ("rms_norm_3.weight", "layer_out_norm.weight"),
+           ("multi_head_attention.query.weight", "attn_q.weight"),
+           ("multi_head_attention.key.weight", "attn_k.weight"),
+           ("multi_head_attention.value.weight", "attn_v.weight"),
+           ("multi_head_attention.linear.weight", "attn_output.weight"),
+           ("router.weight", "ffn_gate_inp.weight")],
+    transform=_grok_transform,
+    finish=_grok_finish,
+    kv=lambda w, hf, d: [
+        w.add_kv("grok.expert_count", int(hf.get("num_local_experts", 8))),
+        w.add_kv("grok.expert_used_count",
+                 int(hf.get("num_experts_per_tok", 2))),
+    ] and None,
+))
+
+
+def _arctic_transform(hf_name, data, hf, d, state):
+    """q/k permute + per-expert buffering (ArcticModel modify_tensors)."""
+    base = _llama_permute_transform(hf_name, data, hf, d, state)
+    if base is not None:
+        return base
+    if ".block_sparse_moe.experts." in hf_name:
+        parts = hf_name.split(".")  # model.layers.L.block_sparse_moe.experts.X.wN.weight
+        li, xi, wname = int(parts[2]), int(parts[5]), parts[6]
+        state.setdefault(li, {}).setdefault(wname, {})[xi] = data
+        return []
+    return None
+
+
+def _arctic_finish(hf, d, state):
+    gg = {"w1": "ffn_gate_exps", "w2": "ffn_down_exps", "w3": "ffn_up_exps"}
+    for li in sorted(k for k in state if isinstance(k, int)):
+        for wname, exps in sorted(state[li].items()):
+            stacked = np.stack([exps[x] for x in sorted(exps)])
+            yield (f"blk.{li}.{gg[wname]}.weight", stacked,
+                   tuple(reversed(stacked.shape)))
+
+
+_register("ArcticForCausalLM", ArchSpec(
+    arch="arctic",
+    top=_LLAMA_TOP,
+    layer=[("input_layernorm.weight", "attn_norm.weight"),
+           ("self_attn.v_proj.weight", "attn_v.weight"),
+           ("self_attn.o_proj.weight", "attn_output.weight"),
+           # arctic renames: residual_layernorm norms the DENSE ffn branch,
+           # post_attention_layernorm norms the parallel MoE branch off the
+           # layer input (arch_block_mappings_cfg[MODEL_ARCH.ARCTIC])
+           ("residual_layernorm.weight", "ffn_norm.weight"),
+           ("post_attention_layernorm.weight", "ffn_norm_exps.weight"),
+           ("residual_mlp.w1.weight", "ffn_gate.weight"),
+           ("residual_mlp.w3.weight", "ffn_up.weight"),
+           ("residual_mlp.w2.weight", "ffn_down.weight"),
+           ("block_sparse_moe.gate.weight", "ffn_gate_inp.weight")],
+    transform=_arctic_transform,
+    finish=_arctic_finish,
+    kv=lambda w, hf, d: [
+        w.add_kv("arctic.expert_count", int(hf.get("num_local_experts", 0))),
+        w.add_kv("arctic.expert_used_count",
+                 int(hf.get("num_experts_per_tok", 1))),
+    ] and None,
+))
+
+
+def _rwkv6_kv(w, hf, d):
+    """RWKV6 geometry (Rwkv6Model set_gguf_parameters; read back by
+    Rwkv6Config.from_gguf)."""
+    arch = "rwkv6"
+    n_embd = int(hf["hidden_size"])
+    n_ff = int(hf.get("intermediate_size")
+               or (int(n_embd * 3.5) // 32) * 32)
+    w.add_kv(f"{arch}.block_count", int(hf["num_hidden_layers"]))
+    w.add_kv(f"{arch}.embedding_length", n_embd)
+    w.add_kv(f"{arch}.feed_forward_length", n_ff)
+    w.add_kv(f"{arch}.context_length", 1048576)  # "RWKV isn't ctx limited"
+    w.add_kv(f"{arch}.attention.layer_norm_epsilon",
+             float(hf.get("layer_norm_epsilon", 1e-5)))
+    w.add_kv(f"{arch}.rescale_every_n_layers", int(hf.get("rescale_every", 0)))
+    w.add_kv(f"{arch}.wkv.head_size", int(hf["head_size"]))
+    w.add_kv(f"{arch}.time_mix_extra_dim", 64 if n_embd == 4096 else 32)
+    w.add_kv(f"{arch}.time_decay_extra_dim", 128 if n_embd == 4096 else 64)
+    w.add_kv(f"{arch}.vocab_size", int(hf.get("vocab_size", 65536)))
+
+
+def _rwkv6_vocab(w, src_dir: str, hf: dict) -> None:
+    """RWKV world vocabulary from rwkv_vocab_v20230424.txt: line format
+    `<id> <python-literal-token> <byte-len>`; GGUF stores the repr-escaped
+    byte string (Rwkv6Model set_vocab; decoded back by rwkv_unescape)."""
+    import ast
+
+    path = os.path.join(src_dir, "rwkv_vocab_v20230424.txt")
+    vocab_size = int(hf.get("vocab_size", 65536))
+    tokens = ["<s>"]
+    types = [3]  # CONTROL
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            parts = line.split(" ")
+            tok = ast.literal_eval(" ".join(parts[1:-1]))
+            b = tok.encode("utf-8") if isinstance(tok, str) else tok
+            assert isinstance(b, bytes) and len(b) == int(parts[-1])
+            tokens.append(repr(b)[2:-1])  # "b'\\xff'" -> "\\xff"
+            types.append(1)  # NORMAL
+    while len(tokens) < vocab_size:
+        tokens.append(f"[PAD{len(tokens)}]")
+        types.append(5)  # UNUSED
+    w.add_kv("tokenizer.ggml.model", "rwkv")
+    w.add_kv("tokenizer.ggml.tokens", tokens)
+    w.add_kv("tokenizer.ggml.token_type", types)
+
+
+_RWKV6_ATT = [
+    ("time_maa_x", "time_mix_lerp_x"), ("time_maa_w", "time_mix_lerp_w"),
+    ("time_maa_k", "time_mix_lerp_k"), ("time_maa_v", "time_mix_lerp_v"),
+    ("time_maa_r", "time_mix_lerp_r"), ("time_maa_g", "time_mix_lerp_g"),
+    ("time_maa_w1", "time_mix_w1"), ("time_maa_w2", "time_mix_w2"),
+    ("time_faaaa", "time_mix_first"), ("time_decay", "time_mix_decay"),
+    ("time_decay_w1", "time_mix_decay_w1"),
+    ("time_decay_w2", "time_mix_decay_w2"),
+    ("key.weight", "time_mix_key"), ("value.weight", "time_mix_value"),
+    ("receptance.weight", "time_mix_receptance"),
+    ("gate.weight", "time_mix_gate"), ("output.weight", "time_mix_output"),
+    ("ln_x.weight", "time_mix_ln.weight"), ("ln_x.bias", "time_mix_ln.bias"),
+]
+_RWKV6_FFN = [
+    ("time_maa_k", "channel_mix_lerp_k"), ("time_maa_r", "channel_mix_lerp_r"),
+    ("key.weight", "channel_mix_key"), ("value.weight", "channel_mix_value"),
+    ("receptance.weight", "channel_mix_receptance"),
+]
+
+
+def _rwkv6_transform(hf_name, data, hf, d, state):
+    """HF `rwkv.blocks.*` names -> GGUF time/channel-mix tensors with the
+    reference's transposes and the rescale_every division baked in
+    (Rwkv6Model modify_tensors)."""
+    top = {"rwkv.embeddings.weight": "token_embd.weight",
+           "rwkv.blocks.0.pre_ln.weight": "token_embd_norm.weight",
+           "rwkv.blocks.0.pre_ln.bias": "token_embd_norm.bias",
+           "rwkv.ln_out.weight": "output_norm.weight",
+           "rwkv.ln_out.bias": "output_norm.bias",
+           "head.weight": "output.weight"}
+    if hf_name in top:
+        return [(top[hf_name], data)]
+    if not hf_name.startswith("rwkv.blocks."):
+        return []
+    rest = hf_name[len("rwkv.blocks."):]
+    idx, _, rest = rest.partition(".")
+    bid = int(idx)
+    if rest in ("ln1.weight", "ln1.bias", "ln2.weight", "ln2.bias"):
+        # ln2 (the channel-mix norm) is GGUF attn_norm_2 (tensor_mapping
+        # ATTN_NORM_2), not ffn_norm
+        kind = "attn_norm" if rest.startswith("ln1") else "attn_norm_2"
+        return [(f"blk.{bid}.{kind}.{rest.split('.')[1]}", data)]
+    table, part = (_RWKV6_ATT, rest[len("attention."):]) \
+        if rest.startswith("attention.") \
+        else (_RWKV6_FFN, rest[len("feed_forward."):]) \
+        if rest.startswith("feed_forward.") else (None, None)
+    if table is None:
+        return []
+    for src, dst in table:
+        if part != src:
+            continue
+        name = f"blk.{bid}.{dst}"
+        if not name.endswith((".weight", ".bias")):
+            name += ".weight"
+        if dst in ("time_mix_w1", "time_mix_decay_w1", "time_mix_decay_w2"):
+            data = np.ascontiguousarray(data.T)
+        elif dst == "time_mix_w2":
+            data = np.ascontiguousarray(data.transpose(0, 2, 1))
+        rescale = int(hf.get("rescale_every", 0) or 0)
+        if rescale > 0 and dst in ("time_mix_output", "channel_mix_value"):
+            data = data / (2 ** (bid // rescale))
+        return [(name, data, tuple(reversed(data.shape)))]
+    return []
+
+
+_register("Rwkv6ForCausalLM", ArchSpec(
+    arch="rwkv6",
+    generic_kv=False,
+    kv=_rwkv6_kv,
+    vocab=_rwkv6_vocab,
+    transform=_rwkv6_transform,
 ))

@@ -559,3 +559,356 @@ def test_exaone_conversion(tmp_path):
     m.close()
     cfgm = _forward_vs_oracle(dst)
     assert cfgm.rope_type == RopeType.NEOX
+
+
+# ---------------------------------------------------------------------------
+# batch 3: minicpm3 / openelm / bitnet / grok / arctic / rwkv6
+
+
+def test_minicpm3_conversion(tmp_path):
+    rng = np.random.default_rng(12)
+    nv, ne, nh, nl, nff = 256, 64, 4, 2, 96
+    qlora, kvlora, qk_nope, qk_rope, vdim = 32, 16, 8, 8, 8
+    cfg = {"architectures": ["MiniCPM3ForCausalLM"], "vocab_size": nv,
+           "hidden_size": ne, "num_attention_heads": nh,
+           "num_key_value_heads": nh, "intermediate_size": nff,
+           "num_hidden_layers": nl, "max_position_embeddings": 512,
+           "rms_norm_eps": 1e-6, "q_lora_rank": qlora,
+           "kv_lora_rank": kvlora, "qk_nope_head_dim": qk_nope,
+           "qk_rope_head_dim": qk_rope, "v_head_dim": vdim,
+           "scale_emb": 12.0, "scale_depth": 1.4, "dim_model_base": 256,
+           "rope_scaling": {"type": "longrope",
+                            "long_factor": [1.0, 1.5, 2.0, 4.0],
+                            "short_factor": [1.0, 1.0, 1.0, 1.0]}}
+    t = {"model.embed_tokens.weight": _rand(rng, nv, ne),
+         "model.norm.weight": 1.0 + _rand(rng, ne),
+         "lm_head.weight": _rand(rng, nv, ne)}
+    for i in range(nl):
+        p = f"model.layers.{i}."
+        t[p + "input_layernorm.weight"] = 1.0 + _rand(rng, ne)
+        t[p + "post_attention_layernorm.weight"] = 1.0 + _rand(rng, ne)
+        t[p + "self_attn.q_a_proj.weight"] = _rand(rng, qlora, ne)
+        t[p + "self_attn.q_a_layernorm.weight"] = 1.0 + _rand(rng, qlora)
+        t[p + "self_attn.q_b_proj.weight"] = _rand(
+            rng, nh * (qk_nope + qk_rope), qlora)
+        t[p + "self_attn.kv_a_proj_with_mqa.weight"] = _rand(
+            rng, kvlora + qk_rope, ne)
+        t[p + "self_attn.kv_a_layernorm.weight"] = 1.0 + _rand(rng, kvlora)
+        t[p + "self_attn.kv_b_proj.weight"] = _rand(
+            rng, nh * (qk_nope + vdim), kvlora)
+        t[p + "self_attn.o_proj.weight"] = _rand(rng, ne, nh * vdim)
+        t[p + "mlp.gate_proj.weight"] = _rand(rng, nff, ne)
+        t[p + "mlp.up_proj.weight"] = _rand(rng, nff, ne)
+        t[p + "mlp.down_proj.weight"] = _rand(rng, ne, nff)
+    d = str(tmp_path / "hf")
+    _save_ckpt(d, cfg, t)
+    dst = str(tmp_path / "m.gguf")
+    assert convert_hf_to_gguf(d, dst, "F32", logfile=open(os.devnull, "w")) > 0
+    m = GGUFModel.open(dst)
+    assert m.arch == "minicpm3"
+    assert m.get("minicpm3.attention.q_lora_rank") == qlora
+    assert m.get("minicpm3.attention.kv_lora_rank") == kvlora
+    assert m.get("minicpm3.attention.key_length") == qk_nope + qk_rope
+    assert m.get("minicpm3.attention.value_length") == vdim
+    assert m.get("minicpm3.rope.dimension_count") == qk_rope
+    assert m.get("minicpm3.embedding_scale") == pytest.approx(12.0)
+    np.testing.assert_array_equal(
+        dequantize_tensor(m.tensors["rope_factors_long.weight"]),
+        np.asarray([1.0, 1.5, 2.0, 4.0], np.float32))
+    np.testing.assert_array_equal(
+        dequantize_tensor(m.tensors["blk.1.attn_kv_b.weight"]),
+        t["model.layers.1.self_attn.kv_b_proj.weight"])
+    # runs end-to-end through the MLA runtime (parity itself is covered
+    # by test_minicpm3.py on a directly-written GGUF)
+    from prima_tpu.models.deepseek2 import (DeepseekV2Config,
+                                            deepseek2_forward,
+                                            load_deepseek2_params)
+
+    dcfg = DeepseekV2Config.from_gguf(m)
+    params = load_deepseek2_params(m, dcfg)
+    logits = deepseek2_forward(params, dcfg,
+                               np.asarray([[3, 5, 7]], np.int32))
+    assert np.isfinite(np.asarray(logits)).all()
+    m.close()
+
+
+def test_openelm_conversion(tmp_path):
+    from prima_tpu.tools.convert_extra import _openelm_ffn_dims
+
+    rng = np.random.default_rng(13)
+    nv, ne, hd, nl = 256, 64, 16, 3
+    heads, kv_heads = [2, 3, 4], [1, 1, 2]
+    cfg = {"architectures": ["OpenELMForCausalLM"], "vocab_size": nv,
+           "model_dim": ne, "head_dim": hd,
+           "num_transformer_layers": nl, "num_query_heads": heads,
+           "num_kv_heads": kv_heads, "max_context_length": 512,
+           "rope_freq_constant": 10000.0,
+           "ffn_multipliers": [0.75, 1.0, 1.5], "ffn_dim_divisor": 16}
+    ffs = _openelm_ffn_dims(cfg)
+    assert ffs == [48, 64, 96]
+    t = {"transformer.token_embeddings.weight": _rand(rng, nv, ne),
+         "transformer.norm.weight": 1.0 + _rand(rng, ne)}
+    for i in range(nl):
+        p = f"transformer.layers.{i}."
+        h, kvh, ff = heads[i], kv_heads[i], ffs[i]
+        t[p + "attn_norm.weight"] = 1.0 + _rand(rng, ne)
+        t[p + "attn.qkv_proj.weight"] = _rand(rng, (h + 2 * kvh) * hd, ne)
+        t[p + "attn.q_norm.weight"] = 1.0 + _rand(rng, hd)
+        t[p + "attn.k_norm.weight"] = 1.0 + _rand(rng, hd)
+        t[p + "attn.out_proj.weight"] = _rand(rng, ne, h * hd)
+        t[p + "ffn_norm.weight"] = 1.0 + _rand(rng, ne)
+        t[p + "ffn.proj_1.weight"] = _rand(rng, 2 * ff, ne)
+        t[p + "ffn.proj_2.weight"] = _rand(rng, ne, ff)
+    d = str(tmp_path / "hf")
+    _save_ckpt(d, cfg, t)
+    dst = str(tmp_path / "m.gguf")
+    assert convert_hf_to_gguf(d, dst, "F32", logfile=open(os.devnull, "w")) > 0
+    m = GGUFModel.open(dst)
+    assert m.arch == "openelm"
+    assert list(m.get("openelm.attention.head_count")) == heads
+    assert list(m.get("openelm.attention.head_count_kv")) == kv_heads
+    assert list(m.get("openelm.feed_forward_length")) == ffs
+    # fused gate|up split at the per-layer FFN width
+    p1 = t["transformer.layers.2.ffn.proj_1.weight"]
+    np.testing.assert_array_equal(
+        dequantize_tensor(m.tensors["blk.2.ffn_gate.weight"]), p1[:96])
+    np.testing.assert_array_equal(
+        dequantize_tensor(m.tensors["blk.2.ffn_up.weight"]), p1[96:])
+    assert "output.weight" not in m.tensors  # tied lm_head
+    m.close()
+    cfgm = _forward_vs_oracle(dst)
+    assert cfgm.qk_norm_rms and cfgm.n_heads_arr == tuple(heads)
+
+
+def test_bitnet_conversion_ternary(tmp_path):
+    from prima_tpu.tools.convert_extra import _bitnet_weight_quant
+
+    rng = np.random.default_rng(14)
+    nv, ne, nh, nkv, nff, nl = 256, 64, 4, 2, 96, 2
+    cfg = {"architectures": ["BitnetForCausalLM"], "vocab_size": nv,
+           "hidden_size": ne, "num_attention_heads": nh,
+           "num_key_value_heads": nkv, "intermediate_size": nff,
+           "num_hidden_layers": nl, "max_position_embeddings": 512,
+           "rms_norm_eps": 1e-5}
+    t = _llama_style_tensors(rng, nv, ne, nh, nkv, nff, nl)
+    del t["lm_head.weight"]  # tied
+    for i in range(nl):
+        p = f"model.layers.{i}."
+        t[p + "self_attn.inner_attn_ln.weight"] = 1.0 + _rand(rng, ne)
+        t[p + "mlp.ffn_layernorm.weight"] = 1.0 + _rand(rng, nff)
+    d = str(tmp_path / "hf")
+    _save_ckpt(d, cfg, t)
+    dst = str(tmp_path / "m.gguf")
+    assert convert_hf_to_gguf(d, dst, "F32", logfile=open(os.devnull, "w")) > 0
+    m = GGUFModel.open(dst)
+    assert m.arch == "bitnet"
+    assert m.get("bitnet.rope.scaling.type") == "linear"
+    got = dequantize_tensor(m.tensors["blk.0.attn_q.weight"])
+    want = _bitnet_weight_quant(t["model.layers.0.self_attn.q_proj.weight"])
+    np.testing.assert_array_equal(got, want)
+    assert len(np.unique(np.round(got / np.abs(got[got != 0]).min(), 6))) <= 3
+    assert "blk.0.attn_sub_norm.weight" in m.tensors
+    assert "blk.1.ffn_sub_norm.weight" in m.tensors
+    # sub-norms must NOT be ternarized
+    np.testing.assert_array_equal(
+        dequantize_tensor(m.tensors["blk.0.attn_sub_norm.weight"]),
+        t["model.layers.0.self_attn.inner_attn_ln.weight"])
+    m.close()
+    cfgm = _forward_vs_oracle(dst)
+    assert cfgm.sub_norms and cfgm.rope_type == RopeType.NEOX
+
+
+def test_grok_conversion_moe_merge(tmp_path):
+    rng = np.random.default_rng(15)
+    nv, ne, nh, nkv, nff, nl, nexp = 256, 64, 4, 2, 48, 2, 4
+    hd = ne // nh
+    cfg = {"architectures": ["GrokForCausalLM"], "vocab_size": nv,
+           "hidden_size": ne, "num_attention_heads": nh,
+           "num_key_value_heads": nkv, "intermediate_size": nff,
+           "num_hidden_layers": nl, "max_position_embeddings": 512,
+           "rms_norm_eps": 1e-5, "num_local_experts": nexp,
+           "num_experts_per_tok": 2}
+    t = {"transformer.in_out_embed.weight": _rand(rng, nv, ne),
+         "transformer.rms_norm.weight": 1.0 + _rand(rng, ne),
+         "lm_head.weight": _rand(rng, nv, ne)}
+    for i in range(nl):
+        p = f"transformer.decoder_layer.{i}."
+        for nm in ("rms_norm", "rms_norm_1", "rms_norm_2", "rms_norm_3"):
+            t[p + nm + ".weight"] = 1.0 + _rand(rng, ne)
+        t[p + "multi_head_attention.query.weight"] = _rand(rng, nh * hd, ne)
+        t[p + "multi_head_attention.key.weight"] = _rand(rng, nkv * hd, ne)
+        t[p + "multi_head_attention.value.weight"] = _rand(rng, nkv * hd, ne)
+        t[p + "multi_head_attention.linear.weight"] = _rand(rng, ne, nh * hd)
+        t[p + "router.weight"] = _rand(rng, nexp, ne)
+        for x in range(nexp):
+            t[p + f"moe.{x}.linear.weight"] = _rand(rng, nff, ne)
+            t[p + f"moe.{x}.linear_1.weight"] = _rand(rng, ne, nff)
+            t[p + f"moe.{x}.linear_v.weight"] = _rand(rng, nff, ne)
+    d = str(tmp_path / "hf")
+    _save_ckpt(d, cfg, t)
+    dst = str(tmp_path / "m.gguf")
+    assert convert_hf_to_gguf(d, dst, "F32", logfile=open(os.devnull, "w")) > 0
+    m = GGUFModel.open(dst)
+    assert m.arch == "grok"
+    assert m.get("grok.expert_count") == nexp
+    gate = dequantize_tensor(m.tensors["blk.0.ffn_gate_exps.weight"])
+    assert gate.shape == (nexp, nff, ne)
+    np.testing.assert_array_equal(
+        gate[2], t["transformer.decoder_layer.0.moe.2.linear.weight"])
+    down = dequantize_tensor(m.tensors["blk.1.ffn_down_exps.weight"])
+    np.testing.assert_array_equal(
+        down[3], t["transformer.decoder_layer.1.moe.3.linear_1.weight"])
+    assert "blk.0.attn_out_norm.weight" in m.tensors
+    assert "blk.0.layer_out_norm.weight" in m.tensors
+    m.close()
+    cfgm = _forward_vs_oracle(dst)
+    assert cfgm.post_norms and cfgm.attn_logit_softcap == 30.0
+
+
+def test_arctic_conversion(tmp_path):
+    rng = np.random.default_rng(16)
+    nv, ne, nh, nff, nl, nexp = 256, 64, 4, 48, 2, 4
+    hd = ne // nh
+    cfg = {"architectures": ["ArcticForCausalLM"], "vocab_size": nv,
+           "hidden_size": ne, "num_attention_heads": nh,
+           "num_key_value_heads": nh, "intermediate_size": nff,
+           "num_hidden_layers": nl, "max_position_embeddings": 512,
+           "rms_norm_eps": 1e-5, "num_local_experts": nexp,
+           "num_experts_per_tok": 2}
+    t = {"model.embed_tokens.weight": _rand(rng, nv, ne),
+         "model.norm.weight": 1.0 + _rand(rng, ne),
+         "lm_head.weight": _rand(rng, nv, ne)}
+    for i in range(nl):
+        p = f"model.layers.{i}."
+        t[p + "input_layernorm.weight"] = 1.0 + _rand(rng, ne)
+        t[p + "residual_layernorm.weight"] = 1.0 + _rand(rng, ne)
+        t[p + "post_attention_layernorm.weight"] = 1.0 + _rand(rng, ne)
+        t[p + "self_attn.q_proj.weight"] = _rand(rng, nh * hd, ne)
+        t[p + "self_attn.k_proj.weight"] = _rand(rng, nh * hd, ne)
+        t[p + "self_attn.v_proj.weight"] = _rand(rng, nh * hd, ne)
+        t[p + "self_attn.o_proj.weight"] = _rand(rng, ne, nh * hd)
+        t[p + "residual_mlp.w1.weight"] = _rand(rng, nff, ne)
+        t[p + "residual_mlp.w3.weight"] = _rand(rng, nff, ne)
+        t[p + "residual_mlp.w2.weight"] = _rand(rng, ne, nff)
+        t[p + "block_sparse_moe.gate.weight"] = _rand(rng, nexp, ne)
+        for x in range(nexp):
+            b = p + f"block_sparse_moe.experts.{x}."
+            t[b + "w1.weight"] = _rand(rng, nff, ne)
+            t[b + "w2.weight"] = _rand(rng, ne, nff)
+            t[b + "w3.weight"] = _rand(rng, nff, ne)
+    d = str(tmp_path / "hf")
+    _save_ckpt(d, cfg, t)
+    dst = str(tmp_path / "m.gguf")
+    assert convert_hf_to_gguf(d, dst, "F32", logfile=open(os.devnull, "w")) > 0
+    m = GGUFModel.open(dst)
+    assert m.arch == "arctic"
+    # the two norms land in arctic's swapped slots
+    np.testing.assert_array_equal(
+        dequantize_tensor(m.tensors["blk.0.ffn_norm.weight"]),
+        t["model.layers.0.residual_layernorm.weight"])
+    np.testing.assert_array_equal(
+        dequantize_tensor(m.tensors["blk.0.ffn_norm_exps.weight"]),
+        t["model.layers.0.post_attention_layernorm.weight"])
+    # q/k are rope-permuted like llama; experts stack in hf order
+    np.testing.assert_array_equal(
+        dequantize_tensor(m.tensors["blk.0.attn_q.weight"]),
+        _permute_qk(t["model.layers.0.self_attn.q_proj.weight"], nh))
+    up = dequantize_tensor(m.tensors["blk.1.ffn_up_exps.weight"])
+    np.testing.assert_array_equal(
+        up[1], t["model.layers.1.block_sparse_moe.experts.1.w3.weight"])
+    m.close()
+    cfgm = _forward_vs_oracle(dst)
+    assert cfgm.moe_parallel_dense
+
+
+def test_rwkv6_conversion(tmp_path):
+    rng = np.random.default_rng(17)
+    nv, ne, hs, nl, nff = 68, 32, 8, 2, 64
+    H = ne // hs
+    tmx, tdx = 32, 64
+    cfg = {"architectures": ["Rwkv6ForCausalLM"], "vocab_size": nv,
+           "hidden_size": ne, "num_hidden_layers": nl, "head_size": hs,
+           "intermediate_size": nff, "layer_norm_epsilon": 1e-5,
+           "rescale_every": 2}
+    t = {"rwkv.embeddings.weight": _rand(rng, nv, ne),
+         "rwkv.blocks.0.pre_ln.weight": 1.0 + _rand(rng, ne),
+         "rwkv.blocks.0.pre_ln.bias": _rand(rng, ne),
+         "rwkv.ln_out.weight": 1.0 + _rand(rng, ne),
+         "rwkv.ln_out.bias": _rand(rng, ne),
+         "head.weight": _rand(rng, nv, ne)}
+    for i in range(nl):
+        p = f"rwkv.blocks.{i}."
+        for ln in ("ln1", "ln2"):
+            t[p + ln + ".weight"] = 1.0 + _rand(rng, ne)
+            t[p + ln + ".bias"] = _rand(rng, ne)
+        a = p + "attention."
+        for nm in ("time_maa_x", "time_maa_w", "time_maa_k",
+                   "time_maa_v", "time_maa_r", "time_maa_g"):
+            t[a + nm] = _rand(rng, 1, 1, ne)
+        t[a + "time_maa_w1"] = _rand(rng, ne, 5 * tmx)
+        t[a + "time_maa_w2"] = _rand(rng, 5, tmx, ne)
+        t[a + "time_faaaa"] = _rand(rng, H, hs)
+        t[a + "time_decay"] = _rand(rng, 1, 1, ne)
+        t[a + "time_decay_w1"] = _rand(rng, ne, tdx)
+        t[a + "time_decay_w2"] = _rand(rng, tdx, ne)
+        for nm in ("key", "value", "receptance", "gate"):
+            t[a + nm + ".weight"] = _rand(rng, ne, ne)
+        t[a + "output.weight"] = _rand(rng, ne, ne)
+        t[a + "ln_x.weight"] = 1.0 + _rand(rng, ne)
+        t[a + "ln_x.bias"] = _rand(rng, ne)
+        f = p + "feed_forward."
+        t[f + "time_maa_k"] = _rand(rng, 1, 1, ne)
+        t[f + "time_maa_r"] = _rand(rng, 1, 1, ne)
+        t[f + "key.weight"] = _rand(rng, nff, ne)
+        t[f + "receptance.weight"] = _rand(rng, ne, ne)
+        t[f + "value.weight"] = _rand(rng, ne, nff)
+    d = str(tmp_path / "hf")
+    os.makedirs(d, exist_ok=True)
+    # rwkv world vocab file: "<id> <repr> <len>" lines (no tokenizer.json)
+    with open(os.path.join(d, "rwkv_vocab_v20230424.txt"), "w") as f:
+        for i in range(nv - 4):
+            tok = bytes([32 + i]) if i < 20 else f"w{i}"
+            blen = len(tok) if isinstance(tok, bytes) \
+                else len(tok.encode("utf-8"))
+            f.write(f"{i + 1} {tok!r} {blen}\n")
+    with open(os.path.join(d, "config.json"), "w") as fj:
+        json.dump(cfg, fj)
+    from safetensors.numpy import save_file
+
+    save_file({k: np.asarray(v, np.float32) for k, v in t.items()},
+              os.path.join(d, "model.safetensors"))
+    dst = str(tmp_path / "m.gguf")
+    assert convert_hf_to_gguf(d, dst, "F32", logfile=open(os.devnull, "w")) > 0
+    m = GGUFModel.open(dst)
+    assert m.arch == "rwkv6"
+    assert m.get("rwkv6.wkv.head_size") == hs
+    assert m.get("rwkv6.rescale_every_n_layers") == 2
+    assert m.get("tokenizer.ggml.model") == "rwkv"
+    toks = m.get("tokenizer.ggml.tokens")
+    assert len(toks) == nv and toks[0] == "<s>"
+    # transposes (Rwkv6Model modify_tensors)
+    np.testing.assert_array_equal(
+        dequantize_tensor(m.tensors["blk.0.time_mix_w1.weight"]),
+        t["rwkv.blocks.0.attention.time_maa_w1"].T)
+    np.testing.assert_array_equal(
+        dequantize_tensor(m.tensors["blk.0.time_mix_w2.weight"]),
+        t["rwkv.blocks.0.attention.time_maa_w2"].transpose(0, 2, 1))
+    np.testing.assert_array_equal(
+        dequantize_tensor(m.tensors["blk.1.time_mix_decay_w2.weight"]),
+        t["rwkv.blocks.1.attention.time_decay_w2"].T)
+    # rescale_every=2: layer 0 /1, layer 1 /1... bid//2: l0->0, l1->0
+    np.testing.assert_array_equal(
+        dequantize_tensor(m.tensors["blk.1.time_mix_output.weight"]),
+        t["rwkv.blocks.1.attention.output.weight"] / (2 ** (1 // 2)))
+    # loads + runs through the recurrent runtime
+    from prima_tpu.models.rwkv6 import (Rwkv6Config, init_rwkv6_state,
+                                        load_rwkv6_params, rwkv6_forward)
+
+    rcfg = Rwkv6Config.from_gguf(m)
+    assert rcfg.n_heads == H
+    params = load_rwkv6_params(m, rcfg)
+    state = init_rwkv6_state(rcfg, 1)
+    logits, _ = rwkv6_forward(params, rcfg,
+                              np.asarray([[1, 2, 3]], np.int32), state)
+    assert np.isfinite(np.asarray(logits)).all()
+    m.close()
