@@ -165,6 +165,26 @@ _BERT_LAYER_MAP = [
 ]
 
 
+# jina-bert-v2 layer names (JinaBertV2Model; the gated_layers /
+# up_gated_layer splits are handled in _convert_bert itself)
+_JINA_LAYER_MAP = [
+    ("mlp.wo.weight", "ffn_down.weight"),
+    ("mlp.wo.bias", "ffn_down.bias"),
+    ("mlp.down_layer.weight", "ffn_down.weight"),
+    ("mlp.down_layer.bias", "ffn_down.bias"),
+    ("mlp.layernorm.weight", "layer_output_norm.weight"),
+    ("mlp.layernorm.bias", "layer_output_norm.bias"),
+    ("layer_norm_2.weight", "layer_output_norm.weight"),   # jina-v2-code
+    ("layer_norm_2.bias", "layer_output_norm.bias"),
+    ("layer_norm_1.weight", "attn_norm_2.weight"),         # jina-v2-code
+    ("layer_norm_1.bias", "attn_norm_2.bias"),
+    ("attention.self.layer_norm_q.weight", "attn_q_norm.weight"),
+    ("attention.self.layer_norm_q.bias", "attn_q_norm.bias"),
+    ("attention.self.layer_norm_k.weight", "attn_k_norm.weight"),
+    ("attention.self.layer_norm_k.bias", "attn_k_norm.bias"),
+]
+
+
 def _bert_gguf_name(hf_name: str) -> str | None:
     if hf_name.startswith("bert."):
         hf_name = hf_name[5:]
@@ -173,7 +193,7 @@ def _bert_gguf_name(hf_name: str) -> str | None:
             return d
     if hf_name.startswith("encoder.layer."):
         _, _, idx, rest = hf_name.split(".", 3)
-        for s, d in _BERT_LAYER_MAP:
+        for s, d in _BERT_LAYER_MAP + _JINA_LAYER_MAP:
             if rest == s:
                 return f"blk.{idx}.{d}"
     return None
@@ -181,39 +201,67 @@ def _bert_gguf_name(hf_name: str) -> str | None:
 
 def _convert_bert(src_dir: str, dst_path: str, hf: dict, ftype: str,
                   logfile) -> int:
-    """BertModel -> GGUF arch 'bert' (embedding models; build_bert path)."""
-    w = GGUFWriter(dst_path, arch="bert")
+    """BertModel -> GGUF arch 'bert' (embedding models; build_bert path).
+    JinaBert* checkpoints convert to arch 'jina-bert-v2' (JinaBertV2Model):
+    the fused gated_layers/up_gated_layer FFN splits into ffn_gate/ffn_up
+    and there are no position embeddings (bidirectional ALiBi)."""
+    jina = any("JinaBert" in a for a in (hf.get("architectures") or []))
+    arch = "jina-bert-v2" if jina else "bert"
+    ff = int(hf["intermediate_size"])
+    w = GGUFWriter(dst_path, arch=arch)
     w.add_kv("general.name", os.path.basename(os.path.normpath(src_dir)))
-    w.add_kv("bert.block_count", hf["num_hidden_layers"])
-    w.add_kv("bert.embedding_length", hf["hidden_size"])
-    w.add_kv("bert.feed_forward_length", hf["intermediate_size"])
-    w.add_kv("bert.attention.head_count", hf["num_attention_heads"])
-    w.add_kv("bert.context_length", hf.get("max_position_embeddings", 512))
-    w.add_kv("bert.attention.layer_norm_epsilon",
+    w.add_kv(f"{arch}.block_count", hf["num_hidden_layers"])
+    w.add_kv(f"{arch}.embedding_length", hf["hidden_size"])
+    w.add_kv(f"{arch}.feed_forward_length", ff)
+    w.add_kv(f"{arch}.attention.head_count", hf["num_attention_heads"])
+    w.add_kv(f"{arch}.context_length", hf.get("max_position_embeddings", 512))
+    w.add_kv(f"{arch}.attention.layer_norm_epsilon",
              float(hf.get("layer_norm_eps", 1e-12)))
-    w.add_kv("bert.vocab_size", hf["vocab_size"])
-    w.add_kv("bert.pooling_type", 1)  # mean
+    w.add_kv(f"{arch}.vocab_size", hf["vocab_size"])
+    w.add_kv(f"{arch}.pooling_type", 1)  # mean
 
     _write_bert_tokenizer(w, src_dir, hf)
 
+    def _jina_split(hf_name: str, data):
+        """JinaBertV2Model.get_tensors: gated_layers rows are [w|v]
+        (gate|up), up_gated_layer rows are [v|w]."""
+        stripped = hf_name[5:] if hf_name.startswith("bert.") else hf_name
+        if not stripped.startswith("encoder.layer."):
+            return None
+        _, _, idx, rest = stripped.split(".", 3)
+        if rest == "mlp.gated_layers.weight":
+            return [(f"blk.{idx}.ffn_gate.weight", data[:ff]),
+                    (f"blk.{idx}.ffn_up.weight", data[ff:])]
+        if rest == "mlp.up_gated_layer.weight":
+            return [(f"blk.{idx}.ffn_up.weight", data[:ff]),
+                    (f"blk.{idx}.ffn_gate.weight", data[ff:])]
+        return None
+
     default_t, out_t = FTYPES[ftype.upper()]
     n = 0
-    for hf_name, data in _iter_hf_tensors(src_dir):
-        name = _bert_gguf_name(hf_name)
-        if name is None:
-            continue
-        t = _target_type(name, tuple(reversed(data.shape)), default_t, out_t)
-        if name in ("token_types.weight", "position_embd.weight"):
-            t = GGMLType.F32
-        enc, t = _encode(data, t)
-        if t in (GGMLType.F32, GGMLType.F16):
-            w.add_tensor(name, enc)
-        else:
-            w.add_tensor(name, enc, ne=tuple(reversed(data.shape)), ggml_type=t)
-        n += 1
-        print(f"[{n:4d}] {hf_name} -> {name} ({t.name})", file=logfile)
+    for hf_name, full_data in _iter_hf_tensors(src_dir):
+        outs = _jina_split(hf_name, full_data) if jina else None
+        if outs is None:
+            name = _bert_gguf_name(hf_name)
+            outs = [] if name is None else [(name, full_data)]
+        for name, data in outs:
+            n += _bert_emit(w, name, data, default_t, out_t, logfile, n)
     w.write()
     return n
+
+
+def _bert_emit(w, name, data, default_t, out_t, logfile, n) -> int:
+    """Encode + add one bert tensor; returns 1 (emitted)."""
+    t = _target_type(name, tuple(reversed(data.shape)), default_t, out_t)
+    if name in ("token_types.weight", "position_embd.weight"):
+        t = GGMLType.F32
+    enc, t = _encode(data, t)
+    if t in (GGMLType.F32, GGMLType.F16):
+        w.add_tensor(name, enc)
+    else:
+        w.add_tensor(name, enc, ne=tuple(reversed(data.shape)), ggml_type=t)
+    print(f"[{n + 1:4d}] {name} ({t.name})", file=logfile)
+    return 1
 
 
 def _write_bert_tokenizer(w: GGUFWriter, src_dir: str, hf: dict) -> None:

@@ -354,3 +354,75 @@ def test_jina_bert_v2_parity(tmp_path):
     import jax.numpy as jnp
     got = bert_forward(params, cfg, jnp.asarray(tokens))
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
+
+
+def test_jina_bert_v2_hf_conversion(tmp_path):
+    """HF JinaBert checkpoint -> arch 'jina-bert-v2' GGUF: gated_layers
+    splits into ffn_gate|ffn_up at intermediate_size (JinaBertV2Model
+    get_tensors), no position embeddings, mlp.wo/mlp.layernorm renames."""
+    import json as _json
+
+    from safetensors.numpy import save_file
+
+    from prima_tpu.gguf.reader import GGUFModel
+    from prima_tpu.models.bert import BertConfig, bert_forward, load_bert_params
+    from prima_tpu.quant.dequant_np import dequantize_tensor
+    from prima_tpu.tools.convert_hf import convert_hf_to_gguf
+
+    rng = np.random.default_rng(21)
+    V, E, H, FF, L = 64, 32, 4, 48, 2
+
+    def r(*shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    d = str(tmp_path / "hf")
+    os.makedirs(d)
+    cfg = {"architectures": ["JinaBertForMaskedLM"], "vocab_size": V,
+           "hidden_size": E, "num_hidden_layers": L,
+           "num_attention_heads": H, "intermediate_size": FF,
+           "max_position_embeddings": 8192, "layer_norm_eps": 1e-12,
+           "position_embedding_type": "alibi"}
+    with open(os.path.join(d, "config.json"), "w") as f:
+        _json.dump(cfg, f)
+    _write_bert_tokenizer_json(d, V)
+    t = {"embeddings.word_embeddings.weight": r(V, E),
+         "embeddings.token_type_embeddings.weight": r(2, E),
+         "embeddings.LayerNorm.weight": 1.0 + r(E),
+         "embeddings.LayerNorm.bias": r(E)}
+    for i in range(L):
+        p = f"encoder.layer.{i}."
+        for nm in ("query", "key", "value"):
+            t[p + f"attention.self.{nm}.weight"] = r(E, E)
+            t[p + f"attention.self.{nm}.bias"] = r(E)
+        t[p + "attention.output.dense.weight"] = r(E, E)
+        t[p + "attention.output.dense.bias"] = r(E)
+        t[p + "attention.output.LayerNorm.weight"] = 1.0 + r(E)
+        t[p + "attention.output.LayerNorm.bias"] = r(E)
+        t[p + "mlp.gated_layers.weight"] = r(2 * FF, E)
+        t[p + "mlp.wo.weight"] = r(E, FF)
+        t[p + "mlp.wo.bias"] = r(E)
+        t[p + "mlp.layernorm.weight"] = 1.0 + r(E)
+        t[p + "mlp.layernorm.bias"] = r(E)
+    save_file(t, os.path.join(d, "model.safetensors"))
+
+    dst = str(tmp_path / "jina.gguf")
+    assert convert_hf_to_gguf(d, dst, "F32", logfile=open(os.devnull, "w")) > 0
+    m = GGUFModel.open(dst)
+    assert m.arch == "jina-bert-v2"
+    gl = t["encoder.layer.0.mlp.gated_layers.weight"]
+    np.testing.assert_array_equal(
+        dequantize_tensor(m.tensors["blk.0.ffn_gate.weight"]), gl[:FF])
+    np.testing.assert_array_equal(
+        dequantize_tensor(m.tensors["blk.0.ffn_up.weight"]), gl[FF:])
+    np.testing.assert_array_equal(
+        dequantize_tensor(m.tensors["blk.1.layer_output_norm.weight"]),
+        t["encoder.layer.1.mlp.layernorm.weight"])
+    assert "position_embd.weight" not in m.tensors
+    bcfg = BertConfig.from_gguf(m)
+    assert bcfg.alibi_max_bias == 8.0 and bcfg.gated_ffn
+    params = load_bert_params(m, bcfg)
+    toks = np.asarray([[2, 5, 9, 11]], np.int32)
+    emb = bert_forward(params, bcfg, toks,
+                       np.ones_like(toks, np.float32))
+    assert np.isfinite(np.asarray(emb)).all()
+    m.close()
