@@ -261,6 +261,47 @@ def dequant_q8_k(raw: np.ndarray, n: int) -> np.ndarray:
 
 
 # -------------------------------------------------------------------------
+# Ternary formats (BitNet b1.58)
+# -------------------------------------------------------------------------
+
+
+def _tq1_trits(q: np.ndarray, n_trits: int) -> np.ndarray:
+    """Extract the first n_trits base-3 digits of the ceil-scaled byte:
+    digit n = ((q * 3^n mod 256) * 3) >> 8, shifted to {-1,0,1}
+    (dequantize_row_tq1_0, ggml-quants.c:3443 — the fixed-point trick
+    relies on q being ceil(v * 256/243))."""
+    pow3 = np.array([1, 3, 9, 27, 81], np.uint16)[:n_trits]
+    v = (q[:, None, :].astype(np.uint16) * pow3[None, :, None]) & 0xFF
+    return ((v * 3) >> 8).astype(np.int32) - 1
+
+
+def dequant_tq1_0(raw: np.ndarray, n: int) -> np.ndarray:
+    """TQ1_0: 1.69 bpw ternary — 48 bytes of 5-elements-per-byte base-3
+    packing + 4 bytes of 4-per-byte + f16 amax scale (block_tq1_0,
+    ggml-common.h:234-240)."""
+    b = _blocks(raw, 54)
+    nb = b.shape[0]
+    e0 = _tq1_trits(b[:, 0:32], 5).reshape(nb, 160)    # elems 0..159
+    e1 = _tq1_trits(b[:, 32:48], 5).reshape(nb, 80)    # elems 160..239
+    e2 = _tq1_trits(b[:, 48:52], 4).reshape(nb, 16)    # elems 240..255
+    d = _f16(b[:, 52:54])
+    q = np.concatenate([e0, e1, e2], axis=1).astype(F32)
+    return (q * d).reshape(raw.shape[0], n)
+
+
+def dequant_tq2_0(raw: np.ndarray, n: int) -> np.ndarray:
+    """TQ2_0: 2.06 bpw ternary — 2 bits per element along 32-byte chunks
+    + f16 amax scale (block_tq2_0, ggml-common.h:243-247)."""
+    b = _blocks(raw, 66)
+    nb = b.shape[0]
+    qs = b[:, 0:64].reshape(nb, 2, 1, 32)
+    shifts = (2 * np.arange(4, dtype=np.uint8)).reshape(1, 1, 4, 1)
+    q = ((qs >> shifts) & 3).reshape(nb, 256).astype(np.int32) - 1
+    d = _f16(b[:, 64:66])
+    return (q.astype(F32) * d).reshape(raw.shape[0], n)
+
+
+# -------------------------------------------------------------------------
 # IQ formats (codebook-based)
 # -------------------------------------------------------------------------
 
@@ -500,6 +541,8 @@ DEQUANT_FNS = {
     GGMLType.IQ3_S: dequant_iq3_s,
     GGMLType.IQ1_S: dequant_iq1_s,
     GGMLType.IQ1_M: dequant_iq1_m,
+    GGMLType.TQ1_0: dequant_tq1_0,
+    GGMLType.TQ2_0: dequant_tq2_0,
 }
 
 

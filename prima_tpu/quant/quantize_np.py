@@ -438,6 +438,54 @@ def quantize_iq4_xs(x: np.ndarray, qw: np.ndarray | None = None) -> np.ndarray:
     return out.reshape(n_rows, -1)
 
 
+def _tq_trits(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-256-block amax scale and {0,1,2} trits (shared by TQ1_0/TQ2_0;
+    quantize_row_tq1_0_ref ggml-quants.c:3318 — id uses the UNROUNDED f32
+    amax, only the stored d is f16)."""
+    xb = _rows(x, 256).reshape(-1, 256)
+    amax = np.abs(xb).max(axis=1).astype(F32)
+    id_ = np.divide(np.float32(1.0), amax, out=np.zeros_like(amax),
+                    where=amax != 0)
+    xi = (_nearest_int(xb * id_[:, None]) + 1).astype(np.uint16)  # 0,1,2
+    return amax, xi
+
+
+def _tq1_pack(xi: np.ndarray) -> np.ndarray:
+    """Base-3 big-endian pack of (nb, n_trits, width) trit groups into
+    ceil-scaled bytes: q = ceil(sum(3^(k-1-n) * trit_n) * 256 / 243)."""
+    nb, n_trits, _ = xi.shape
+    q = np.zeros((nb, xi.shape[2]), np.uint16)
+    for t in range(n_trits):
+        q = q * 3 + xi[:, t]
+    q *= 3 ** (5 - n_trits)  # qh: shift the digits to the most-significant
+    return ((q * 256 + 242) // 243).astype(np.uint8)
+
+
+def quantize_tq1_0(x: np.ndarray) -> np.ndarray:
+    n_rows = _rows(x, 256).shape[0]
+    amax, xi = _tq_trits(x)
+    nb = xi.shape[0]
+    out = np.empty((nb, 54), np.uint8)
+    out[:, 0:32] = _tq1_pack(xi[:, 0:160].reshape(nb, 5, 32))
+    out[:, 32:48] = _tq1_pack(xi[:, 160:240].reshape(nb, 5, 16))
+    out[:, 48:52] = _tq1_pack(xi[:, 240:256].reshape(nb, 4, 4))
+    out[:, 52:54] = _f16_bytes(amax)
+    return out.reshape(n_rows, -1)
+
+
+def quantize_tq2_0(x: np.ndarray) -> np.ndarray:
+    n_rows = _rows(x, 256).shape[0]
+    amax, xi = _tq_trits(x)
+    nb = xi.shape[0]
+    grp = xi.reshape(nb, 2, 4, 32).astype(np.uint8)  # (chunk, bitpos, byte)
+    shifts = (2 * np.arange(4, dtype=np.uint8)).reshape(1, 1, 4, 1)
+    qs = (grp << shifts).sum(axis=2, dtype=np.uint8).reshape(nb, 64)
+    out = np.empty((nb, 66), np.uint8)
+    out[:, 0:64] = qs
+    out[:, 64:66] = _f16_bytes(amax)
+    return out.reshape(n_rows, -1)
+
+
 QUANTIZE_FNS = {
     GGMLType.Q8_0: quantize_q8_0,
     GGMLType.Q4_0: quantize_q4_0,
@@ -451,6 +499,8 @@ QUANTIZE_FNS = {
     GGMLType.Q6_K: quantize_q6_k,
     GGMLType.IQ4_NL: quantize_iq4_nl,
     GGMLType.IQ4_XS: quantize_iq4_xs,
+    GGMLType.TQ1_0: quantize_tq1_0,
+    GGMLType.TQ2_0: quantize_tq2_0,
 }
 
 

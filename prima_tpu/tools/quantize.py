@@ -44,6 +44,10 @@ FTYPES: dict[str, tuple[GGMLType, GGMLType]] = {
     "IQ3_S": (GGMLType.IQ3_S, GGMLType.Q5_K),
     "IQ1_S": (GGMLType.IQ1_S, GGMLType.Q5_K),
     "IQ1_M": (GGMLType.IQ1_M, GGMLType.Q5_K),
+    # ternary (BitNet b1.58); token-embd/output fall back to Q4_K
+    # (llama_model_quantize_internal @19331-19333)
+    "TQ1_0": (GGMLType.TQ1_0, GGMLType.Q4_K),
+    "TQ2_0": (GGMLType.TQ2_0, GGMLType.Q4_K),
     "F16": (GGMLType.F16, GGMLType.F16),
     "F32": (GGMLType.F32, GGMLType.F32),
 }

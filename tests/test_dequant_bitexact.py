@@ -36,6 +36,8 @@ DEQ_TYPES = [
     GGMLType.IQ3_S,
     GGMLType.IQ1_S,
     GGMLType.IQ1_M,
+    GGMLType.TQ1_0,
+    GGMLType.TQ2_0,
 ]
 
 
@@ -56,9 +58,11 @@ def test_dequant_bitexact(t):
         )
 
 
-@pytest.mark.parametrize("t", [GGMLType.Q4_0, GGMLType.Q8_0], ids=lambda t: t.name)
+@pytest.mark.parametrize("t", [GGMLType.Q4_0, GGMLType.Q8_0,
+                               GGMLType.TQ1_0, GGMLType.TQ2_0],
+                         ids=lambda t: t.name)
 def test_quantize_bitexact_legacy(t):
-    """Legacy-format encoders match reference quantize_row_*_ref byte-for-byte."""
+    """Imatrix-free encoders match reference quantize_row_*_ref byte-for-byte."""
     from prima_tpu.quant.quantize_np import quantize
 
     path = os.path.join(GOLDEN_DIR, f"quantize_{t.name.lower()}.npz")

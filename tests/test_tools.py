@@ -289,3 +289,38 @@ def test_passkey_prompt_and_run(tiny, capsys):
                   "-c", "512", "-n", "4", "--matmul", "xla"])
     out = capsys.readouterr().out
     assert "passkey" in out and rc in (0, 1)
+
+
+def test_quantize_ternary_tq(tiny, tmp_path):
+    """TQ1_0/TQ2_0 ternary re-quantization (llama_model_quantize
+    LLAMA_FTYPE_MOSTLY_TQ*, @19640-19641): weights become ternary blocks,
+    token_embd/output fall back to Q4_K (@19331-19333), and the model
+    still loads and decodes."""
+    for ft, gt in (("TQ1_0", GGMLType.TQ1_0), ("TQ2_0", GGMLType.TQ2_0)):
+        dst = str(tmp_path / f"{ft.lower()}.gguf")
+        stats = quantize_gguf(tiny, dst, ft, logfile=open(os.devnull, "w"))
+        assert stats["n_tensors"] > 0
+        m = GGUFModel.open(dst)
+        assert m.tensors["blk.0.attn_q.weight"].ggml_type == gt
+        assert m.tensors["output.weight"].ggml_type == GGMLType.Q4_K
+        assert m.tensors["blk.0.attn_norm.weight"].ggml_type == GGMLType.F32
+        # each 256-block dequantizes to scale * {-1, 0, 1}
+        from prima_tpu.quant.dequant_np import dequantize_tensor
+
+        wq = dequantize_tensor(m.tensors["blk.0.attn_q.weight"])
+        blocks = wq.reshape(-1, 256)
+        scale = np.abs(blocks).max(axis=1, keepdims=True)
+        nz = scale[:, 0] > 0
+        tr = blocks[nz] / scale[nz]
+        assert np.allclose(np.abs(tr) * (np.abs(tr) > 1e-6), 
+                           (np.abs(tr) > 1e-6).astype(np.float32))
+        m.close()
+        from prima_tpu.models.loader import load_model
+        from prima_tpu.models.llama import ForwardOptions
+        from prima_tpu.runtime.engine import Engine
+
+        lm = load_model(dst)
+        eng = Engine(lm.cfg, lm.params, n_slots=1, max_seq=64,
+                     opts=ForwardOptions(matmul_impl="xla"))
+        out = eng.run_to_completion([3, 5, 7], n_predict=4)
+        assert len(out) == 4

@@ -47,11 +47,16 @@ DEQ_TYPES = [
     GGMLType.IQ2_S,
     GGMLType.IQ3_XXS,
     GGMLType.IQ3_S,
+    GGMLType.TQ1_0,
+    GGMLType.TQ2_0,
 ]
 
 QUANT_EXACT_TYPES = [
     GGMLType.Q4_0,
     GGMLType.Q8_0,
+    # ternary encoders are imatrix-free and deterministic -> bit-exact
+    GGMLType.TQ1_0,
+    GGMLType.TQ2_0,
 ]
 
 # byte offsets of f16 scale fields that must be finite for a fair comparison
@@ -75,6 +80,8 @@ F16_FIELDS = {
     GGMLType.IQ2_S: [0],
     GGMLType.IQ3_XXS: [0],
     GGMLType.IQ3_S: [0],
+    GGMLType.TQ1_0: [52],
+    GGMLType.TQ2_0: [64],
 }
 
 
