@@ -49,6 +49,7 @@ FTYPES: dict[str, tuple[GGMLType, GGMLType]] = {
     "TQ1_0": (GGMLType.TQ1_0, GGMLType.Q4_K),
     "TQ2_0": (GGMLType.TQ2_0, GGMLType.Q4_K),
     "F16": (GGMLType.F16, GGMLType.F16),
+    "BF16": (GGMLType.BF16, GGMLType.BF16),
     "F32": (GGMLType.F32, GGMLType.F32),
 }
 

@@ -324,3 +324,20 @@ def test_quantize_ternary_tq(tiny, tmp_path):
                      opts=ForwardOptions(matmul_impl="xla"))
         out = eng.run_to_completion([3, 5, 7], n_predict=4)
         assert len(out) == 4
+
+
+def test_quantize_bf16(tiny, tmp_path):
+    """BF16 ftype (LLAMA_FTYPE_MOSTLY_BF16): round-to-nearest-even
+    truncation, loads and decodes."""
+    dst = str(tmp_path / "bf16.gguf")
+    quantize_gguf(tiny, dst, "BF16", logfile=open(os.devnull, "w"))
+    m = GGUFModel.open(dst)
+    assert m.tensors["blk.0.attn_q.weight"].ggml_type == GGMLType.BF16
+    src = GGUFModel.open(tiny)
+    from prima_tpu.quant.dequant_np import dequantize_tensor
+
+    got = dequantize_tensor(m.tensors["blk.0.attn_q.weight"])
+    want = dequantize_tensor(src.tensors["blk.0.attn_q.weight"])
+    # bf16 keeps the top 8 significand bits (RNE)
+    assert np.abs(got - want).max() <= np.abs(want).max() * 2.0 ** -8
+    m.close(), src.close()
