@@ -54,6 +54,10 @@ class DSlot:
     stop_reason: str | None = None
     n_probs: int = 0
     shifts: list = field(default_factory=list)
+    # Self-Extend grouped attention (main.cpp:618-640)
+    ga_i: int = 0
+    pos_delta: int = 0  # logical (RoPE) position - physical write index
+    pos_map: Any = None  # per-cell logical positions (lazy)
 
     @property
     def id(self) -> int:
@@ -70,7 +74,7 @@ class DistributedEngine:
                  batch_per_micro: int = 1, max_seq: int = 2048, n_batch: int = 64,
                  opts: ForwardOptions | None = None, kv_dtype=jnp.bfloat16,
                  eog_ids: set[int] | None = None, ctx_shift: bool = False,
-                 n_keep: int = 0):
+                 n_keep: int = 0, grp_attn_n: int = 1, grp_attn_w: int = 512):
         self.cfg = cfg
         self.params = params
         self.spec = spec
@@ -82,6 +86,13 @@ class DistributedEngine:
         self.eog_ids = eog_ids or set()
         self.ctx_shift = ctx_shift
         self.n_keep = n_keep
+        assert grp_attn_n >= 1
+        assert grp_attn_n == 1 or grp_attn_w % grp_attn_n == 0, \
+            "grp_attn_w must be a multiple of grp_attn_n (main.cpp:221)"
+        assert not (ctx_shift and grp_attn_n > 1), \
+            "context-shift and Self-Extend are mutually exclusive"
+        self.grp_attn_n = grp_attn_n
+        self.grp_attn_w = grp_attn_w
         self.kv = PipeKV(cfg, spec, mesh, batch_per_micro, max_seq, kv_dtype)
         self.slots = [DSlot(m, b, batch_per_micro)
                       for m in range(self.M) for b in range(self.B)]
@@ -149,6 +160,9 @@ class DistributedEngine:
         slot.stop_reason = None
         slot.n_probs = n_probs
         slot.shifts = []
+        slot.ga_i = 0
+        slot.pos_delta = 0
+        slot.pos_map = None
         for t in prompt_tokens:
             slot.sampler.accept(t, accept_grammar=False)
         if slot.n_prompt_done >= len(slot.prompt) - 1:
@@ -165,13 +179,61 @@ class DistributedEngine:
 
     # -- scheduler tick --------------------------------------------------------
 
-    def _run_pass(self, s_len: int, tokens: np.ndarray, positions: np.ndarray):
+    def _run_pass(self, s_len: int, tokens: np.ndarray, positions: np.ndarray,
+                  mask_positions: np.ndarray | None = None):
         fwd = self._fwd(s_len)
         logits, self.kv.arrays = fwd(
             self.params, jnp.asarray(tokens), jnp.asarray(positions),
-            jnp.asarray(self.cache_pos), self.kv.arrays)
+            jnp.asarray(self.cache_pos), self.kv.arrays,
+            jnp.asarray(positions if mask_positions is None
+                        else mask_positions))
         self.n_decode_calls += 1
         return np.asarray(logits, dtype=np.float32)
+
+    # -- Self-Extend grouped attention ----------------------------------------
+
+    def _rope_delta_grid(self, pool) -> np.ndarray:
+        """(M, B) per-slot logical-minus-physical rope offsets."""
+        d = np.zeros((self.M, self.B), np.int32)
+        for s in pool:
+            d[s.m, s.b] = s.pos_delta
+        return d
+
+    def _apply_self_extend(self, slot: DSlot) -> None:
+        """Identical logic to the single-chip engine (main.cpp:618-640):
+        compress the window's rope positions by ga_n over the SHARDED cache
+        — pipe_kv.rope_shift re-rotates every owned window in place, so no
+        ring-wide kv-signal protocol is needed."""
+        ga_n, ga_w = self.grp_attn_n, self.grp_attn_w
+        if ga_n <= 1:
+            return
+        used = self.kv.used(slot.id)
+        n_past = used + slot.pos_delta
+        while n_past >= slot.ga_i + ga_w:
+            ib = (ga_n * slot.ga_i) // ga_w
+            bd = (ga_w // ga_n) * (ga_n - 1)
+            dd = (ga_w // ga_n) - ib * bd - ga_w
+            L = slot.pos_map
+            base = slot.ga_i + ib * bd
+            L1 = np.where((L >= slot.ga_i) & (L < n_past), L + ib * bd, L)
+            L2 = np.where((L1 >= base) & (L1 < base + ga_w), L1 // ga_n, L1)
+            L3 = np.where((L2 >= base + ga_w) & (L2 < n_past + ib * bd),
+                          L2 + dd, L2)
+            live = np.arange(self.max_seq) < used
+            L3 = np.where(live, L3, L)
+            self.kv.rope_shift(slot.id, (L3 - L).astype(np.int32))
+            slot.pos_map = L3
+            n_past -= bd
+            slot.ga_i += ga_w // ga_n
+        slot.pos_delta = n_past - used
+
+    def _record_positions(self, slot: DSlot, pos0: int, n: int) -> None:
+        if self.grp_attn_n <= 1:
+            return
+        if slot.pos_map is None:
+            slot.pos_map = np.arange(self.max_seq, dtype=np.int64)
+        slot.pos_map[pos0:pos0 + n] = (
+            pos0 + slot.pos_delta + np.arange(n, dtype=np.int64))
 
     def _prefill_tick(self, only: list | None = None) -> bool:
         """One batched prefill pass over PREFILL slots (optionally a subset).
@@ -181,22 +243,29 @@ class DistributedEngine:
         prefill = [s for s in pool if s.state == SlotState.PREFILL]
         if not prefill:
             return False
+        if self.grp_attn_n > 1:
+            for s in prefill:
+                if s.pos_map is None:
+                    s.pos_map = np.arange(self.max_seq, dtype=np.int64)
+                self._apply_self_extend(s)
         chunk_len = min(self.n_batch,
                         max(len(s.prompt) - 1 - s.n_prompt_done for s in prefill))
         s_len = _bucket(max(chunk_len, 1), self.n_batch)
         tokens = np.zeros((self.M, self.B, s_len), np.int32)
-        positions = (np.broadcast_to(
+        mask_positions = (np.broadcast_to(
             np.arange(s_len, dtype=np.int32), (self.M, self.B, s_len)
         ) + self.cache_pos[..., None]).astype(np.int32)
+        positions = mask_positions + self._rope_delta_grid(prefill)[..., None]
         took = {}
         for s in prefill:
             chunk = s.prompt[s.n_prompt_done : min(s.n_prompt_done + s_len,
                                                    len(s.prompt) - 1)]
             tokens[s.m, s.b, : len(chunk)] = chunk
             took[s.id] = len(chunk)
-        self._run_pass(s_len, tokens, positions)
+        self._run_pass(s_len, tokens, positions, mask_positions)
         for s in prefill:
             n = took[s.id]
+            self._record_positions(s, self.kv.used(s.id), n)
             self.kv.cache_pos[s.id] += n
             s.n_prompt_done += n
             self.perf["n_prompt"] += n
@@ -220,10 +289,14 @@ class DistributedEngine:
         pos0 = self.kv.used(slot_id)
         tokens = np.zeros((self.M, self.B, s_len), np.int32)
         tokens[m, b] = chain
-        positions = (np.broadcast_to(
+        mask_positions = (np.broadcast_to(
             np.arange(s_len, dtype=np.int32), (self.M, self.B, s_len)
         ) + self.cache_pos[..., None]).astype(np.int32)
-        logits = self._run_pass(s_len, tokens, positions)
+        positions = mask_positions.copy()
+        slot = self.slots[slot_id]
+        positions[m, b] += slot.pos_delta  # Self-Extend rope offset
+        self._record_positions(slot, pos0, s_len)
+        logits = self._run_pass(s_len, tokens, positions, mask_positions)
         self.kv.cache_pos[slot_id] = pos0 + s_len
         return logits[m, b]
 
@@ -246,12 +319,20 @@ class DistributedEngine:
                     self.kv.context_shift(s.id, self.n_keep, n_discard)
                     s.shifts.append((self.n_keep, n_discard))
 
+        if self.grp_attn_n > 1:
+            for s in active:
+                if s.pos_map is None:
+                    s.pos_map = np.arange(self.max_seq, dtype=np.int64)
+                self._apply_self_extend(s)
+                self._record_positions(s, self.kv.used(s.id), 1)
+
         t0 = _time.perf_counter()
         tokens = np.zeros((self.M, self.B, 1), np.int32)
         for s in active:
             tokens[s.m, s.b, 0] = s.generated[-1] if s.generated else s.prompt[-1]
-        positions = self.cache_pos[..., None].copy()
-        logits = self._run_pass(1, tokens, positions)
+        mask_positions = self.cache_pos[..., None].copy()
+        positions = mask_positions + self._rope_delta_grid(active)[..., None]
+        logits = self._run_pass(1, tokens, positions, mask_positions)
         for s in active:
             self.kv.cache_pos[s.id] += 1
         self.perf["t_decode_s"] += _time.perf_counter() - t0

@@ -197,7 +197,11 @@ def init_pipe_kv(cfg: ModelConfig, spec: PipeSpec, mesh: Mesh, batch_per_micro: 
 def _pipe_body(
     layers: dict,  # local view: leaves (1, 1, K, W, ...)
     x_all: jax.Array,  # (M, B_loc, S, E) embedded inputs
-    positions: jax.Array,  # (M, B_loc, S)
+    positions: jax.Array,  # (M, B_loc, S) rope positions (Self-Extend:
+    #                        compressed logical positions)
+    mask_positions: jax.Array,  # (M, B_loc, S) physical cell positions the
+    #                             causal mask keys off (== positions unless
+    #                             Self-Extend compressed the rope space)
     cache_pos: jax.Array,  # (M, B_loc)
     k_cache: jax.Array,  # (1, K, W, M*B_loc, T, kvh_loc, hd)
     v_cache: jax.Array,
@@ -233,8 +237,10 @@ def _pipe_body(
         x = jnp.where(inject, x_inj, x_cur)
 
         pos_m = jax.lax.dynamic_index_in_dim(positions, m_idx, 0, keepdims=False)
+        mpos_m = jax.lax.dynamic_index_in_dim(mask_positions, m_idx, 0,
+                                              keepdims=False)
         cp_m = jax.lax.dynamic_index_in_dim(cache_pos, m_idx, 0, keepdims=False)
-        mask = causal_mask(pos_m, T)
+        mask = causal_mask(mpos_m, T)
 
         # select this cycle's window params: (K, W, ...) -> (W, ...)
         win = jax.tree.map(
@@ -314,14 +320,19 @@ def make_pipe_forward(
     data_spec = P(None, "dp", None, None)
     kv_spec = P("pp", None, None, "dp", None, "tp", None)
 
-    def fwd(params, tokens, positions, cache_pos, kv):
+    def fwd(params, tokens, positions, cache_pos, kv, mask_positions=None):
         """params: dict with 'pipe' (stacked layers), 'tok_embd',
-        'output_norm', 'output' (replicated)."""
+        'output_norm', 'output' (replicated). mask_positions defaults to
+        positions; Self-Extend passes the physical cell positions here
+        while `positions` carries the compressed rope positions."""
+        if mask_positions is None:
+            mask_positions = positions
         layer_specs = jax.tree.map(lambda _: P("pp", "tp"), params["pipe"])
         pipe = jax.shard_map(
             body,
             mesh=mesh,
-            in_specs=(layer_specs, data_spec, P(None, "dp", None), P(None, "dp"),
+            in_specs=(layer_specs, data_spec, P(None, "dp", None),
+                      P(None, "dp", None), P(None, "dp"),
                       kv_spec, kv_spec),
             out_specs=(data_spec, kv_spec, kv_spec),
             check_vma=False,
@@ -329,7 +340,8 @@ def make_pipe_forward(
         x = embed(params["tok_embd"], tokens, opts.dtype)  # (M, B, S, E)
         if cfg.embd_scale != 1.0:  # gemma-family input scaling
             x = x * np.float32(cfg.embd_scale)
-        hidden, kc, vc = pipe(params["pipe"], x, positions, cache_pos, kv[0], kv[1])
+        hidden, kc, vc = pipe(params["pipe"], x, positions, mask_positions,
+                              cache_pos, kv[0], kv[1])
         if return_hidden:
             return hidden, (kc, vc)
         from ..models.llama import model_norm

@@ -34,6 +34,15 @@ def main(argv=None) -> int:
                     dest="draft_max", help="max tokens drafted per round")
     ap.add_argument("--draft-p-min", type=float, default=0.75,
                     help="draft confidence floor")
+    ap.add_argument("--no-context-shift", action="store_true",
+                    help="stop at context_full instead of shifting "
+                         "(reference --no-context-shift; shift is default)")
+    ap.add_argument("--keep", type=int, default=0,
+                    help="tokens to keep at the start on context shift")
+    ap.add_argument("-gan", "--grp-attn-n", type=int, default=1,
+                    help="Self-Extend group factor (disables context shift)")
+    ap.add_argument("-gaw", "--grp-attn-w", type=int, default=512,
+                    help="Self-Extend group window")
     ap.add_argument("--slot-save-path", default=env("SLOT_SAVE_PATH"),
                     help="confine /slots save/restore files to this dir")
     # distributed (mesh) mode: serve a piped-ring pipelined model — the
@@ -85,6 +94,9 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
 
     kv_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16, "q8_0": "q8_0", "q4_0": "q4_0"}[args.cache_type]
+    # Self-Extend disables context shift (reference server.cpp:2034
+    # `if (slot.ga_n == 1)` guards the shift path)
+    ctx_shift = not args.no_context_shift and args.grp_attn_n == 1
     if args.world > 1:
         return _ring_main(args)
 
@@ -128,13 +140,18 @@ def main(argv=None) -> int:
             cfg, params, spec, mesh, batch_per_micro=bpm,
             max_seq=args.ctx_size, n_batch=args.batch_size,
             opts=ForwardOptions(matmul_impl=args.matmul),
-            eog_ids=model.eog_ids, kv_dtype=kv_dtype)
+            eog_ids=model.eog_ids, kv_dtype=kv_dtype,
+            ctx_shift=ctx_shift, n_keep=args.keep,
+            grp_attn_n=args.grp_attn_n, grp_attn_w=args.grp_attn_w)
     else:
         model = load_model(args.model)
         engine = Engine(model.cfg, model.params, n_slots=args.parallel,
                         max_seq=args.ctx_size, n_batch=args.batch_size,
                         opts=ForwardOptions(matmul_impl=args.matmul),
-                        eog_ids=model.eog_ids, kv_dtype=kv_dtype)
+                        eog_ids=model.eog_ids, kv_dtype=kv_dtype,
+                        ctx_shift=ctx_shift, n_keep=args.keep,
+                        grp_attn_n=args.grp_attn_n,
+                        grp_attn_w=args.grp_attn_w)
     # warmup decode so the first request doesn't pay jit compilation
     # (the reference's BOS/EOS warmup, common.cpp:1959-1997)
     bos = model.tokenizer.vocab.bos_id

@@ -174,3 +174,60 @@ def test_pipe_save_restore_roundtrip(cpu_devices):
     got = eng2.run_to_completion(full, n_predict=3)
     want = eng.run_to_completion(full, n_predict=3)
     assert got == want
+
+
+def test_distributed_self_extend(cpu_devices):
+    """Self-Extend grouped attention on the DistributedEngine: rope
+    positions compress over the sharded cache (main.cpp:618-640; the
+    reference broadcasts the seq_add/seq_div triple ring-wide, here
+    pipe_kv.rope_shift mutates every owned window in one program)."""
+    cfg, mesh, spec, params = _setup(cpu_devices, max_seq=64)
+    prompt = [3, 17, 42, 7, 99, 5]
+    eng = DistributedEngine(cfg, params, spec, mesh, batch_per_micro=1,
+                            max_seq=64, n_batch=8, opts=OPTS,
+                            kv_dtype=jnp.float32, grp_attn_n=2, grp_attn_w=8)
+    out = eng.run_to_completion(prompt, n_predict=24)
+    assert len(out) == 24
+    slot = eng.slots[0]
+    assert slot.ga_i > 0 and slot.pos_delta < 0
+    used = eng.kv.used(0)
+    assert used == len(prompt) + 24 - 1
+    live = slot.pos_map[:used]
+    assert np.all(np.diff(live) >= 0)
+
+
+def test_distributed_self_extend_prefix_matches_plain(cpu_devices):
+    """Until the first compression triggers, Self-Extend output is
+    identical to the plain distributed engine AND to the single-chip
+    Self-Extend engine (same ops, sharded vs dense cache)."""
+    cfg, mesh, spec, params = _setup(cpu_devices, max_seq=64)
+    prompt = [3, 17, 42, 7]
+    plain = DistributedEngine(cfg, params, spec, mesh, batch_per_micro=1,
+                              max_seq=64, n_batch=8, opts=OPTS,
+                              kv_dtype=jnp.float32
+                              ).run_to_completion(prompt, n_predict=6)
+    se = DistributedEngine(cfg, params, spec, mesh, batch_per_micro=1,
+                           max_seq=64, n_batch=8, opts=OPTS,
+                           kv_dtype=jnp.float32, grp_attn_n=4,
+                           grp_attn_w=32).run_to_completion(prompt,
+                                                            n_predict=6)
+    assert se == plain
+
+
+def test_distributed_self_extend_matches_single_chip(cpu_devices):
+    """The compressed decode itself matches the single-chip Self-Extend
+    engine token-for-token (same synth weights, same ga_n/ga_w, past the
+    compression point)."""
+    cfg, mesh, spec, params = _setup(cpu_devices, max_seq=64)
+    prompt = [3, 17, 42, 7, 99, 5]
+    dist = DistributedEngine(cfg, params, spec, mesh, batch_per_micro=1,
+                             max_seq=64, n_batch=8, opts=OPTS,
+                             kv_dtype=jnp.float32, grp_attn_n=2,
+                             grp_attn_w=8)
+    out_d = dist.run_to_completion(prompt, n_predict=16)
+    single = Engine(cfg, synth_params(cfg, GGMLType.Q4_K, seed=5),
+                    n_slots=1, max_seq=64, n_batch=8, opts=OPTS,
+                    kv_dtype=jnp.float32, grp_attn_n=2, grp_attn_w=8)
+    out_s = single.run_to_completion(prompt, n_predict=16)
+    assert out_d == out_s
+    assert dist.slots[0].pos_delta == single.slots[0].pos_delta
