@@ -56,25 +56,49 @@ def _rope_delta_nd(k: jax.Array, delta: jax.Array, inv_freq: jax.Array,
     return out.astype(k.dtype)
 
 
+def _rot_k(k_row, delta, inv_freq, rope_type):
+    """Rotate one K row view; quantized rows dequantize -> rotate ->
+    requantize (the analogue of the reference's f32-tmp K-shift cpy dance
+    for quantized K caches)."""
+    from ..ops.kvquant import KVQ4, KVQ8, quantize_kv, quantize_kv4
+
+    if isinstance(k_row, (KVQ8, KVQ4)):
+        rot = _rope_delta_nd(k_row.astype(jnp.float32), delta, inv_freq,
+                             rope_type)
+        qfn = quantize_kv if isinstance(k_row, KVQ8) else quantize_kv4
+        return type(k_row)(*qfn(rot))
+    return _rope_delta_nd(k_row, delta, inv_freq, rope_type)
+
+
+def _take_row(cache, row, src):
+    return jax.tree.map(lambda a: jnp.take(a[:, :, :, row], src, axis=3),
+                        cache)
+
+
+def _set_row(cache, row, new):
+    return jax.tree.map(lambda a, b: a.at[:, :, :, row].set(b), cache, new)
+
+
 @functools.partial(jax.jit, static_argnames=("rope_type",))
 def _remap_row(k, v, row, src, delta, inv_freq, *, rope_type="neox"):
     """Gather-then-rotate one slot row across all (PP, K, W) windows."""
-    k_row = jnp.take(k[:, :, :, row], src, axis=3)  # (PP,K,W,T,kvh,hd)
-    k_row = _rope_delta_nd(k_row, delta, inv_freq, rope_type)
-    v_row = jnp.take(v[:, :, :, row], src, axis=3)
-    return (k.at[:, :, :, row].set(k_row), v.at[:, :, :, row].set(v_row))
+    k_row = _rot_k(_take_row(k, row, src), delta, inv_freq, rope_type)
+    v_row = _take_row(v, row, src)
+    return (_set_row(k, row, k_row), _set_row(v, row, v_row))
 
 
 @jax.jit
 def _copy_row(k, v, dst, src):
-    return (k.at[:, :, :, dst].set(k[:, :, :, src]),
-            v.at[:, :, :, dst].set(v[:, :, :, src]))
+    cp = lambda c: jax.tree.map(
+        lambda a: a.at[:, :, :, dst].set(a[:, :, :, src]), c)
+    return (cp(k), cp(v))
 
 
 @functools.partial(jax.jit, static_argnames=("rope_type",))
 def _rotate_row(k, row, delta, inv_freq, *, rope_type="neox"):
-    k_row = _rope_delta_nd(k[:, :, :, row], delta, inv_freq, rope_type)
-    return k.at[:, :, :, row].set(k_row)
+    k_row = _rot_k(jax.tree.map(lambda a: a[:, :, :, row], k), delta,
+                   inv_freq, rope_type)
+    return _set_row(k, row, k_row)
 
 
 @dataclass
@@ -202,8 +226,18 @@ class PipeKV:
         """Dense (L, used, kvh, hd) f32 K and V for one slot, in layer order."""
         r = self._row(slot)
         k, v = self.arrays
-        ks = np.asarray(k[:, :, :, r, :used], np.float32)  # (PP,K,W,used,..)
-        vs = np.asarray(v[:, :, :, r, :used], np.float32)
+
+        def dense_view(c):
+            from ..ops.kvquant import KVQ4, KVQ8
+
+            if isinstance(c, (KVQ8, KVQ4)):
+                view = type(c)(c.qs[:, :, :, r, :used],
+                               c.scale[:, :, :, r, :used])
+                return np.asarray(view.astype(jnp.float32))
+            return np.asarray(c[:, :, :, r, :used], np.float32)
+
+        ks = dense_view(k)  # (PP,K,W,used,..)
+        vs = dense_view(v)
         L = self.cfg.n_layers
         outk = np.empty((L,) + ks.shape[3:], np.float32)
         outv = np.empty_like(outk)
@@ -224,7 +258,17 @@ class PipeKV:
             k_pipe[d, c, w] = ks[li]
             v_pipe[d, c, w] = vs[li]
         k, v = self.arrays
-        k = k.at[:, :, :, r, :used].set(jnp.asarray(k_pipe).astype(k.dtype))
-        v = v.at[:, :, :, r, :used].set(jnp.asarray(v_pipe).astype(v.dtype))
-        self.arrays = (k, v)
+
+        def set_dense(c, dense):
+            from ..ops.kvquant import KVQ4, KVQ8, quantize_kv, quantize_kv4
+
+            if isinstance(c, (KVQ8, KVQ4)):
+                qfn = quantize_kv if isinstance(c, KVQ8) else quantize_kv4
+                q, s = qfn(jnp.asarray(dense))
+                return type(c)(c.qs.at[:, :, :, r, :used].set(q),
+                               c.scale.at[:, :, :, r, :used].set(s))
+            return c.at[:, :, :, r, :used].set(
+                jnp.asarray(dense).astype(c.dtype))
+
+        self.arrays = (set_dense(k, k_pipe), set_dense(v, v_pipe))
         self.cache_pos[r] = used

@@ -177,14 +177,23 @@ def build_pipe_model(
 
 
 def init_pipe_kv(cfg: ModelConfig, spec: PipeSpec, mesh: Mesh, batch_per_micro: int,
-                 max_seq: int, dtype=jnp.bfloat16) -> tuple[jax.Array, jax.Array]:
+                 max_seq: int, dtype=jnp.bfloat16) -> tuple:
     """KV caches (PP, K, W, M*B, T, KVH, HD): layer dims sharded over pp,
-    batch over dp, heads over tp — rank-filtered KV init, the TPU way."""
+    batch over dp, heads over tp — rank-filtered KV init, the TPU way.
+    dtype "q8_0"/"q4_0" stores quantized KVQ8/KVQ4 pytrees (int8 / packed
+    int4 quants + f32 per-(cell, head) scales, ops/kvquant.py) — the
+    distributed analogue of the reference's -ctk/-ctv cache types."""
     shape = (
         spec.n_pp, spec.k_cycles, spec.window,
         spec.microbatches * batch_per_micro, max_seq, cfg.n_kv_heads, cfg.head_dim,
     )
     sh = NamedSharding(mesh, P("pp", None, None, "dp", None, "tp", None))
+    if isinstance(dtype, str) and dtype in ("q8_0", "q4_0"):
+        from ..ops.kvquant import KVQ4, KVQ8
+
+        cls = KVQ8 if dtype == "q8_0" else KVQ4
+        z = jax.tree.map(lambda a: jax.device_put(a, sh), cls.zeros(shape))
+        return z, jax.tree.map(lambda a: jax.device_put(a, sh), cls.zeros(shape))
     z = jnp.zeros(shape, dtype, device=sh)
     return z, jnp.zeros(shape, dtype, device=sh)
 
@@ -213,7 +222,10 @@ def _pipe_body(
     n, kc, W, M = spec.n_pp, spec.k_cycles, spec.window, spec.microbatches
     d = jax.lax.axis_index("pp")
     local = jax.tree.map(lambda a: a[0, 0], layers)  # (K, W, ...)
-    k_cache, v_cache = k_cache[0], v_cache[0]  # (K, W, MB, T, kvh, hd)
+    # caches may be dense arrays OR KVQ8/KVQ4 pytrees (quants + scales);
+    # every cache op below is tree-mapped so both layouts ride the ring
+    k_cache = jax.tree.map(lambda a: a[0], k_cache)  # (K, W, MB, T, kvh, hd)
+    v_cache = jax.tree.map(lambda a: a[0], v_cache)
     B = x_all.shape[1]
     T = k_cache.shape[3]
     inv_freq, mscale = rope_freqs(cfg_local)
@@ -247,16 +259,17 @@ def _pipe_body(
             lambda a: jax.lax.dynamic_index_in_dim(a, c_idx, 0, keepdims=False), local
         )
         row0 = m_idx * B
+
+        def kv_slice(cache):
+            return jax.tree.map(
+                lambda a: jax.lax.dynamic_slice(
+                    a, (c_idx, w, row0) + (0,) * (a.ndim - 3),
+                    (1, 1, B) + a.shape[3:])[0, 0], cache)
+
         for w in range(W):
             layer = jax.tree.map(lambda a: a[w], win)
-            kv_k = jax.lax.dynamic_slice(
-                kcache, (c_idx, w, row0, 0, 0, 0),
-                (1, 1, B, T, kcache.shape[4], kcache.shape[5]),
-            )[0, 0]
-            kv_v = jax.lax.dynamic_slice(
-                vcache, (c_idx, w, row0, 0, 0, 0),
-                (1, 1, B, T, vcache.shape[4], vcache.shape[5]),
-            )[0, 0]
+            kv_k = kv_slice(kcache)
+            kv_v = kv_slice(vcache)
             x, (kv_k, kv_v) = decode_layer(
                 layer, cfg_local, x, pos_m, (kv_k, kv_v), cp_m, mask, inv_freq, mscale, opts
             )
@@ -285,14 +298,20 @@ def _pipe_body(
         step, init, jnp.arange(spec.n_steps)
     )
     out = jax.lax.psum(out_buf, "pp")  # only the last stage wrote; gather
-    return out, k_cache[None], v_cache[None]
+    expand = lambda c: jax.tree.map(lambda a: a[None], c)
+    return out, expand(k_cache), expand(v_cache)
 
 
 def _masked_update(cache, new, idx3, valid):
     c, w, row0 = idx3
-    new = jnp.where(valid, new, jax.lax.dynamic_slice(
-        cache, (c, w, row0, 0, 0, 0), (1, 1) + new.shape)[0, 0])
-    return jax.lax.dynamic_update_slice(cache, new[None, None], (c, w, row0, 0, 0, 0))
+
+    def upd(a, n):
+        idx = (c, w, row0) + (0,) * (n.ndim - 1)
+        n = jnp.where(valid, n,
+                      jax.lax.dynamic_slice(a, idx, (1, 1) + n.shape)[0, 0])
+        return jax.lax.dynamic_update_slice(a, n[None, None], idx)
+
+    return jax.tree.map(upd, cache, new)
 
 
 def make_pipe_forward(
@@ -328,13 +347,17 @@ def make_pipe_forward(
         if mask_positions is None:
             mask_positions = positions
         layer_specs = jax.tree.map(lambda _: P("pp", "tp"), params["pipe"])
+        # per-leaf kv specs: quantized caches are (qs, scale) pytrees whose
+        # leaves share the dense layout's 7-dim rank
+        k_specs = jax.tree.map(lambda _: kv_spec, kv[0])
+        v_specs = jax.tree.map(lambda _: kv_spec, kv[1])
         pipe = jax.shard_map(
             body,
             mesh=mesh,
             in_specs=(layer_specs, data_spec, P(None, "dp", None),
                       P(None, "dp", None), P(None, "dp"),
-                      kv_spec, kv_spec),
-            out_specs=(data_spec, kv_spec, kv_spec),
+                      k_specs, v_specs),
+            out_specs=(data_spec, k_specs, v_specs),
             check_vma=False,
         )
         x = embed(params["tok_embd"], tokens, opts.dtype)  # (M, B, S, E)

@@ -231,3 +231,34 @@ def test_distributed_self_extend_matches_single_chip(cpu_devices):
     out_s = single.run_to_completion(prompt, n_predict=16)
     assert out_d == out_s
     assert dist.slots[0].pos_delta == single.slots[0].pos_delta
+
+
+@pytest.mark.parametrize("ctk", ["q8_0", "q4_0"])
+def test_distributed_quantized_kv_matches_single_chip(cpu_devices, ctk):
+    """Quantized pipe KV (-ctk q8_0/q4_0 on the distributed path): the
+    KVQ8/KVQ4 pytree rides the ring (per-leaf shard specs), and greedy
+    decode matches the single-chip engine with the same cache type
+    token-for-token."""
+    cfg, mesh, spec, params = _setup(cpu_devices, max_seq=32)
+    prompt = [3, 17, 42, 7]
+    dist = DistributedEngine(cfg, params, spec, mesh, batch_per_micro=1,
+                             max_seq=32, n_batch=8, opts=OPTS, kv_dtype=ctk)
+    out_d = dist.run_to_completion(prompt, n_predict=8)
+    single = Engine(cfg, synth_params(cfg, GGMLType.Q4_K, seed=5),
+                    n_slots=1, max_seq=32, n_batch=8, opts=OPTS,
+                    kv_dtype=ctk)
+    out_s = single.run_to_completion(prompt, n_predict=8)
+    assert out_d == out_s
+
+
+def test_distributed_quantized_kv_ctx_shift(cpu_devices):
+    """Context shift over a quantized pipe cache: the K row dequantizes,
+    rotates and requantizes in place (the reference's f32-tmp K-shift
+    dance for quantized caches) and decode continues past max_seq."""
+    cfg, mesh, spec, params = _setup(cpu_devices, max_seq=24)
+    eng = DistributedEngine(cfg, params, spec, mesh, batch_per_micro=1,
+                            max_seq=24, n_batch=8, opts=OPTS,
+                            kv_dtype="q8_0", ctx_shift=True, n_keep=2)
+    out = eng.run_to_completion([3, 17, 42, 7], n_predict=30)
+    assert len(out) == 30
+    assert eng.kv.used(0) < 24
