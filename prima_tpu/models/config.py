@@ -26,7 +26,9 @@ class RopeScaling:
     kind: str = "none"  # none | linear | yarn
     factor: float = 1.0
     orig_ctx: int = 0
-    ext_factor: float = 0.0
+    # -1 = auto: 1.0 for yarn, like the reference's cparams resolution
+    # (llama_new_context_with_model); 0 degrades yarn to pure interpolation
+    ext_factor: float = -1.0
     attn_factor: float = 1.0
     beta_fast: float = 32.0
     beta_slow: float = 1.0
@@ -371,6 +373,45 @@ class ModelConfig:
         attn += 2 * self.n_heads * self.head_dim * self.n_embd
         ffn = 3 * 2 * self.n_embd * self.n_ff
         return self.n_layers * (attn + ffn) + 2 * self.n_embd * self.n_vocab
+
+
+def apply_rope_overrides(cfg: ModelConfig, *, rope_scaling: str | None = None,
+                         rope_freq_base: float = 0.0,
+                         rope_freq_scale: float = 0.0,
+                         yarn_orig_ctx: int = 0,
+                         yarn_ext_factor: float = -1.0,
+                         yarn_attn_factor: float = -1.0,
+                         yarn_beta_fast: float = -1.0,
+                         yarn_beta_slow: float = -1.0) -> ModelConfig:
+    """Command-line RoPE overrides on top of the GGUF metadata — the
+    analogue of the reference's cparams plumbing (--rope-scaling,
+    --rope-freq-base, --rope-freq-scale, --yarn-* in common/arg.cpp;
+    defaults resolved against model metadata in llama_new_context_with_model
+    src/llama.cpp:20940-20980). Zero / -1 / None mean "from model"; the
+    reference's freq_scale is 1/factor (GGUF stores the factor)."""
+    s = cfg.rope_scaling
+    if rope_scaling is not None:
+        s.kind = rope_scaling
+        if rope_scaling == "none":
+            s.factor = 1.0
+        s.ext_factor = 1.0 if rope_scaling == "yarn" else 0.0
+    if rope_freq_base:
+        cfg.rope_base = float(rope_freq_base)
+    if rope_freq_scale:
+        s.factor = 1.0 / float(rope_freq_scale)
+        if s.kind == "none":
+            s.kind = "linear"
+    if yarn_orig_ctx:
+        s.orig_ctx = int(yarn_orig_ctx)
+    if yarn_ext_factor >= 0:
+        s.ext_factor = float(yarn_ext_factor)
+    if yarn_attn_factor >= 0:
+        s.attn_factor = float(yarn_attn_factor)
+    if yarn_beta_fast >= 0:
+        s.beta_fast = float(yarn_beta_fast)
+    if yarn_beta_slow >= 0:
+        s.beta_slow = float(yarn_beta_slow)
+    return cfg
 
 
 def tiny_config(**overrides: Any) -> ModelConfig:

@@ -70,10 +70,17 @@ def rope_freqs(cfg: ModelConfig) -> tuple[jax.Array, float]:
         # ramp == 1 below `low`: those high-frequency dims EXTRAPOLATE (keep
         # the original freq); dims above `high` interpolate (freq_scale)
         # — ggml rope_yarn: theta = interp*(1-ramp_mix) + extrap*ramp_mix
+        # ext_factor blends extrapolation in (ggml rope_yarn: ramp_mix =
+        # ramp * ext_factor; 0 degrades YaRN to plain linear interpolation
+        # and skips the magnitude correction, ggml.c:14094-14109)
         ramp = _yarn_ramp(low, high, jnp.arange(half, dtype=jnp.float32))
+        ext = 1.0 if s.ext_factor < 0 else s.ext_factor  # -1 = auto
+        ramp_mix = ramp * ext
         inv_freq_interp = inv_freq * freq_scale
-        inv_freq = inv_freq_interp * (1.0 - ramp) + inv_freq * ramp
-        mscale = float(s.attn_factor * (1.0 + 0.1 * math.log(s.factor))) if s.factor > 1 else s.attn_factor
+        inv_freq = inv_freq_interp * (1.0 - ramp_mix) + inv_freq * ramp_mix
+        mscale = s.attn_factor
+        if ext != 0.0:
+            mscale = float(s.attn_factor * (1.0 + 0.1 * math.log(s.factor)))
     return inv_freq, mscale
 
 

@@ -34,6 +34,16 @@ def main(argv=None) -> int:
                     dest="draft_max", help="max tokens drafted per round")
     ap.add_argument("--draft-p-min", type=float, default=0.75,
                     help="draft confidence floor")
+    ap.add_argument("--rope-scaling", choices=["none", "linear", "yarn"],
+                    default=None)
+    ap.add_argument("--rope-freq-base", type=float, default=0.0)
+    ap.add_argument("--rope-freq-scale", type=float, default=0.0,
+                    help="position scale (1/factor); 0.25 = 4x context")
+    ap.add_argument("--yarn-orig-ctx", type=int, default=0)
+    ap.add_argument("--yarn-ext-factor", type=float, default=-1.0)
+    ap.add_argument("--yarn-attn-factor", type=float, default=-1.0)
+    ap.add_argument("--yarn-beta-fast", type=float, default=-1.0)
+    ap.add_argument("--yarn-beta-slow", type=float, default=-1.0)
     ap.add_argument("--no-context-shift", action="store_true",
                     help="stop at context_full instead of shifting "
                          "(reference --no-context-shift; shift is default)")
@@ -97,6 +107,19 @@ def main(argv=None) -> int:
     # Self-Extend disables context shift (reference server.cpp:2034
     # `if (slot.ga_n == 1)` guards the shift path)
     ctx_shift = not args.no_context_shift and args.grp_attn_n == 1
+
+    def rope_overrides(cfg):
+        from ..models.config import apply_rope_overrides
+
+        return apply_rope_overrides(
+            cfg, rope_scaling=args.rope_scaling,
+            rope_freq_base=args.rope_freq_base,
+            rope_freq_scale=args.rope_freq_scale,
+            yarn_orig_ctx=args.yarn_orig_ctx,
+            yarn_ext_factor=args.yarn_ext_factor,
+            yarn_attn_factor=args.yarn_attn_factor,
+            yarn_beta_fast=args.yarn_beta_fast,
+            yarn_beta_slow=args.yarn_beta_slow)
     if args.world > 1:
         return _ring_main(args)
 
@@ -116,7 +139,7 @@ def main(argv=None) -> int:
         from ..tokenizer import Tokenizer
 
         m = GGUFModel.open(args.model)
-        cfg = ModelConfig.from_gguf(m)
+        cfg = rope_overrides(ModelConfig.from_gguf(m))
         mesh = make_mesh(dp=args.dp, pp=args.pp, tp=args.tp)
         micro = max(args.pp, 1)
         bpm = max(1, -(-args.parallel // micro))  # slots = micro * bpm
@@ -132,10 +155,6 @@ def main(argv=None) -> int:
         from ..models.loader import LoadedModel
 
         model = LoadedModel(cfg, params, tok, m)
-        if kv_dtype in ("q8_0", "q4_0"):
-            print("quantized KV not supported on the pipe cache; using bf16",
-                  file=sys.stderr)
-            kv_dtype = jnp.bfloat16
         engine = DistributedEngine(
             cfg, params, spec, mesh, batch_per_micro=bpm,
             max_seq=args.ctx_size, n_batch=args.batch_size,
@@ -145,6 +164,7 @@ def main(argv=None) -> int:
             grp_attn_n=args.grp_attn_n, grp_attn_w=args.grp_attn_w)
     else:
         model = load_model(args.model)
+        rope_overrides(model.cfg)
         engine = Engine(model.cfg, model.params, n_slots=args.parallel,
                         max_seq=args.ctx_size, n_batch=args.batch_size,
                         opts=ForwardOptions(matmul_impl=args.matmul),

@@ -62,6 +62,18 @@ def build_parser() -> argparse.ArgumentParser:
                     help="topology-rebuild registration window (seconds): "
                          "route the ring around ranks that never show up "
                          "(llama_rebuild_topo analogue); 0 = strict ring")
+    # RoPE overrides on top of the GGUF metadata (reference --rope-* /
+    # --yarn-* flags, common/arg.cpp; 0 / -1 mean "from model")
+    ap.add_argument("--rope-scaling", choices=["none", "linear", "yarn"],
+                    default=None)
+    ap.add_argument("--rope-freq-base", type=float, default=0.0)
+    ap.add_argument("--rope-freq-scale", type=float, default=0.0,
+                    help="position scale (1/factor); 0.25 = 4x context")
+    ap.add_argument("--yarn-orig-ctx", type=int, default=0)
+    ap.add_argument("--yarn-ext-factor", type=float, default=-1.0)
+    ap.add_argument("--yarn-attn-factor", type=float, default=-1.0)
+    ap.add_argument("--yarn-beta-fast", type=float, default=-1.0)
+    ap.add_argument("--yarn-beta-slow", type=float, default=-1.0)
     ap.add_argument("--no-context-shift", action="store_true",
                     help="stop at context end instead of shifting")
     ap.add_argument("-gan", "--grp-attn-n", type=int, default=1,
@@ -229,6 +241,17 @@ def main(argv=None) -> int:
         return 0
 
     model = load_model(args.model)
+    from ..models.config import apply_rope_overrides
+
+    apply_rope_overrides(
+        model.cfg, rope_scaling=args.rope_scaling,
+        rope_freq_base=args.rope_freq_base,
+        rope_freq_scale=args.rope_freq_scale,
+        yarn_orig_ctx=args.yarn_orig_ctx,
+        yarn_ext_factor=args.yarn_ext_factor,
+        yarn_attn_factor=args.yarn_attn_factor,
+        yarn_beta_fast=args.yarn_beta_fast,
+        yarn_beta_slow=args.yarn_beta_slow)
     opts = ForwardOptions(matmul_impl=args.matmul)
     import jax.numpy as _jnp
 

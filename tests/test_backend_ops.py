@@ -359,3 +359,47 @@ def test_rope_yarn_mscale_applied():
     scaled = np.asarray(apply_rope(jnp.asarray(x), jnp.asarray(pos),
                                    jnp.asarray(inv), RopeType.NEOX, 1.25))
     np.testing.assert_allclose(scaled, base * 1.25, rtol=1e-5, atol=1e-6)
+
+
+def test_rope_overrides_and_ext_factor():
+    """CLI RoPE overrides (--rope-scaling/--rope-freq-*/--yarn-*,
+    common/arg.cpp) and the ggml rope_yarn ext_factor semantics:
+    ext_factor=0 degrades YaRN to pure interpolation with no magnitude
+    correction (ggml.c:14094-14109)."""
+    from prima_tpu.models.config import (RopeScaling, apply_rope_overrides,
+                                         tiny_config)
+    from prima_tpu.ops.layers import rope_freqs
+
+    c = tiny_config(n_embd=512, n_heads=4, head_dim=128, rope_dim=128,
+                    rope_base=10000.0, n_ctx_train=16384)
+    # --rope-freq-scale 0.25 => linear factor 4
+    apply_rope_overrides(c, rope_freq_scale=0.25)
+    assert c.rope_scaling.kind == "linear"
+    assert c.rope_scaling.factor == pytest.approx(4.0)
+    # --rope-freq-base overrides the GGUF base
+    apply_rope_overrides(c, rope_freq_base=500000.0)
+    assert c.rope_base == 500000.0
+    # --rope-scaling yarn + --yarn-* flags land in the scaling params
+    apply_rope_overrides(c, rope_scaling="yarn", yarn_orig_ctx=4096,
+                         yarn_beta_fast=16.0, yarn_attn_factor=1.5)
+    s = c.rope_scaling
+    assert (s.kind, s.orig_ctx, s.beta_fast, s.attn_factor) == \
+        ("yarn", 4096, 16.0, 1.5)
+
+    # ext_factor=0: yarn freqs == linear freqs, mscale == attn_factor
+    c2 = tiny_config(n_embd=512, n_heads=4, head_dim=128, rope_dim=128,
+                     rope_base=10000.0, n_ctx_train=16384)
+    c2.rope_scaling = RopeScaling(kind="yarn", factor=4.0, orig_ctx=4096,
+                                  ext_factor=0.0, attn_factor=1.25)
+    yarn0, mscale0 = rope_freqs(c2)
+    c2.rope_scaling = RopeScaling(kind="linear", factor=4.0)
+    lin, _ = rope_freqs(c2)
+    np.testing.assert_allclose(np.asarray(yarn0), np.asarray(lin), rtol=1e-7)
+    assert mscale0 == pytest.approx(1.25)
+    # default (-1 = auto -> 1.0): the blend differs from linear and the
+    # magnitude correction applies
+    c2.rope_scaling = RopeScaling(kind="yarn", factor=4.0, orig_ctx=4096,
+                                  attn_factor=1.25)
+    yarn1, mscale1 = rope_freqs(c2)
+    assert not np.allclose(np.asarray(yarn1), np.asarray(lin))
+    assert mscale1 == pytest.approx(1.25 * (1.0 + 0.1 * np.log(4.0)))
