@@ -17,7 +17,7 @@ import threading
 import numpy as np
 
 _DIR = os.path.dirname(__file__)
-_SRC = os.path.join(_DIR, "convert.cpp")
+_SRCS = [os.path.join(_DIR, "convert.cpp"), os.path.join(_DIR, "tokenize.cpp")]
 _LIB = os.path.join(_DIR, f"libprima_native.so")
 _lock = threading.Lock()
 _lib = None
@@ -26,7 +26,7 @@ _tried = False
 
 def _build() -> bool:
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-           "-o", _LIB, _SRC]
+           "-o", _LIB] + _SRCS
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=180)
         return True
@@ -44,7 +44,8 @@ def get_lib():
         _tried = True
         if os.environ.get("PRIMA_NO_NATIVE") == "1":
             return None
-        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+        if not os.path.exists(_LIB) or any(
+                os.path.getmtime(_LIB) < os.path.getmtime(s) for s in _SRCS):
             if not _build():
                 return None
         try:
@@ -58,6 +59,16 @@ def get_lib():
         lib.prima_conv_q4_0.argtypes = [u8p, i64, i64, u8p, f32p, ci]
         lib.prima_conv_q6k.argtypes = [u8p, i64, i64, i8p, i8p, f32p, ci]
         lib.prima_conv_q8_0.argtypes = [u8p, i64, i64, i8p, f32p, ci]
+        i64p, i32p = ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32)
+        lib.prima_tok_new.argtypes = [u8p, i64p, i64, f32p, i8p,
+                                      u8p, i64p, i64, i32p]
+        lib.prima_tok_new.restype = ctypes.c_void_p
+        lib.prima_tok_free.argtypes = [ctypes.c_void_p]
+        lib.prima_spm_encode.argtypes = [ctypes.c_void_p, u8p, i64, i32p, i64]
+        lib.prima_spm_encode.restype = i64
+        lib.prima_bpe_encode_words.argtypes = [ctypes.c_void_p, u8p, i64p,
+                                               i64, ctypes.c_int32, i32p, i64]
+        lib.prima_bpe_encode_words.restype = i64
         _lib = lib
         return _lib
 

@@ -71,3 +71,40 @@ def test_native_faster_than_numpy():
     host_pack(uq, pallas=True)
     t_numpy = time.perf_counter() - t0
     assert t_native < t_numpy * 3  # loose: CI boxes vary wildly
+
+
+def test_native_tokenizer_matches_python():
+    """The C++ SPM/BPE hot paths produce EXACTLY the Python reference
+    implementation's ids on the reference vocab fixtures (which are
+    themselves golden-tested against the reference's test vectors)."""
+    import os
+
+    from prima_tpu.gguf.reader import GGUFModel
+    from prima_tpu.native import get_lib
+    from prima_tpu.tokenizer import Tokenizer
+    from prima_tpu.tokenizer import native as tok_native
+
+    if get_lib() is None:
+        pytest.skip("no native compiler available")
+    texts = [
+        "Hello world", " Hello world!  \n", "ied 4 ½ months",
+        "你好，世界！ café \U0001f600\U0001f62e‍\U0001f4a8",
+        "   leading spaces", "tab\tnewline\n mix 123 456.789",
+        "a" * 300, ("word " * 50).strip(),
+    ]
+    for name in ("ggml-vocab-llama-spm", "ggml-vocab-gpt-2",
+                 "ggml-vocab-deepseek-llm"):
+        path = f"/root/reference/models/{name}.gguf"
+        if not os.path.exists(path):
+            pytest.skip(f"fixture {path} not present")
+        m = GGUFModel.open(path)
+        tok = Tokenizer.from_gguf(m)
+        v = tok.vocab
+        assert tok_native.get(v) is not None
+        for text in texts:
+            got = tok.encode(text, add_special=False)
+            object.__setattr__(v, "_native_tok", None)  # force Python path
+            want = tok.encode(text, add_special=False)
+            object.__setattr__(v, "_native_tok", False)  # re-enable native
+            assert got == want, (name, text)
+        m.close()
