@@ -159,6 +159,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true", help="tiny model for smoke testing")
     ap.add_argument("--impl", default="pallas", choices=["pallas", "xla"])
+    ap.add_argument("--fused", action="store_true",
+                    help="fused QKV + gate-up weights (4 GEMV launches per "
+                         "layer instead of 7)")
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--ctx", type=int, default=1024)
     ap.add_argument("--decode-steps", type=int, default=48)
@@ -209,7 +212,8 @@ def main():
     # through a tunneled TPU is ~20 MB/s, so weights are never uploaded.
     from prima_tpu.models.llama import synth_params_device_stacked
 
-    params = jax.jit(lambda: synth_params_device_stacked(cfg, GGMLType.Q4_K))()
+    params = jax.jit(lambda: synth_params_device_stacked(
+        cfg, GGMLType.Q4_K, fused=args.fused))()
     jax.block_until_ready(jax.tree.leaves(params)[0])
     opts = ForwardOptions(matmul_impl=impl)
 
