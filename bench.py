@@ -186,7 +186,24 @@ def main():
     from prima_tpu.models.llama import (ForwardOptions, forward_scan,
                                         init_kv_stacked)
 
+    # backend init hangs forever when the tunneled TPU is unreachable —
+    # emit a parseable failure line and exit instead of wedging the driver
+    import os as _os
+    import threading as _threading
+
+    def _init_timeout():
+        print(json.dumps({
+            "metric": "llama3_8b_q4k_decode_throughput", "value": 0.0,
+            "unit": "tok/s", "vs_baseline": 0.0,
+            "error": "TPU backend init timed out (tunnel unreachable)"}),
+            flush=True)
+        _os._exit(2)
+
+    _wd = _threading.Timer(180.0, _init_timeout)
+    _wd.daemon = True
+    _wd.start()
     on_tpu = jax.default_backend() == "tpu"
+    _wd.cancel()
     if not on_tpu:
         import os
 
