@@ -200,32 +200,15 @@ class DistributedEngine:
         return d
 
     def _apply_self_extend(self, slot: DSlot) -> None:
-        """Identical logic to the single-chip engine (main.cpp:618-640):
-        compress the window's rope positions by ga_n over the SHARDED cache
-        — pipe_kv.rope_shift re-rotates every owned window in place, so no
-        ring-wide kv-signal protocol is needed."""
-        ga_n, ga_w = self.grp_attn_n, self.grp_attn_w
-        if ga_n <= 1:
-            return
-        used = self.kv.used(slot.id)
-        n_past = used + slot.pos_delta
-        while n_past >= slot.ga_i + ga_w:
-            ib = (ga_n * slot.ga_i) // ga_w
-            bd = (ga_w // ga_n) * (ga_n - 1)
-            dd = (ga_w // ga_n) - ib * bd - ga_w
-            L = slot.pos_map
-            base = slot.ga_i + ib * bd
-            L1 = np.where((L >= slot.ga_i) & (L < n_past), L + ib * bd, L)
-            L2 = np.where((L1 >= base) & (L1 < base + ga_w), L1 // ga_n, L1)
-            L3 = np.where((L2 >= base + ga_w) & (L2 < n_past + ib * bd),
-                          L2 + dd, L2)
-            live = np.arange(self.max_seq) < used
-            L3 = np.where(live, L3, L)
-            self.kv.rope_shift(slot.id, (L3 - L).astype(np.int32))
-            slot.pos_map = L3
-            n_past -= bd
-            slot.ga_i += ga_w // ga_n
-        slot.pos_delta = n_past - used
+        """Shared compression logic (runtime.engine.apply_self_extend) over
+        the SHARDED cache — pipe_kv.rope_shift re-rotates every owned
+        window in one program, so no ring-wide kv-signal protocol is
+        needed."""
+        from ..runtime.engine import apply_self_extend
+
+        apply_self_extend(slot, self.kv.used(slot.id), self.max_seq,
+                          self.grp_attn_n, self.grp_attn_w,
+                          lambda d: self.kv.rope_shift(slot.id, d))
 
     def _record_positions(self, slot: DSlot, pos0: int, n: int) -> None:
         if self.grp_attn_n <= 1:

@@ -135,22 +135,26 @@ class TcpRingWorker:
         cfg_, opts_ = cfg, self.opts
 
         @functools.partial(jax.jit, static_argnames=("lo", "hi"))
-        def window_fn(params, kv, x, positions, cache_pos, lo, hi):
-            return forward(params, cfg_, None, positions, kv, cache_pos, opts_,
-                           layer_range=(lo, hi), hidden_in=x, return_hidden=True)
+        def window_fn(params, kv, x, positions, rope_delta, cache_pos, lo, hi):
+            # rope positions may carry the Self-Extend compression offset;
+            # the causal mask keys off the physical cell positions
+            rpos = positions + rope_delta[:, None]
+            return forward(params, cfg_, None, rpos, kv, cache_pos, opts_,
+                           layer_range=(lo, hi), hidden_in=x,
+                           return_hidden=True, mask_positions=positions)
 
         self._window_fn = window_fn
 
     def _compute_window(self, g: int, c: int, x: np.ndarray,
-                        positions: np.ndarray,
-                        cache_pos: np.ndarray) -> np.ndarray:
+                        positions: np.ndarray, cache_pos: np.ndarray,
+                        rope_delta: np.ndarray) -> np.ndarray:
         import jax.numpy as jnp
 
         lo, hi = self.ranges[c]
         xj = jnp.asarray(x, dtype=self.opts.dtype)
         out, self.kvc[g].caches = self._window_fn(
             self.params, self.kvc[g].caches, xj, jnp.asarray(positions),
-            jnp.asarray(cache_pos), lo=lo, hi=hi)
+            jnp.asarray(rope_delta), jnp.asarray(cache_pos), lo=lo, hi=hi)
         return np.asarray(out, dtype=np.float32)
 
     def _apply_kv_op(self, msg: dict) -> None:
@@ -194,7 +198,9 @@ class TcpRingWorker:
                 pos = np.asarray(msg["positions"], np.int32)
                 if pos.ndim == 1:
                     pos = pos[None]
-                metas[g] = (pos, np.asarray(msg["cache_pos"], np.int32))
+                rd = np.asarray(msg.get("rope_delta",
+                                        [0] * pos.shape[0]), np.int32)
+                metas[g] = (pos, np.asarray(msg["cache_pos"], np.int32), rd)
                 if (node.rank + 1) % node.world != 0:
                     node.send_next(msg)
                 continue
@@ -202,8 +208,9 @@ class TcpRingWorker:
             g = int(msg.get("group", 0))
             c = int(msg["cycle"])
             x = recv_act(node.recv_sock)
-            positions, cache_pos = metas[g]
-            x = self._compute_window(g, c, x, positions, cache_pos)
+            positions, cache_pos, rope_delta = metas[g]
+            x = self._compute_window(g, c, x, positions, cache_pos,
+                                     rope_delta)
             last = (self.ctx.rank == self.ctx.world - 1
                     and c == self.ctx.plan.k - 1)
             # ring hop — the master shortcut IS the ring hop for the
@@ -265,14 +272,20 @@ class _MasterCore:
         cfg_, opts_ = cfg, opts
 
         @functools.partial(jax.jit, static_argnames=("lo", "hi"))
-        def first_window(params, kv, tokens, positions, cache_pos, lo, hi):
-            return forward(params, cfg_, tokens, positions, kv, cache_pos, opts_,
-                           layer_range=(lo, hi), return_hidden=True)
+        def first_window(params, kv, tokens, positions, rope_delta, cache_pos,
+                         lo, hi):
+            rpos = positions + rope_delta[:, None]
+            return forward(params, cfg_, tokens, rpos, kv, cache_pos, opts_,
+                           layer_range=(lo, hi), return_hidden=True,
+                           mask_positions=positions)
 
         @functools.partial(jax.jit, static_argnames=("lo", "hi"))
-        def mid_window(params, kv, x, positions, cache_pos, lo, hi):
-            return forward(params, cfg_, None, positions, kv, cache_pos, opts_,
-                           layer_range=(lo, hi), hidden_in=x, return_hidden=True)
+        def mid_window(params, kv, x, positions, rope_delta, cache_pos,
+                       lo, hi):
+            rpos = positions + rope_delta[:, None]
+            return forward(params, cfg_, None, rpos, kv, cache_pos, opts_,
+                           layer_range=(lo, hi), hidden_in=x,
+                           return_hidden=True, mask_positions=positions)
 
         @jax.jit
         def head_fn(params, x):
@@ -286,11 +299,12 @@ class _MasterCore:
         self._head = head_fn
 
     def _send_meta(self, g: int, positions: np.ndarray,
-                   cache_pos: np.ndarray) -> None:
+                   cache_pos: np.ndarray, rope_delta: np.ndarray) -> None:
         self.ctx.node.send_next({
             "tag": "meta", "group": g,
             "positions": positions.tolist(),
             "cache_pos": cache_pos.tolist(),
+            "rope_delta": rope_delta.tolist(),
         })
 
     def ring_pass(self, groups: list[tuple[int, np.ndarray, np.ndarray, np.ndarray]],
@@ -308,9 +322,13 @@ class _MasterCore:
         node = self.ctx.node
         k = self.ctx.plan.k
         hidden: dict[int, np.ndarray] = {}
+        # accept 4-tuples (no Self-Extend: zero rope offsets) or 5-tuples
+        groups = [gr if len(gr) == 5
+                  else gr + (np.zeros(gr[1].shape[0], np.int32),)
+                  for gr in groups]
         if self.ctx.world == 1:
             # degenerate single-process ring: master owns every window
-            for g, tokens, positions, cache_pos in groups:
+            for g, tokens, positions, cache_pos, rope_delta in groups:
                 x = None
                 for c in range(k):
                     lo, hi = self.ranges[c]
@@ -318,25 +336,27 @@ class _MasterCore:
                         x, self.kvc[g].caches = self._first(
                             self.params, self.kvc[g].caches,
                             jnp.asarray(tokens), jnp.asarray(positions),
+                            jnp.asarray(rope_delta),
                             jnp.asarray(cache_pos), lo=lo, hi=hi)
                     else:
                         x, self.kvc[g].caches = self._mid(
                             self.params, self.kvc[g].caches,
                             jnp.asarray(x, self.opts.dtype),
-                            jnp.asarray(positions), jnp.asarray(cache_pos),
-                            lo=lo, hi=hi)
+                            jnp.asarray(positions), jnp.asarray(rope_delta),
+                            jnp.asarray(cache_pos), lo=lo, hi=hi)
                 hidden[g] = np.asarray(x, np.float32)
             return hidden
 
-        meta = {g: (tokens, positions, cache_pos)
-                for g, tokens, positions, cache_pos in groups}
+        meta = {g: (positions, cache_pos, rope_delta)
+                for g, _, positions, cache_pos, rope_delta in groups}
         pending: collections.deque = collections.deque()
-        for g, tokens, positions, cache_pos in groups:
-            self._send_meta(g, positions, cache_pos)
+        for g, tokens, positions, cache_pos, rope_delta in groups:
+            self._send_meta(g, positions, cache_pos, rope_delta)
             lo, hi = self.ranges[0]
             x, self.kvc[g].caches = self._first(
                 self.params, self.kvc[g].caches, jnp.asarray(tokens),
-                jnp.asarray(positions), jnp.asarray(cache_pos), lo=lo, hi=hi)
+                jnp.asarray(positions), jnp.asarray(rope_delta),
+                jnp.asarray(cache_pos), lo=lo, hi=hi)
             node.send_next({"tag": "act", "cycle": 0, "group": g})
             send_act(node.send_sock, np.asarray(x, np.float32))
             pending.append((g, 0))
@@ -349,12 +369,13 @@ class _MasterCore:
                 (hdr, g, c)
             x = recv_act(node.recv_sock)
             if c + 1 < k:
-                _, positions, cache_pos = meta[g]
+                positions, cache_pos, rope_delta = meta[g]
                 lo, hi = self.ranges[c + 1]
                 xj, self.kvc[g].caches = self._mid(
                     self.params, self.kvc[g].caches,
                     jnp.asarray(x, self.opts.dtype), jnp.asarray(positions),
-                    jnp.asarray(cache_pos), lo=lo, hi=hi)
+                    jnp.asarray(rope_delta), jnp.asarray(cache_pos),
+                    lo=lo, hi=hi)
                 node.send_next({"tag": "act", "cycle": c + 1, "group": g})
                 send_act(node.send_sock, np.asarray(xj, np.float32))
                 pending.append((g, c + 1))
@@ -383,6 +404,14 @@ class _MasterCore:
     def kv_seq_cp(self, g: int, dst: int, src: int) -> None:
         self._bcast_kv({"op": "seq_cp", "group": g, "dst": dst, "src": src})
         self.kvc[g].seq_cp(dst, src)
+
+    def kv_rope_shift(self, g: int, slot: int, delta: np.ndarray) -> None:
+        """Self-Extend compression: re-rotate the slot's cached K by the
+        per-cell delta on every rank (the reference broadcasts the
+        seq_add/seq_div ops ring-wide, main.cpp:603-606)."""
+        self._bcast_kv({"op": "rope_shift", "group": g, "slot": slot,
+                        "delta": delta.tolist()})
+        self.kvc[g].rope_shift(slot, delta)
 
     def kv_context_shift(self, g: int, slot: int, n_keep: int,
                          n_discard: int, used: int) -> None:
@@ -438,7 +467,7 @@ class TcpRingEngine:
                  max_seq: int = 2048, n_batch: int = 64,
                  opts: ForwardOptions | None = None, kv_dtype=None,
                  eog_ids: set[int] | None = None, ctx_shift: bool = False,
-                 n_keep: int = 0):
+                 n_keep: int = 0, grp_attn_n: int = 1, grp_attn_w: int = 512):
         from ..runtime.engine import SlotState
 
         if n_groups is None:
@@ -457,6 +486,13 @@ class TcpRingEngine:
         self.eog_ids = eog_ids or set()
         self.ctx_shift = ctx_shift
         self.n_keep = n_keep
+        assert grp_attn_n >= 1
+        assert grp_attn_n == 1 or grp_attn_w % grp_attn_n == 0, \
+            "grp_attn_w must be a multiple of grp_attn_n (main.cpp:221)"
+        assert not (ctx_shift and grp_attn_n > 1), \
+            "context-shift and Self-Extend are mutually exclusive"
+        self.grp_attn_n = grp_attn_n
+        self.grp_attn_w = grp_attn_w
         from ..parallel.engine import DSlot
 
         self.slots = [DSlot(g, b, self.Bg)
@@ -535,11 +571,37 @@ class TcpRingEngine:
         slot.stop_reason = None
         slot.n_probs = n_probs
         slot.shifts = []
+        slot.ga_i = 0
+        slot.pos_delta = 0
+        slot.pos_map = None
         for t in prompt_tokens:
             slot.sampler.accept(t, accept_grammar=False)
         if slot.n_prompt_done >= len(slot.prompt) - 1:
             slot.state = self._SlotState.DECODE
         return slot
+
+    # -- Self-Extend grouped attention (main.cpp:618-640, ring-replicated) ----
+
+    def _apply_self_extend(self, slot) -> None:
+        from ..runtime.engine import apply_self_extend
+
+        kvc = self.core.kvc[slot.m]
+        apply_self_extend(slot, int(kvc.cache_pos[slot.b]), self.max_seq,
+                          self.grp_attn_n, self.grp_attn_w,
+                          lambda d: self.core.kv_rope_shift(slot.m, slot.b, d))
+
+    def _record_positions(self, slot, pos0: int, n: int) -> None:
+        if self.grp_attn_n > 1:
+            from ..runtime.engine import record_positions
+
+            record_positions(slot, pos0, n, self.max_seq)
+
+    def _rope_delta_row(self, g: int, pool) -> np.ndarray:
+        d = np.zeros(self.Bg, np.int32)
+        for s in pool:
+            if s.m == g:
+                d[s.b] = s.pos_delta
+        return d
 
     def cancel(self, request_id: Any) -> bool:
         for s in self.slots:
@@ -560,6 +622,9 @@ class TcpRingEngine:
         prefill = [s for s in pool if s.state == SlotState.PREFILL]
         if not prefill:
             return False
+        if self.grp_attn_n > 1:
+            for s in prefill:
+                self._apply_self_extend(s)
         chunk_len = min(self.n_batch,
                         max(len(s.prompt) - 1 - s.n_prompt_done
                             for s in prefill))
@@ -581,11 +646,14 @@ class TcpRingEngine:
                                      len(s.prompt) - 1)]
                 tokens[s.b, : len(chunk)] = chunk
                 took[(s.m, s.b)] = len(chunk)
-            groups.append((g, tokens, positions, kvc.cache_pos.copy()))
+            groups.append((g, tokens, positions, kvc.cache_pos.copy(),
+                           self._rope_delta_row(g, prefill)))
         self.core.ring_pass(groups)
         self.n_decode_calls += 1
         for s in prefill:
             n = took[(s.m, s.b)]
+            self._record_positions(s, int(self.core.kvc[s.m].cache_pos[s.b]),
+                                   n)
             self.core.kvc[s.m].cache_pos[s.b] += n
             s.n_prompt_done += n
             self.perf["n_prompt"] += n
@@ -617,6 +685,12 @@ class TcpRingEngine:
                                                n_discard, used)
                     s.shifts.append((self.n_keep, n_discard))
 
+        if self.grp_attn_n > 1:
+            for s in active:
+                self._apply_self_extend(s)
+                self._record_positions(
+                    s, int(self.core.kvc[s.m].cache_pos[s.b]), 1)
+
         t0 = _time.perf_counter()
         groups = []
         active_g = sorted({s.m for s in active})
@@ -628,7 +702,8 @@ class TcpRingEngine:
                     tokens[s.b, 0] = (s.generated[-1] if s.generated
                                       else s.prompt[-1])
             positions = kvc.cache_pos[:, None].copy()
-            groups.append((g, tokens, positions, kvc.cache_pos.copy()))
+            groups.append((g, tokens, positions, kvc.cache_pos.copy(),
+                           self._rope_delta_row(g, active)))
         hidden = self.core.ring_pass(groups)
         self.n_decode_calls += 1
         logits = {g: np.asarray(self.core.head(h), np.float32)

@@ -54,6 +54,48 @@ class SlotState(Enum):
     DECODE = 2
 
 
+def apply_self_extend(slot, used: int, max_seq: int, ga_n: int, ga_w: int,
+                      rope_shift) -> None:
+    """Self-Extend grouped-attention compression (main.cpp:618-640), shared
+    by every engine/KV backend: once the logical position passes
+    ga_i + ga_w, compress the window's rope positions by ga_n. Cells never
+    move (causality-by-index holds); `rope_shift(delta)` re-rotates the
+    slot's cached K by the per-cell position delta, and future tokens carry
+    slot.pos_delta as a negative logical-position offset. Mutates
+    slot.{pos_map, ga_i, pos_delta} (the reference's seq_add / seq_div /
+    seq_add triple, composed in logical-position space over live cells)."""
+    if ga_n <= 1:
+        return
+    if slot.pos_map is None:
+        slot.pos_map = np.arange(max_seq, dtype=np.int64)
+    n_past = used + slot.pos_delta  # logical
+    while n_past >= slot.ga_i + ga_w:
+        ib = (ga_n * slot.ga_i) // ga_w
+        bd = (ga_w // ga_n) * (ga_n - 1)
+        dd = (ga_w // ga_n) - ib * bd - ga_w
+        L = slot.pos_map
+        base = slot.ga_i + ib * bd
+        L1 = np.where((L >= slot.ga_i) & (L < n_past), L + ib * bd, L)
+        L2 = np.where((L1 >= base) & (L1 < base + ga_w), L1 // ga_n, L1)
+        L3 = np.where((L2 >= base + ga_w) & (L2 < n_past + ib * bd),
+                      L2 + dd, L2)
+        live = np.arange(max_seq) < used
+        L3 = np.where(live, L3, L)
+        rope_shift((L3 - L).astype(np.int32))
+        slot.pos_map = L3
+        n_past -= bd
+        slot.ga_i += ga_w // ga_n
+    slot.pos_delta = n_past - used
+
+
+def record_positions(slot, pos0: int, n: int, max_seq: int) -> None:
+    """Track the logical position of newly written cells (Self-Extend)."""
+    if slot.pos_map is None:
+        slot.pos_map = np.arange(max_seq, dtype=np.int64)
+    slot.pos_map[pos0:pos0 + n] = (
+        pos0 + slot.pos_delta + np.arange(n, dtype=np.int64))
+
+
 @dataclass
 class Slot:
     id: int
@@ -266,35 +308,9 @@ class Engine:
     # -- the decode loop --------------------------------------------------------
 
     def _apply_self_extend(self, slot: Slot) -> None:
-        """Self-Extend grouped attention (main.cpp:618-640): once the logical
-        position passes ga_i + ga_w, compress the window's positions by ga_n.
-        Cells never move (causality-by-index holds); cached K is re-rotated
-        to the compressed positions and future tokens carry a negative
-        logical-position offset (slot.pos_delta)."""
-        ga_n, ga_w = self.grp_attn_n, self.grp_attn_w
-        if ga_n <= 1:
-            return
-        used = self.kv.used(slot.id)
-        n_past = used + slot.pos_delta  # logical
-        while n_past >= slot.ga_i + ga_w:
-            ib = (ga_n * slot.ga_i) // ga_w
-            bd = (ga_w // ga_n) * (ga_n - 1)
-            dd = (ga_w // ga_n) - ib * bd - ga_w
-            L = slot.pos_map
-            base = slot.ga_i + ib * bd
-            # the reference's seq_add / seq_div / seq_add triple, composed
-            # in logical-position space over the live cells
-            L1 = np.where((L >= slot.ga_i) & (L < n_past), L + ib * bd, L)
-            L2 = np.where((L1 >= base) & (L1 < base + ga_w), L1 // ga_n, L1)
-            L3 = np.where((L2 >= base + ga_w) & (L2 < n_past + ib * bd),
-                          L2 + dd, L2)
-            live = np.arange(self.kv.max_seq) < used
-            L3 = np.where(live, L3, L)
-            self.kv.rope_shift(slot.id, (L3 - L).astype(np.int32))
-            slot.pos_map = L3
-            n_past -= bd
-            slot.ga_i += ga_w // ga_n
-        slot.pos_delta = n_past - used
+        apply_self_extend(slot, self.kv.used(slot.id), self.kv.max_seq,
+                          self.grp_attn_n, self.grp_attn_w,
+                          lambda d: self.kv.rope_shift(slot.id, d))
 
     def _record_positions(self, slot: Slot, pos0: int, n: int) -> None:
         """Track the logical position of newly written cells (Self-Extend)."""

@@ -279,7 +279,11 @@ def _ring_main(args) -> int:
     engine = TcpRingEngine(ctx, cfg, params, n_slots=n_slots,
                            n_groups=n_groups, max_seq=args.ctx_size,
                            n_batch=args.batch_size, opts=opts,
-                           eog_ids=model.eog_ids)
+                           eog_ids=model.eog_ids,
+                           ctx_shift=(not args.no_context_shift
+                                      and args.grp_attn_n == 1),
+                           n_keep=args.keep, grp_attn_n=args.grp_attn_n,
+                           grp_attn_w=args.grp_attn_w)
     httpd, _ctx = serve(model, engine, args.host, args.port, args.alias)
     print(f"listening on http://{args.host}:{args.port} "
           f"(ring world={args.world})", file=sys.stderr)

@@ -39,6 +39,8 @@ def main(argv=None) -> int:
     ap.add_argument("--matmul", default="xla", choices=["xla", "pallas"])
     ap.add_argument("--prompts-json", default=None,
                     help="rank 0: JSON list of token-id lists")
+    ap.add_argument("-gan", "--grp-attn-n", type=int, default=1)
+    ap.add_argument("-gaw", "--grp-attn-w", type=int, default=512)
     ap.add_argument("--ctx-shift", action="store_true",
                     help="context-shift on full context (ring-replicated)")
     ap.add_argument("--n-keep", type=int, default=0)
@@ -98,7 +100,9 @@ def main(argv=None) -> int:
     eng = TcpRingEngine(ctx, cfg, params, n_slots=args.slots,
                         n_groups=n_groups, max_seq=args.ctx_size,
                         n_batch=16, opts=opts, eog_ids=eog,
-                        ctx_shift=args.ctx_shift, n_keep=args.n_keep)
+                        ctx_shift=args.ctx_shift, n_keep=args.n_keep,
+                        grp_attn_n=args.grp_attn_n,
+                        grp_attn_w=args.grp_attn_w)
     prompts = json.loads(args.prompts_json or "[[1,2,3]]")
     slots = []
     if args.stagger:

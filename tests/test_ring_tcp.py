@@ -211,3 +211,59 @@ def test_rebuild_topo_dead_worker(tiny):
     ref, err = single.communicate(timeout=420)
     assert single.returncode == 0, err[-2000:]
     assert out0.strip() == ref.strip()
+
+
+def test_ring_self_extend_matches_single_chip(tiny):
+    """Self-Extend over the ring: rope compression replicates via the
+    rope_shift kv op (the reference broadcasts the seq_add/seq_div triple,
+    main.cpp:603-640). The in-process (world=1, windowed-forward) ring
+    engine matches the single-chip Self-Extend engine token-for-token in
+    f32; a real 2-process ring run exercises the wire protocol (rope_delta
+    meta + ring-replicated rope_shift) past the compression point."""
+    import json as _json
+
+    import jax.numpy as jnp
+
+    from prima_tpu.models.llama import ForwardOptions
+    from prima_tpu.models.loader import load_model
+    from prima_tpu.parallel.ring_host import RingPlan
+    from prima_tpu.parallel.ring_tcp import RingContext, TcpRingEngine
+    from prima_tpu.runtime.engine import Engine, SlotState
+
+    opts = ForwardOptions(matmul_impl="xla", dtype=jnp.float32,
+                          logits_dtype=jnp.float32)
+    prompt = [3, 17, 42, 7, 99, 5]
+    model = load_model(tiny)
+    eng = Engine(model.cfg, model.params, n_slots=1, max_seq=64, n_batch=16,
+                 opts=opts, kv_dtype=jnp.float32, grp_attn_n=2, grp_attn_w=8)
+    want = eng.run_to_completion(prompt, n_predict=16)
+    assert eng.slots[0].pos_delta < 0  # compression actually triggered
+
+    ctx = RingContext(node=None, plan=RingPlan(windows=[4], k=1),
+                      rank=0, world=1)
+    reng = TcpRingEngine(ctx, model.cfg, model.params, n_slots=1,
+                         n_groups=1, max_seq=64, n_batch=16, opts=opts,
+                         kv_dtype=jnp.float32, grp_attn_n=2, grp_attn_w=8)
+    slot = reng.submit(prompt, n_predict=16)
+    while slot.state != SlotState.IDLE:
+        reng.step()
+    assert list(slot.generated) == want
+    assert slot.pos_delta == eng.slots[0].pos_delta
+
+    # 2-process wire-protocol half (activations cross the wire in bf16, so
+    # post-compression tokens are compared structurally, not exactly)
+    port = _free_port() + 400
+    common = ["-m", tiny, "-w", "2", "--data-port", str(port),
+              "-lw", "2,2", "-k", "1", "--slots", "1", "-c", "64",
+              "-n", "16", "-gan", "2", "-gaw", "8"]
+    p0 = _run_serve(common + ["--rank", "0",
+                              "--prompts-json", "[[3, 17, 42, 7, 99, 5]]"])
+    p1 = _run_serve(common + ["--rank", "1"])
+    out0, err0 = p0.communicate(timeout=420)
+    out1, err1 = p1.communicate(timeout=60)
+    assert p0.returncode == 0, err0[-3000:]
+    assert p1.returncode == 0, err1[-3000:]
+    got = _json.loads(out0.strip().splitlines()[-1])[0]
+    assert len(got) == 16
+    # pre-compression prefix is insensitive to the wire dtype
+    assert got[:3] == want[:3]
