@@ -260,10 +260,15 @@ def _ring_main(args) -> int:
     params = load_params(m, cfg, layer_filter=lambda i: i in owned,
                          with_embedding=args.rank == 0,
                          with_output=args.rank == 0)
+    # quantized cache type applies on EVERY rank (the reference's -ctk is a
+    # per-device context param; windows must agree on the storage format)
+    kv_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16,
+                "q8_0": "q8_0", "q4_0": "q4_0"}[args.cache_type]
 
     if args.rank != 0:
         worker = TcpRingWorker(ctx, cfg, params, max_seq=args.ctx_size,
-                               opts=opts, n_slots=n_slots, n_groups=n_groups)
+                               opts=opts, n_slots=n_slots, n_groups=n_groups,
+                               kv_dtype=kv_dtype)
         print(f"rank {args.rank}: serving ring windows {sorted(owned)}",
               file=sys.stderr)
         worker.serve()
@@ -279,7 +284,7 @@ def _ring_main(args) -> int:
     engine = TcpRingEngine(ctx, cfg, params, n_slots=n_slots,
                            n_groups=n_groups, max_seq=args.ctx_size,
                            n_batch=args.batch_size, opts=opts,
-                           eog_ids=model.eog_ids,
+                           eog_ids=model.eog_ids, kv_dtype=kv_dtype,
                            ctx_shift=(not args.no_context_shift
                                       and args.grp_attn_n == 1),
                            n_keep=args.keep, grp_attn_n=args.grp_attn_n,

@@ -267,3 +267,34 @@ def test_ring_self_extend_matches_single_chip(tiny):
     assert len(got) == 16
     # pre-compression prefix is insensitive to the wire dtype
     assert got[:3] == want[:3]
+
+
+@pytest.mark.parametrize("ctk", ["q8_0", "q4_0"])
+def test_ring_quantized_kv(tiny, ctk):
+    """Quantized KV on the ring path (-ctk q8_0/q4_0 on every rank):
+    decode + Self-Extend rope compression over KVQ caches matches the
+    single-chip engine with the same cache type (f32 activations)."""
+    import jax.numpy as jnp
+
+    from prima_tpu.models.llama import ForwardOptions
+    from prima_tpu.models.loader import load_model
+    from prima_tpu.parallel.ring_host import RingPlan
+    from prima_tpu.parallel.ring_tcp import RingContext, TcpRingEngine
+    from prima_tpu.runtime.engine import Engine, SlotState
+
+    opts = ForwardOptions(matmul_impl="xla", dtype=jnp.float32,
+                          logits_dtype=jnp.float32)
+    prompt = [3, 17, 42, 7, 99, 5]
+    model = load_model(tiny)
+    want = Engine(model.cfg, model.params, n_slots=1, max_seq=64,
+                  n_batch=16, opts=opts, kv_dtype=ctk, grp_attn_n=2,
+                  grp_attn_w=8).run_to_completion(prompt, n_predict=12)
+    ctx = RingContext(node=None, plan=RingPlan(windows=[4], k=1),
+                      rank=0, world=1)
+    eng = TcpRingEngine(ctx, model.cfg, model.params, n_slots=1, n_groups=1,
+                        max_seq=64, n_batch=16, opts=opts, kv_dtype=ctk,
+                        grp_attn_n=2, grp_attn_w=8)
+    slot = eng.submit(prompt, n_predict=12)
+    while slot.state != SlotState.IDLE:
+        eng.step()
+    assert list(slot.generated) == want
