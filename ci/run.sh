@@ -58,6 +58,16 @@ JAX_PLATFORMS=cpu PRIMA_PALLAS_INTERPRET=1 python -m prima_tpu.tools.cli \
     -p "Hello" -n 6 --temp 0 --no-display-prompt
 wait $WORKER
 
+echo "== e2e smoke: ring engine features (quantized KV + Self-Extend) =="
+PORT=$(( (RANDOM % 2000) + 22000 ))
+JAX_PLATFORMS=cpu PRIMA_PALLAS_INTERPRET=1 python -m prima_tpu.tools.cli \
+    -m "$TMP/tiny.gguf" -c 64 --matmul xla -w 2 -lw "1,1" --rank 1 --data-port "$PORT" -ctk q8_0 &
+WORKER=$!
+JAX_PLATFORMS=cpu PRIMA_PALLAS_INTERPRET=1 python -m prima_tpu.tools.cli \
+    -m "$TMP/tiny.gguf" -c 64 --matmul xla -w 2 -lw "1,1" --rank 0 --data-port "$PORT" \
+    -p "Hello" -n 6 --temp 0 --no-display-prompt -ctk q8_0 -gan 2 -gaw 8
+wait $WORKER
+
 echo "== driver entry points =="
 python __graft_entry__.py
 

@@ -17,8 +17,6 @@ from __future__ import annotations
 
 import sys
 
-import numpy as np
-
 
 def parse_lw(s: str | None) -> list[int] | None:
     if not s:
@@ -34,7 +32,8 @@ def run_distributed(args, prompt: str) -> int:
     from ..models.llama import ForwardOptions, load_params
     from ..parallel.bootstrap import RingConfig, RingNode, bootstrap
     from ..parallel.ring_host import RingPlan
-    from ..parallel.ring_tcp import RingContext, TcpRingMaster, TcpRingWorker, relay_loop
+    from ..models.config import apply_rope_overrides
+    from ..parallel.ring_tcp import RingContext, TcpRingEngine, TcpRingWorker, relay_loop
     from ..profiler.device import profile_device
     from ..profiler.model_cost import model_cost_from_gguf
     from ..tokenizer import Tokenizer
@@ -58,6 +57,17 @@ def run_distributed(args, prompt: str) -> int:
 
     m = GGUFModel.open(args.model)
     cfg = ModelConfig.from_gguf(m)
+    # rope overrides must apply identically on EVERY rank (each rank ropes
+    # its own windows)
+    apply_rope_overrides(
+        cfg, rope_scaling=getattr(args, "rope_scaling", None),
+        rope_freq_base=getattr(args, "rope_freq_base", 0.0),
+        rope_freq_scale=getattr(args, "rope_freq_scale", 0.0),
+        yarn_orig_ctx=getattr(args, "yarn_orig_ctx", 0),
+        yarn_ext_factor=getattr(args, "yarn_ext_factor", -1.0),
+        yarn_attn_factor=getattr(args, "yarn_attn_factor", -1.0),
+        yarn_beta_fast=getattr(args, "yarn_beta_fast", -1.0),
+        yarn_beta_slow=getattr(args, "yarn_beta_slow", -1.0))
     cost = model_cost_from_gguf(m)
     manual_w = parse_lw(getattr(args, "n_layer_window", None))
     if manual_w is not None and len(manual_w) != args.world:
@@ -100,49 +110,57 @@ def run_distributed(args, prompt: str) -> int:
     params = load_params(m, cfg, layer_filter=lambda i: i in owned,
                          with_embedding=res.rank == 0, with_output=res.rank == 0)
 
+    kv_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16,
+                "q8_0": "q8_0", "q4_0": "q4_0"}[
+                    getattr(args, "cache_type", "bf16")]
     if res.rank != 0:
-        worker = TcpRingWorker(ctx, cfg, params, max_seq=args.ctx_size, opts=opts)
+        worker = TcpRingWorker(ctx, cfg, params, max_seq=args.ctx_size,
+                               opts=opts, kv_dtype=kv_dtype)
         worker.serve()
         node.close()
         return 0
 
-    # master: tokenize, prefill, decode, stream
-    from .cli import make_sampler
+    # master: tokenize, then drive the full ring engine (sampler chain,
+    # context shift, Self-Extend — the reference CLI's feature set)
     from ..models.loader import LoadedModel
+    from ..runtime.engine import SlotState
+    from .cli import make_sampler
 
     tok = Tokenizer.from_gguf(m)
     model = LoadedModel(cfg, params, tok, m)
     sampler = make_sampler(args, model, tok.vocab.n_tokens)
-    master = TcpRingMaster(ctx, cfg, params, max_seq=args.ctx_size, opts=opts)
+    ga_n = getattr(args, "grp_attn_n", 1)
+    # the engine reserves n_batch cells of decode headroom (its padded
+    # prefill buckets must never clamp); keep the default usable with
+    # small -c values
+    n_batch = max(1, min(args.batch_size, args.ctx_size // 4))
+    eng = TcpRingEngine(
+        ctx, cfg, params, n_slots=1, n_groups=1, max_seq=args.ctx_size,
+        n_batch=n_batch, opts=opts, eog_ids=model.eog_ids,
+        kv_dtype=kv_dtype,
+        ctx_shift=(not getattr(args, "no_context_shift", False)
+                   and ga_n == 1),
+        n_keep=getattr(args, "n_keep", 0),
+        grp_attn_n=ga_n, grp_attn_w=getattr(args, "grp_attn_w", 512))
 
     toks = tok.encode(prompt, add_special=True, parse_special=True)
     if not args.no_display_prompt:
         sys.stdout.write(prompt)
-    # prefill in n_batch chunks (all but the last token)
-    pos = 0
-    while pos < len(toks) - 1:
-        chunk = toks[pos : min(pos + args.batch_size, len(toks) - 1)]
-        p = np.arange(pos, pos + len(chunk), dtype=np.int32)[None]
-        master.decode(np.asarray([chunk], np.int32), p)
-        pos += len(chunk)
-
-    cur = toks[-1]
     n_predict = args.n_predict if args.n_predict >= 0 else 128
+    slot = eng.submit(toks, sampler=sampler, n_predict=n_predict)
     buf = b""
-    for _ in range(n_predict):
-        p = np.asarray([[int(master.cache_pos[0])]], np.int32)
-        logits = master.decode(np.asarray([[cur]], np.int32), p)
-        cur = sampler.sample_and_accept(logits[0])
-        if cur in model.eog_ids:
-            break
-        buf += tok.decode_token_bytes(cur)
-        try:
-            sys.stdout.write(buf.decode("utf-8"))
-            sys.stdout.flush()
-            buf = b""
-        except UnicodeDecodeError:
-            pass
+    while slot.state != SlotState.IDLE:
+        for ev in eng.step():
+            if ev.done and ev.reason == "eog":
+                continue
+            buf += tok.decode_token_bytes(ev.token)
+            try:
+                sys.stdout.write(buf.decode("utf-8"))
+                sys.stdout.flush()
+                buf = b""
+            except UnicodeDecodeError:
+                pass
     sys.stdout.write("\n")
-    master.stop()
+    ctx.node.send_stop()
     node.close()
     return 0
