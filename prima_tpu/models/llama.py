@@ -137,6 +137,29 @@ def _stack_expert_rows(qt, n_expert: int):
     return qt.reshape((n_expert, qt.shape[0] // n_expert) + qt.shape[1:])
 
 
+def _fuse_tensor_rows(tis: Sequence[TensorInfo]):
+    """Concatenate GGUF tensors along output rows at the RAW quant-block
+    level (quant blocks slice/stack cleanly by row). Returns one QTensor,
+    or None when the tensors can't fuse (type mismatch, unsupported, or
+    non-quantized) — callers fall back to separate tensors."""
+    from ..quant.dequant_jax import qtensor_from_raw
+
+    t0 = tis[0].ggml_type
+    k = tis[0].ne[0]
+    if not all(ti.ggml_type == t0 and ti.ne[0] == k for ti in tis):
+        return None
+    if not (TYPE_TRAITS[t0].is_quantized and t0 in SUPPORTED_TYPES):
+        return None
+    rows = [ti.n_elements // k for ti in tis]
+    raw = np.ascontiguousarray(np.concatenate(
+        [np.asarray(ti.data).reshape(r, -1) for ti, r in zip(tis, rows)]))
+    qt = qtensor_from_raw(raw, t0, (sum(rows), k))
+    if qt is None:
+        uq = to_device_format(raw, t0, k)
+        qt = QTensor.from_host(uq)
+    return qt
+
+
 def load_params(
     m: GGUFModel,
     cfg: ModelConfig,
@@ -144,6 +167,7 @@ def load_params(
     layer_filter: Callable[[int], bool] | None = None,
     with_embedding: bool = True,
     with_output: bool = True,
+    fuse: bool = False,
 ) -> dict:
     """Build the params pytree from a GGUF model.
 
@@ -151,6 +175,13 @@ def load_params(
     of this_layer_is_mine, src/llama.cpp:3838 — unowned layers are None).
     Per-arch tensor tables mirror llm_load_llama_tensors (src/llama.cpp:7356),
     llm_load_qwen2_tensors (@7475), and the gemma/gemma2/phi3 loaders.
+
+    fuse=True concatenates Q/K/V (and gate/up) into single wqkv / w_gateup
+    tensors at the raw quant-block level where the per-tensor quant types
+    match: one fused kernel launch streams all three weights, the decode
+    step's launch count drops from 7 to 4 GEMVs per layer. Mixed-type
+    layers (e.g. Q4_K_M's Q6_K attn_v) keep separate tensors — numerics
+    are identical either way.
     """
     t = m.tensors
 
@@ -209,9 +240,14 @@ def load_params(
             layer["wq"], layer["wk"], layer["wv"] = _split_tensor_rows(
                 ti, dtype, [0, nq, nq + nk, nq + 2 * nk])
         else:
-            layer["wq"] = get(p + "attn_q.weight")
-            layer["wk"] = get(p + "attn_k.weight")
-            layer["wv"] = get(p + "attn_v.weight")
+            if fuse and not (cfg.n_heads_arr or cfg.n_kv_heads_arr):
+                layer["wqkv"] = _fuse_tensor_rows(
+                    [t[p + "attn_q.weight"], t[p + "attn_k.weight"],
+                     t[p + "attn_v.weight"]])
+            if layer.get("wqkv") is None:
+                layer["wq"] = get(p + "attn_q.weight")
+                layer["wk"] = get(p + "attn_k.weight")
+                layer["wv"] = get(p + "attn_v.weight")
         if cfg.n_expert and (p + "ffn_gate_inp.weight") in t:
             # MoE (Mixtral): router + stacked expert tensors
             layer["ffn_gate_inp"] = get(p + "ffn_gate_inp.weight", dense=True)
@@ -245,8 +281,16 @@ def load_params(
                 ti, dtype, [0, cfg.n_ff, 2 * cfg.n_ff])
             layer["w_down"] = get(p + "ffn_down.weight")
         else:
-            layer["w_gate"] = get(p + "ffn_gate.weight")
-            layer["w_up"] = get(p + "ffn_up.weight")
+            # the fused-FFN kernel path applies no per-tensor biases/scales
+            # (jais b_gate/b_up, bitnet *.scale) — only fuse in their absence
+            if fuse and not any(
+                    (p + n) in t for n in ("ffn_gate.bias", "ffn_up.bias",
+                                           "ffn_gate.scale", "ffn_up.scale")):
+                layer["w_gateup"] = _fuse_tensor_rows(
+                    [t[p + "ffn_gate.weight"], t[p + "ffn_up.weight"]])
+            if layer.get("w_gateup") is None:
+                layer["w_gate"] = get(p + "ffn_gate.weight")
+                layer["w_up"] = get(p + "ffn_up.weight")
             layer["w_down"] = get(p + "ffn_down.weight")
         if cfg.post_norms:  # gemma2 / grok (different tensor names)
             layer["attn_post_norm"] = get(p + "post_attention_norm.weight",

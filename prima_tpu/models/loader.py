@@ -37,10 +37,12 @@ def load_model(
     layer_filter: Callable[[int], bool] | None = None,
     with_embedding: bool = True,
     with_output: bool = True,
+    fuse: bool = False,
 ) -> LoadedModel:
     m = GGUFModel.open(path)
     cfg = ModelConfig.from_gguf(m)
     params = load_params(m, cfg, dtype=dtype, layer_filter=layer_filter,
-                         with_embedding=with_embedding, with_output=with_output)
+                         with_embedding=with_embedding, with_output=with_output,
+                         fuse=fuse)
     tok = Tokenizer.from_gguf(m)
     return LoadedModel(cfg, params, tok, m)

@@ -20,6 +20,9 @@ def main(argv=None) -> int:
                     help="number of server slots")
     ap.add_argument("-b", "--batch-size", type=int, default=256)
     ap.add_argument("--matmul", default="pallas", choices=["pallas", "xla"])
+    ap.add_argument("--fuse", action="store_true",
+                    help="fuse Q/K/V and gate/up weights at load where quant "
+                         "types match (fewer GEMV launches per layer)")
     ap.add_argument("-ctk", "--cache-type-k", default="bf16",
                     choices=["f32", "bf16", "q8_0", "q4_0"], dest="cache_type")
     ap.add_argument("--alias", default="prima-tpu")
@@ -163,7 +166,9 @@ def main(argv=None) -> int:
             ctx_shift=ctx_shift, n_keep=args.keep,
             grp_attn_n=args.grp_attn_n, grp_attn_w=args.grp_attn_w)
     else:
-        model = load_model(args.model)
+        # LoRA adapters target the unfused tensor names — never fuse with one
+        model = load_model(args.model,
+                           fuse=args.fuse and not (args.lora or args.lora_scaled))
         rope_overrides(model.cfg)
         engine = Engine(model.cfg, model.params, n_slots=args.parallel,
                         max_seq=args.ctx_size, n_batch=args.batch_size,

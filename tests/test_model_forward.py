@@ -214,3 +214,32 @@ def test_forward_scan_matches_forward():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
     assert kv_out[0].shape[0] == cfg.n_layers
+
+
+@pytest.mark.parametrize("arch", ["llama", "qwen2"])
+def test_fused_load_matches_unfused(tmp_path, arch):
+    """load_params(fuse=True) concatenates Q/K/V and gate/up at the raw
+    quant-block level; logits must match the unfused load exactly (same
+    dequant, same math — only the launch count changes). qwen2 covers the
+    qkv-bias case (biases are applied after the fused split)."""
+    path = tmp_path / "tiny.gguf"
+    make_tiny_gguf(path, arch=arch)
+    m = GGUFModel.open(path)
+    cfg = ModelConfig.from_gguf(m)
+    params = load_params(m, cfg, dtype=jnp.float32)
+    fused = load_params(m, cfg, dtype=jnp.float32, fuse=True)
+    assert fused["layers"][0].get("wqkv") is not None
+    assert fused["layers"][0].get("w_gateup") is not None
+
+    b, s = 2, 5
+    rng = np.random.default_rng(3)
+    tokens = jnp.asarray(rng.integers(0, cfg.n_vocab, (b, s)).astype(np.int32))
+    positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+    zero = jnp.zeros(b, jnp.int32)
+
+    kv = init_kv_caches(cfg, b, 16, dtype=jnp.float32)
+    want, _ = forward(params, cfg, tokens, positions, kv, zero, F32_OPTS)
+    kv = init_kv_caches(cfg, b, 16, dtype=jnp.float32)
+    got, _ = forward(fused, cfg, tokens, positions, kv, zero, F32_OPTS)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
