@@ -264,7 +264,7 @@ def _ring_main(args) -> int:
     opts = ForwardOptions(matmul_impl=args.matmul)
     params = load_params(m, cfg, layer_filter=lambda i: i in owned,
                          with_embedding=args.rank == 0,
-                         with_output=args.rank == 0)
+                         with_output=args.rank == 0, fuse=args.fuse)
     # quantized cache type applies on EVERY rank (the reference's -ctk is a
     # per-device context param; windows must agree on the storage format)
     kv_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16,

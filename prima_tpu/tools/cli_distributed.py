@@ -108,7 +108,8 @@ def run_distributed(args, prompt: str) -> int:
 
     opts = ForwardOptions(matmul_impl=args.matmul)
     params = load_params(m, cfg, layer_filter=lambda i: i in owned,
-                         with_embedding=res.rank == 0, with_output=res.rank == 0)
+                         with_embedding=res.rank == 0, with_output=res.rank == 0,
+                         fuse=getattr(args, "fuse", False))
 
     kv_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16,
                 "q8_0": "q8_0", "q4_0": "q4_0"}[
