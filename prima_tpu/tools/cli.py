@@ -29,6 +29,13 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("-c", "--ctx-size", type=int, default=int(env("CTX_SIZE", 2048)))
     ap.add_argument("-b", "--batch-size", type=int, default=int(env("BATCH", 256)))
     ap.add_argument("-i", "--interactive", action="store_true")
+    ap.add_argument("-cnv", "--conversation", action="store_true",
+                    help="chat-template conversation mode (the reference's "
+                         "-cnv): each turn is rendered with the model's chat "
+                         "template; -p becomes the system prompt")
+    ap.add_argument("--chat-template", default=env("CHAT_TEMPLATE"),
+                    help="builtin template name or a jinja template string "
+                         "(default: the GGUF's tokenizer.chat_template)")
     ap.add_argument("-r", "--reverse-prompt", action="append", default=[])
     ap.add_argument("-e", "--escape", action="store_true",
                     help="process \\n, \\t, ... escapes in the prompt")
@@ -289,7 +296,7 @@ def main(argv=None) -> int:
                 print(f"session: restored {len(cached)} tokens from "
                       f"{args.prompt_cache}", file=sys.stderr)
 
-    if not args.interactive:
+    if not (args.interactive or args.conversation):
         toks = model.tokenizer.encode(prompt, add_special=True, parse_special=True)
         if not args.no_display_prompt:
             sys.stdout.write(prompt)
@@ -326,6 +333,37 @@ def main(argv=None) -> int:
                 print(f"session: saved to {args.prompt_cache}", file=sys.stderr)
         if args.verbose:
             print(eng.perf_summary(), file=sys.stderr)
+        return 0
+
+    if args.conversation:
+        # chat-template conversation mode (main.cpp:264-290 chat flow: the
+        # full conversation re-renders per turn; the engine's prefix reuse
+        # makes that an incremental KV append)
+        from ..server.chat import apply_chat_template
+
+        tmpl = args.chat_template or model.gguf.get("tokenizer.chat_template")
+        msgs = []
+        if prompt.strip():
+            msgs.append({"role": "system", "content": prompt})
+        print("== conversation mode: empty line or Ctrl-D to exit ==",
+              file=sys.stderr)
+        while True:
+            try:
+                line = input("> ")
+            except EOFError:
+                break
+            if not line.strip():
+                break
+            msgs.append({"role": "user", "content": line})
+            text = apply_chat_template(msgs, tmpl, v,
+                                       add_generation_prompt=True)
+            toks = model.tokenizer.encode(text, add_special=True,
+                                          parse_special=True)
+            sampler = make_sampler(args, model, v.n_tokens)
+            out = _stream_generate(eng, model, sampler, toks, args.n_predict,
+                                   args.reverse_prompt)
+            msgs.append({"role": "assistant", "content": out})
+            print()
         return 0
 
     # interactive chat loop

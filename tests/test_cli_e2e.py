@@ -100,3 +100,15 @@ def test_speculative_tool(tiny_model, capsys):
     cap = capsys.readouterr()
     assert "accept rate" in cap.err
     assert len(cap.out.strip()) > len("Hi")
+
+
+def test_cli_conversation_mode(tiny_model, monkeypatch):
+    """-cnv renders each turn with the chat template (main.cpp chat flow);
+    two turns must run through the engine's prefix-reuse path."""
+    turns = iter(["Hi there", "And again?", ""])
+    monkeypatch.setattr("builtins.input", lambda *_: next(turns))
+    out = _run_cli(["-m", tiny_model, "-n", "4", "--temp", "0",
+                    "--matmul", "xla", "-cnv", "-p", "You are helpful.",
+                    "--chat-template", "chatml"])
+    # two assistant replies were generated
+    assert len(out.strip()) > 0
