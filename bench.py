@@ -199,6 +199,7 @@ def main():
     if _os.environ.get("JAX_PLATFORMS") != "cpu":
         deadline = time.monotonic() + 600.0
         probe_ok = False
+        err = "TPU backend init unreachable for 10 min (tunnel down)"
         while time.monotonic() < deadline:
             try:
                 r = _sp.run(
@@ -208,17 +209,20 @@ def main():
                 if r.returncode == 0:
                     probe_ok = True
                     break
+                # a deterministic failure (broken install, bad auth) won't
+                # heal with retries — fail fast with the real error
+                err = ("TPU backend probe failed: "
+                       + r.stderr.decode(errors="replace").strip()[-300:])
+                break
             except _sp.TimeoutExpired:
-                pass
-            print("bench: TPU backend probe failed, retrying...",
-                  file=sys.stderr, flush=True)
-            time.sleep(15.0)
+                print("bench: TPU backend probe timed out, retrying...",
+                      file=sys.stderr, flush=True)
+                time.sleep(15.0)
         if not probe_ok:
             print(json.dumps({
                 "metric": "llama3_8b_q4k_decode_throughput", "value": 0.0,
-                "unit": "tok/s", "vs_baseline": 0.0,
-                "error": "TPU backend init unreachable for 10 min "
-                         "(tunnel down)"}), flush=True)
+                "unit": "tok/s", "vs_baseline": 0.0, "error": err}),
+                flush=True)
             return 2
 
     def _init_timeout():

@@ -240,11 +240,16 @@ def load_params(
             layer["wq"], layer["wk"], layer["wv"] = _split_tensor_rows(
                 ti, dtype, [0, nq, nq + nk, nq + 2 * nk])
         else:
+            fused_qkv = None
             if fuse and not (cfg.n_heads_arr or cfg.n_kv_heads_arr):
-                layer["wqkv"] = _fuse_tensor_rows(
+                fused_qkv = _fuse_tensor_rows(
                     [t[p + "attn_q.weight"], t[p + "attn_k.weight"],
                      t[p + "attn_v.weight"]])
-            if layer.get("wqkv") is None:
+            if fused_qkv is not None:
+                # never store a None under the key: a None leaf would
+                # disable the stacked-scan fast path for the whole model
+                layer["wqkv"] = fused_qkv
+            else:
                 layer["wq"] = get(p + "attn_q.weight")
                 layer["wk"] = get(p + "attn_k.weight")
                 layer["wv"] = get(p + "attn_v.weight")
@@ -282,13 +287,19 @@ def load_params(
             layer["w_down"] = get(p + "ffn_down.weight")
         else:
             # the fused-FFN kernel path applies no per-tensor biases/scales
-            # (jais b_gate/b_up, bitnet *.scale) — only fuse in their absence
+            # and no bitnet sub-norm (jais b_gate/b_up, bitnet *.scale +
+            # ffn_sub_norm) — only fuse in their absence
+            fused_gu = None
             if fuse and not any(
                     (p + n) in t for n in ("ffn_gate.bias", "ffn_up.bias",
-                                           "ffn_gate.scale", "ffn_up.scale")):
-                layer["w_gateup"] = _fuse_tensor_rows(
+                                           "ffn_gate.scale", "ffn_up.scale",
+                                           "ffn_down.scale",
+                                           "ffn_sub_norm.weight")):
+                fused_gu = _fuse_tensor_rows(
                     [t[p + "ffn_gate.weight"], t[p + "ffn_up.weight"]])
-            if layer.get("w_gateup") is None:
+            if fused_gu is not None:
+                layer["w_gateup"] = fused_gu
+            else:
                 layer["w_gate"] = get(p + "ffn_gate.weight")
                 layer["w_up"] = get(p + "ffn_up.weight")
             layer["w_down"] = get(p + "ffn_down.weight")

@@ -546,10 +546,10 @@ class TcpRingEngine:
 
         if not prompt_tokens:
             raise ValueError("empty prompt")
-        if len(prompt_tokens) >= self.max_seq - self.n_batch:
+        if len(prompt_tokens) >= self.max_seq:
             raise ValueError(
-                f"prompt ({len(prompt_tokens)}) exceeds max_seq - n_batch "
-                f"({self.max_seq - self.n_batch})")
+                f"prompt ({len(prompt_tokens)}) exceeds max_seq "
+                f"({self.max_seq})")
         slot = self.find_idle_slot()
         if slot is None:
             raise RuntimeError("no idle slot")
@@ -629,6 +629,12 @@ class TcpRingEngine:
                         max(len(s.prompt) - 1 - s.n_prompt_done
                             for s in prefill))
         s_len = _bucket(max(chunk_len, 1), self.n_batch)
+        # padded bucket rows scatter K/V at positions past the real chunk —
+        # cap the bucket at the cache tail so padding never lands out of
+        # range (engine.py prefill does the same)
+        cap = self.max_seq - max(int(self.core.kvc[s.m].cache_pos[s.b])
+                                 for s in prefill)
+        s_len = min(s_len, max(cap, 1))
         took = {}
         groups = []
         active_g = sorted({s.m for s in prefill})
@@ -679,7 +685,7 @@ class TcpRingEngine:
             for s in active:
                 kvc = self.core.kvc[s.m]
                 used = int(kvc.cache_pos[s.b])
-                if used >= self.max_seq - self.n_batch:
+                if used >= self.max_seq - 1:
                     n_discard = max((used - self.n_keep) // 2, 1)
                     self.core.kv_context_shift(s.m, s.b, self.n_keep,
                                                n_discard, used)
@@ -739,8 +745,7 @@ class TcpRingEngine:
         if slot.n_predict >= 0 and len(slot.generated) >= slot.n_predict:
             return True, "length"
         if not self.ctx_shift and \
-                int(self.core.kvc[slot.m].cache_pos[slot.b]) >= \
-                self.max_seq - self.n_batch:
+                int(self.core.kvc[slot.m].cache_pos[slot.b]) >= self.max_seq:
             return True, "context_full"
         return False, None
 

@@ -157,6 +157,8 @@ def _stream_generate(eng, model, sampler, prompt_tokens, n_predict, reverse: lis
     """Generate, print incrementally, honor reverse prompts. Returns text."""
     from ..runtime.engine import SlotState
 
+    if n_predict == 0:  # -n 0: prompt only, nothing generated
+        return ""
     slot = eng.submit(prompt_tokens, sampler=sampler, n_predict=n_predict)
     buf = b""
     text_out = ""
@@ -204,6 +206,10 @@ def main(argv=None) -> int:
     probe = GGUFModel.open(args.model)
     probe_arch = probe.arch
     probe.close()
+    if args.conversation and probe_arch in ("deepseek2", "minicpm3", "t5",
+                                            "rwkv6", "mamba"):
+        print(f"warning: -cnv is not supported on the {probe_arch} "
+              "correctness-tier runtime; running one-shot", file=sys.stderr)
     if probe_arch in ("deepseek2", "minicpm3", "t5", "rwkv6"):
         # correctness-tier runtimes (full-sequence recompute decode)
         prompt = args.prompt

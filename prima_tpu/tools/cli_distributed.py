@@ -122,19 +122,16 @@ def run_distributed(args, prompt: str) -> int:
         return 0
 
     # master: tokenize, then drive the full ring engine (sampler chain,
-    # context shift, Self-Extend — the reference CLI's feature set)
+    # context shift, Self-Extend, reverse prompts, conversation mode — the
+    # reference CLI's feature set) through the same streaming loop as the
+    # single-chip CLI
     from ..models.loader import LoadedModel
-    from ..runtime.engine import SlotState
-    from .cli import make_sampler
+    from .cli import _stream_generate, make_sampler
 
     tok = Tokenizer.from_gguf(m)
     model = LoadedModel(cfg, params, tok, m)
-    sampler = make_sampler(args, model, tok.vocab.n_tokens)
     ga_n = getattr(args, "grp_attn_n", 1)
-    # the engine reserves n_batch cells of decode headroom (its padded
-    # prefill buckets must never clamp); keep the default usable with
-    # small -c values
-    n_batch = max(1, min(args.batch_size, args.ctx_size // 4))
+    n_batch = max(1, min(args.batch_size, args.ctx_size))
     eng = TcpRingEngine(
         ctx, cfg, params, n_slots=1, n_groups=1, max_seq=args.ctx_size,
         n_batch=n_batch, opts=opts, eog_ids=model.eog_ids,
@@ -144,24 +141,45 @@ def run_distributed(args, prompt: str) -> int:
         n_keep=getattr(args, "n_keep", 0),
         grp_attn_n=ga_n, grp_attn_w=getattr(args, "grp_attn_w", 512))
 
-    toks = tok.encode(prompt, add_special=True, parse_special=True)
-    if not args.no_display_prompt:
-        sys.stdout.write(prompt)
-    n_predict = args.n_predict if args.n_predict >= 0 else 128
-    slot = eng.submit(toks, sampler=sampler, n_predict=n_predict)
-    buf = b""
-    while slot.state != SlotState.IDLE:
-        for ev in eng.step():
-            if ev.done and ev.reason == "eog":
-                continue
-            buf += tok.decode_token_bytes(ev.token)
-            try:
-                sys.stdout.write(buf.decode("utf-8"))
-                sys.stdout.flush()
-                buf = b""
-            except UnicodeDecodeError:
-                pass
-    sys.stdout.write("\n")
-    ctx.node.send_stop()
-    node.close()
+    # any master-side failure (oversized prompt, sampler error, Ctrl-C)
+    # must still propagate STOP, or every worker blocks forever on recv
+    try:
+        if getattr(args, "conversation", False):
+            from ..server.chat import apply_chat_template
+
+            tmpl = (getattr(args, "chat_template", None)
+                    or m.get("tokenizer.chat_template"))
+            msgs = []
+            if prompt.strip():
+                msgs.append({"role": "system", "content": prompt})
+            print("== conversation mode: empty line or Ctrl-D to exit ==",
+                  file=sys.stderr)
+            while True:
+                try:
+                    line = input("> ")
+                except EOFError:
+                    break
+                if not line.strip():
+                    break
+                msgs.append({"role": "user", "content": line})
+                text = apply_chat_template(msgs, tmpl, tok.vocab,
+                                           add_generation_prompt=True)
+                toks = tok.encode(text, add_special=True, parse_special=True)
+                sampler = make_sampler(args, model, tok.vocab.n_tokens)
+                out = _stream_generate(eng, model, sampler, toks,
+                                       args.n_predict, args.reverse_prompt)
+                msgs.append({"role": "assistant", "content": out})
+                print()
+        else:
+            toks = tok.encode(prompt, add_special=True, parse_special=True)
+            if not args.no_display_prompt:
+                sys.stdout.write(prompt)
+            if args.n_predict != 0:
+                sampler = make_sampler(args, model, tok.vocab.n_tokens)
+                _stream_generate(eng, model, sampler, toks, args.n_predict,
+                                 args.reverse_prompt)
+            sys.stdout.write("\n")
+    finally:
+        ctx.node.send_stop()
+        node.close()
     return 0
