@@ -298,3 +298,29 @@ def test_ring_quantized_kv(tiny, ctk):
     while slot.state != SlotState.IDLE:
         eng.step()
     assert list(slot.generated) == want
+
+
+def test_ring_prompt_near_max_seq_matches_single(tiny):
+    """Prompts up to max_seq-1 are accepted (single-chip-equivalent limit);
+    the prefill bucket cap keeps padded rows inside the cache, so a prompt
+    that nearly fills the context still decodes identically to one chip."""
+    port = _free_port()
+    # 26 words ≈ 53 tokens on the tiny SPM vocab; -c 56 leaves ~3 cells
+    prompt = " ".join(["hello"] * 26)
+    common = ["-m", tiny, "-c", "56", "--matmul", "xla",
+              "--data-port", str(port), "-w", "2", "-lw", "2,2"]
+    p0 = _run_rank(common + ["--rank", "0", "-p", prompt, "-n", "2",
+                             "--temp", "0", "--no-display-prompt",
+                             "--no-context-shift"])
+    p1 = _run_rank(common + ["--rank", "1"])
+    out0, err0 = p0.communicate(timeout=420)
+    out1, err1 = p1.communicate(timeout=60)
+    assert p0.returncode == 0, err0[-2000:]
+    assert p1.returncode == 0, err1[-2000:]
+
+    single = _run_rank(["-m", tiny, "-c", "56", "--matmul", "xla",
+                        "-p", prompt, "-n", "2", "--temp", "0",
+                        "--no-display-prompt", "--no-context-shift"])
+    ref, err = single.communicate(timeout=420)
+    assert single.returncode == 0, err[-2000:]
+    assert out0.strip() == ref.strip()
