@@ -493,6 +493,16 @@ class TcpRingEngine:
             "context-shift and Self-Extend are mutually exclusive"
         self.grp_attn_n = grp_attn_n
         self.grp_attn_w = grp_attn_w
+        # KV writes are dynamic_update_slice (clamped starts): in a shared
+        # bucket, a PARKED row whose cache_pos is within s_len of the end
+        # would have its garbage write shifted onto real cells. With one
+        # row per group there are no parked rows beside active ones, so the
+        # full cache is usable (single-chip semantics); wider groups
+        # reserve n_batch cells so parked rows never sit inside a bucket's
+        # clamp range (parallel/engine.py keeps the same reservation).
+        self._row_limit = (max_seq if n_slots // n_groups == 1
+                           else max_seq - n_batch)
+        assert self._row_limit > 0, "n_batch must be < max_seq"
         from ..parallel.engine import DSlot
 
         self.slots = [DSlot(g, b, self.Bg)
@@ -546,10 +556,10 @@ class TcpRingEngine:
 
         if not prompt_tokens:
             raise ValueError("empty prompt")
-        if len(prompt_tokens) >= self.max_seq:
+        if len(prompt_tokens) >= self._row_limit:
             raise ValueError(
-                f"prompt ({len(prompt_tokens)}) exceeds max_seq "
-                f"({self.max_seq})")
+                f"prompt ({len(prompt_tokens)}) exceeds the per-slot "
+                f"context limit ({self._row_limit})")
         slot = self.find_idle_slot()
         if slot is None:
             raise RuntimeError("no idle slot")
@@ -629,11 +639,13 @@ class TcpRingEngine:
                         max(len(s.prompt) - 1 - s.n_prompt_done
                             for s in prefill))
         s_len = _bucket(max(chunk_len, 1), self.n_batch)
-        # padded bucket rows scatter K/V at positions past the real chunk —
-        # cap the bucket at the cache tail so padding never lands out of
-        # range (engine.py prefill does the same)
-        cap = self.max_seq - max(int(self.core.kvc[s.m].cache_pos[s.b])
-                                 for s in prefill)
+        # padded bucket rows write K/V at positions past the real chunk —
+        # cap the bucket at the cache tail over EVERY row of each active
+        # group (parked rows included: their clamped dynamic_update_slice
+        # write must not shift onto real cells)
+        cap = self.max_seq - max(
+            int(self.core.kvc[g].cache_pos.max())
+            for g in sorted({s.m for s in prefill}))
         s_len = min(s_len, max(cap, 1))
         took = {}
         groups = []
@@ -685,7 +697,7 @@ class TcpRingEngine:
             for s in active:
                 kvc = self.core.kvc[s.m]
                 used = int(kvc.cache_pos[s.b])
-                if used >= self.max_seq - 1:
+                if used >= self._row_limit - 1:
                     n_discard = max((used - self.n_keep) // 2, 1)
                     self.core.kv_context_shift(s.m, s.b, self.n_keep,
                                                n_discard, used)
@@ -745,7 +757,8 @@ class TcpRingEngine:
         if slot.n_predict >= 0 and len(slot.generated) >= slot.n_predict:
             return True, "length"
         if not self.ctx_shift and \
-                int(self.core.kvc[slot.m].cache_pos[slot.b]) >= self.max_seq:
+                int(self.core.kvc[slot.m].cache_pos[slot.b]) >= \
+                self._row_limit:
             return True, "context_full"
         return False, None
 
