@@ -94,6 +94,14 @@ class DistributedEngine:
         self.grp_attn_n = grp_attn_n
         self.grp_attn_w = grp_attn_w
         self.kv = PipeKV(cfg, spec, mesh, batch_per_micro, max_seq, kv_dtype)
+        # KV writes are dynamic_update_slice (clamped starts): every grid
+        # row participates in every pipelined ubatch, so with >1 slot a
+        # PARKED row within s_len of the end would have its garbage write
+        # shifted onto real cells — reserve n_batch. A single-slot grid has
+        # no parked rows and gets the full cache (single-chip semantics).
+        self._row_limit = (max_seq if self.M * self.B == 1
+                           else max_seq - n_batch)
+        assert self._row_limit > 0, "n_batch must be < max_seq"
         self.slots = [DSlot(m, b, batch_per_micro)
                       for m in range(self.M) for b in range(self.B)]
         self.n_decode_calls = 0
@@ -133,12 +141,10 @@ class DistributedEngine:
                reuse_prefix: bool = True, n_probs: int = 0) -> DSlot:
         if not prompt_tokens:
             raise ValueError("empty prompt")
-        if len(prompt_tokens) >= self.max_seq - self.n_batch:
-            # leave decode headroom: dynamic_update_slice would CLAMP an
-            # overshooting write and silently corrupt cached cells
+        if len(prompt_tokens) >= self._row_limit:
             raise ValueError(
-                f"prompt ({len(prompt_tokens)}) exceeds max_seq - n_batch "
-                f"({self.max_seq - self.n_batch})")
+                f"prompt ({len(prompt_tokens)}) exceeds the per-slot "
+                f"context limit ({self._row_limit})")
         slot = self.find_idle_slot()
         if slot is None:
             raise RuntimeError("no idle slot")
@@ -234,6 +240,11 @@ class DistributedEngine:
         chunk_len = min(self.n_batch,
                         max(len(s.prompt) - 1 - s.n_prompt_done for s in prefill))
         s_len = _bucket(max(chunk_len, 1), self.n_batch)
+        # cap the padded bucket at the cache tail over EVERY grid row
+        # (parked included): a clamped dynamic_update_slice write must
+        # never shift onto real cells
+        cap = self.max_seq - int(self.kv.cache_pos.max())
+        s_len = min(s_len, max(cap, 1))
         tokens = np.zeros((self.M, self.B, s_len), np.int32)
         mask_positions = (np.broadcast_to(
             np.arange(s_len, dtype=np.int32), (self.M, self.B, s_len)
@@ -296,7 +307,7 @@ class DistributedEngine:
         # cache; no ring-wide signal protocol needed, see pipe_kv.py)
         if self.ctx_shift:
             for s in active:
-                if self.kv.used(s.id) >= self.max_seq - self.n_batch:
+                if self.kv.used(s.id) >= self._row_limit - 1:
                     used = self.kv.used(s.id)
                     n_discard = max((used - self.n_keep) // 2, 1)
                     self.kv.context_shift(s.id, self.n_keep, n_discard)
@@ -346,11 +357,11 @@ class DistributedEngine:
             return True, "eog"
         if slot.n_predict >= 0 and len(slot.generated) >= slot.n_predict:
             return True, "length"
-        # stop n_batch early: a parked row must never sit within s_len of the
-        # cache end while another slot prefills (dynamic_update_slice clamps
-        # its start index and would overwrite the parked tail)
+        # a parked row must never sit within s_len of the cache end while
+        # another slot prefills (dynamic_update_slice clamps its start index
+        # and would overwrite the parked tail) — _row_limit encodes that
         if not self.ctx_shift and \
-                self.kv.used(slot.id) >= self.max_seq - self.n_batch:
+                self.kv.used(slot.id) >= self._row_limit:
             return True, "context_full"
         return False, None
 
