@@ -29,6 +29,8 @@ import sys
 import tempfile
 import time
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 
 def make_real_checkpoint(d: str, seed: int = 0) -> None:
     import torch
@@ -82,12 +84,13 @@ def main() -> int:
         n_eval = 512
         toks = rng.integers(3, 4000, size=n_eval + 1).astype(np.int32)
 
-        def run(matmul: str, dtype, device=None) -> tuple[np.ndarray, float]:
+        def run(matmul: str, dtype, device=None,
+                fuse: bool = False) -> tuple[np.ndarray, float]:
             ctx = jax.default_device(device) if device is not None else None
             if ctx is not None:
                 ctx.__enter__()
             try:
-                lm = load_model(q4)
+                lm = load_model(q4, fuse=fuse)
                 opts = ForwardOptions(matmul_impl=matmul, dtype=dtype)
                 kv = init_kv_caches(lm.cfg, 1, n_eval + 8, jnp.float32)
 
@@ -131,6 +134,21 @@ def main() -> int:
         print(f"[pallas] ppl={tpu_ppl:.4f} ({time.perf_counter()-t0:.1f}s)",
               file=sys.stderr, flush=True)
 
+        t0 = time.perf_counter()
+        # --fuse load parity at real-model scale: Q4_K_M mixes quant types
+        # (Q6_K attn_v), so this exercises the partial-fusion fallback too
+        os.environ["PRIMA_QMM_EXACT"] = "1"
+        try:
+            with jax.default_matmul_precision("highest"):
+                fused_logits, fused_ppl = run("pallas", jnp.float32,
+                                              fuse=True)
+        finally:
+            os.environ["PRIMA_QMM_EXACT"] = "0"
+        max_dlogit_fused = float(np.abs(fused_logits - tpu_logits).max())
+        print(f"[pallas --fuse] ppl={fused_ppl:.4f} max|dlogit|="
+              f"{max_dlogit_fused:.6f} ({time.perf_counter()-t0:.1f}s)",
+              file=sys.stderr, flush=True)
+
         greedy_ref = ref_logits.argmax(-1)
         greedy_tpu = tpu_logits.argmax(-1)
         agree = float((greedy_ref == greedy_tpu).mean())
@@ -153,6 +171,8 @@ def main() -> int:
             "ppl_rel_delta": round(ppl_delta / ref_ppl, 8),
             "greedy_agreement": agree,
             "max_abs_dlogit": round(max_dlogit, 5),
+            "fused_max_abs_dlogit_vs_unfused": round(max_dlogit_fused, 6),
+            "ppl_fused": round(fused_ppl, 4),
             "model_mb_q4km": round(q4_mb, 1),
             "n_eval_tokens": n_eval,
         }
