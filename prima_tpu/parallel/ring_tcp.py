@@ -98,13 +98,60 @@ def _group_rows(n_slots: int, n_groups: int) -> int:
     return n_slots // n_groups
 
 
+class _WindowStreamer:
+    """Executes the scheduler's resident/streamed split (n[m]) on one ring
+    rank: streamed layers live host-packed (the mmap analogue), and before
+    a window computes its streamed layers are committed to HBM while the
+    NEXT window's host->HBM copy is enqueued asynchronously — the piped-ring
+    prefetch overlap of manage_graph_tensors (reference
+    src/llama.cpp:18152-18218, invoked per subgraph @18567-18575). HBM holds
+    at most two windows' streamed layers at any moment, so a rank whose
+    windows exceed device memory still serves (k·n_resident +
+    2·(w−n_resident) layers instead of k·w)."""
+
+    def __init__(self, params: dict, ranges, streamed_host: dict[int, dict]):
+        from ..runtime.streaming import _to_device
+
+        self.params = params
+        self.host = streamed_host
+        self._put = _to_device
+        self._bufs: dict[int, dict] = {}
+        self.win_ids = [[i for i in range(lo, hi) if i in streamed_host]
+                        for lo, hi in ranges]
+        self._cur: int | None = None
+        self._prefetch(0)
+
+    def _prefetch(self, c: int) -> None:
+        for i in self.win_ids[c]:
+            if i not in self._bufs:
+                self._bufs[i] = self._put(self.host[i])  # async enqueue
+
+    def ensure(self, c: int) -> None:
+        """Commit window c's streamed layers; release the previous window's
+        and enqueue the next window's upload (cycle-major ring order)."""
+        if self._cur == c:
+            return
+        if self._cur is not None and self._cur != c:
+            for i in self.win_ids[self._cur]:
+                self.params["layers"][i] = None
+                self._bufs.pop(i, None)  # JAX frees once compute consumed it
+        self._prefetch(c)
+        for i in self.win_ids[c]:
+            self.params["layers"][i] = self._bufs[i]
+        nxt = (c + 1) % len(self.win_ids)
+        if nxt != c:
+            self._prefetch(nxt)
+        self._cur = c
+
+
 class TcpRingWorker:
     """Worker ranks: the llama_decode(empty batch) service loop, batched
     and grouped. Protocol tags: meta / act / kv / stop."""
 
     def __init__(self, ctx: RingContext, cfg: ModelConfig, params: dict,
                  max_seq: int = 2048, opts: ForwardOptions | None = None,
-                 kv_dtype=None, n_slots: int = 1, n_groups: int = 1):
+                 kv_dtype=None, n_slots: int = 1, n_groups: int = 1,
+                 streamed_host: dict[int, dict] | None = None):
         import functools
 
         import jax
@@ -116,6 +163,10 @@ class TcpRingWorker:
         self.ctx = ctx
         self.cfg = cfg
         self.params = params
+        self.streamer = (_WindowStreamer(params,
+                                         ctx.plan.layer_ranges()[ctx.rank],
+                                         streamed_host)
+                         if streamed_host else None)
         self.opts = opts or ForwardOptions()
         kv_dtype = kv_dtype if kv_dtype is not None else jnp.bfloat16
         ranges = ctx.plan.layer_ranges()[ctx.rank]
@@ -151,6 +202,8 @@ class TcpRingWorker:
         import jax.numpy as jnp
 
         lo, hi = self.ranges[c]
+        if self.streamer is not None:
+            self.streamer.ensure(c)
         xj = jnp.asarray(x, dtype=self.opts.dtype)
         out, self.kvc[g].caches = self._window_fn(
             self.params, self.kvc[g].caches, xj, jnp.asarray(positions),
@@ -242,7 +295,8 @@ class _MasterCore:
 
     def __init__(self, ctx: RingContext, cfg: ModelConfig, params: dict,
                  max_seq: int, opts: ForwardOptions, kv_dtype,
-                 n_slots: int, n_groups: int):
+                 n_slots: int, n_groups: int,
+                 streamed_host: dict[int, dict] | None = None):
         import functools
 
         import jax
@@ -258,6 +312,8 @@ class _MasterCore:
         self.max_seq = max_seq
         kv_dtype = kv_dtype if kv_dtype is not None else jnp.bfloat16
         self.ranges = ctx.plan.layer_ranges()[0]
+        self.streamer = (_WindowStreamer(params, self.ranges, streamed_host)
+                         if streamed_host else None)
         owned = set()
         for lo, hi in self.ranges:
             owned.update(range(lo, hi))
@@ -332,6 +388,8 @@ class _MasterCore:
                 x = None
                 for c in range(k):
                     lo, hi = self.ranges[c]
+                    if self.streamer is not None:
+                        self.streamer.ensure(c)
                     if c == 0:
                         x, self.kvc[g].caches = self._first(
                             self.params, self.kvc[g].caches,
@@ -353,6 +411,8 @@ class _MasterCore:
         for g, tokens, positions, cache_pos, rope_delta in groups:
             self._send_meta(g, positions, cache_pos, rope_delta)
             lo, hi = self.ranges[0]
+            if self.streamer is not None:
+                self.streamer.ensure(0)
             x, self.kvc[g].caches = self._first(
                 self.params, self.kvc[g].caches, jnp.asarray(tokens),
                 jnp.asarray(positions), jnp.asarray(rope_delta),
@@ -371,6 +431,8 @@ class _MasterCore:
             if c + 1 < k:
                 positions, cache_pos, rope_delta = meta[g]
                 lo, hi = self.ranges[c + 1]
+                if self.streamer is not None:
+                    self.streamer.ensure(c + 1)
                 xj, self.kvc[g].caches = self._mid(
                     self.params, self.kvc[g].caches,
                     jnp.asarray(x, self.opts.dtype), jnp.asarray(positions),
@@ -429,9 +491,10 @@ class TcpRingMaster:
 
     def __init__(self, ctx: RingContext, cfg: ModelConfig, params: dict,
                  max_seq: int = 2048, opts: ForwardOptions | None = None,
-                 kv_dtype=None):
+                 kv_dtype=None, streamed_host: dict[int, dict] | None = None):
         self.core = _MasterCore(ctx, cfg, params, max_seq,
-                                opts or ForwardOptions(), kv_dtype, 1, 1)
+                                opts or ForwardOptions(), kv_dtype, 1, 1,
+                                streamed_host=streamed_host)
         self.ctx = ctx
         self.cache_pos = np.zeros(1, np.int32)
 
@@ -467,7 +530,8 @@ class TcpRingEngine:
                  max_seq: int = 2048, n_batch: int = 64,
                  opts: ForwardOptions | None = None, kv_dtype=None,
                  eog_ids: set[int] | None = None, ctx_shift: bool = False,
-                 n_keep: int = 0, grp_attn_n: int = 1, grp_attn_w: int = 512):
+                 n_keep: int = 0, grp_attn_n: int = 1, grp_attn_w: int = 512,
+                 streamed_host: dict[int, dict] | None = None):
         from ..runtime.engine import SlotState
 
         if n_groups is None:
@@ -477,7 +541,8 @@ class TcpRingEngine:
                 n_groups -= 1
         self.core = _MasterCore(ctx, cfg, params, max_seq,
                                 opts or ForwardOptions(), kv_dtype,
-                                n_slots, n_groups)
+                                n_slots, n_groups,
+                                streamed_host=streamed_host)
         self.ctx = ctx
         self.cfg = cfg
         self.max_seq = max_seq

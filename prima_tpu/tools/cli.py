@@ -67,6 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("-lw", "--n-layer-window", default=env("LAYER_WINDOW"),
                     help="manual CSV windows, e.g. 16,8,8 (skips the solver)")
     ap.add_argument("-k", "--n-cycles", type=int, default=0)
+    ap.add_argument("-ngl", "--n-gpu-layers", type=int, default=-1,
+                    help="HBM-resident layers per window; the rest stream "
+                         "from host RAM each cycle (default: the "
+                         "scheduler's n[m])")
     ap.add_argument("--master-priority", type=float, default=1.01)
     ap.add_argument("--topo-grace", type=float, default=0.0,
                     help="topology-rebuild registration window (seconds): "

@@ -107,16 +107,41 @@ def run_distributed(args, prompt: str) -> int:
           file=sys.stderr)
 
     opts = ForwardOptions(matmul_impl=args.matmul)
-    params = load_params(m, cfg, layer_filter=lambda i: i in owned,
+    # resident/streamed split: n[m] layers of each window stay HBM-resident
+    # (the reference keeps the LAST n of each window on the fast device,
+    # src/llama.cpp:7597-7605); the rest live host-packed and stream
+    # HBM-ward per cycle (manage_graph_tensors @18152). -ngl overrides the
+    # scheduler's n[m].
+    n_res = getattr(args, "n_gpu_layers", -1)
+    if n_res is None or n_res < 0:
+        n_res = res.n[res.rank]
+    streamed_ids: set[int] = set()
+    for lo, hi in ranges:
+        nr = min(max(n_res, 0), hi - lo)
+        streamed_ids.update(range(lo, hi - nr))
+    resident = owned - streamed_ids
+    params = load_params(m, cfg, layer_filter=lambda i: i in resident,
                          with_embedding=res.rank == 0, with_output=res.rank == 0,
                          fuse=getattr(args, "fuse", False))
+    streamed_host = None
+    if streamed_ids:
+        from ..models.llama import gguf_host_layer
+        from ..runtime.streaming import pack_host_layer
+
+        print(f"rank {res.rank}: streaming {len(streamed_ids)} of "
+              f"{len(owned)} layers from host RAM", file=sys.stderr)
+        streamed_host = {
+            i: pack_host_layer(gguf_host_layer(m, cfg, i),
+                               pallas=args.matmul == "pallas")
+            for i in sorted(streamed_ids)}
 
     kv_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16,
                 "q8_0": "q8_0", "q4_0": "q4_0"}[
                     getattr(args, "cache_type", "bf16")]
     if res.rank != 0:
         worker = TcpRingWorker(ctx, cfg, params, max_seq=args.ctx_size,
-                               opts=opts, kv_dtype=kv_dtype)
+                               opts=opts, kv_dtype=kv_dtype,
+                               streamed_host=streamed_host)
         worker.serve()
         node.close()
         return 0
@@ -139,7 +164,8 @@ def run_distributed(args, prompt: str) -> int:
         ctx_shift=(not getattr(args, "no_context_shift", False)
                    and ga_n == 1),
         n_keep=getattr(args, "n_keep", 0),
-        grp_attn_n=ga_n, grp_attn_w=getattr(args, "grp_attn_w", 512))
+        grp_attn_n=ga_n, grp_attn_w=getattr(args, "grp_attn_w", 512),
+        streamed_host=streamed_host)
 
     # any master-side failure (oversized prompt, sampler error, Ctrl-C)
     # must still propagate STOP, or every worker blocks forever on recv

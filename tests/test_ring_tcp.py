@@ -324,3 +324,31 @@ def test_ring_prompt_near_max_seq_matches_single(tiny):
     ref, err = single.communicate(timeout=420)
     assert single.returncode == 0, err[-2000:]
     assert out0.strip() == ref.strip()
+
+
+@pytest.mark.parametrize("windows,k,ngl", [("2,2", 1, 1), ("1,1", 2, 0)])
+def test_ring_streamed_windows_match_single(tiny, windows, k, ngl):
+    """-ngl executes the scheduler's resident/streamed split on the ring:
+    only n layers per window stay HBM-resident, the rest stream host->HBM
+    per cycle with next-window prefetch (manage_graph_tensors analogue).
+    ngl=0 with k=2 exercises the full window-swap path; output must be
+    identical to the all-resident single process."""
+    port = _free_port()
+    common = ["-m", tiny, "-c", "64", "--matmul", "xla",
+              "--data-port", str(port), "-w", "2", "-lw", windows,
+              "-k", str(k), "-ngl", str(ngl)]
+    p0 = _run_rank(common + ["--rank", "0", "-p", "Hello", "-n", "6",
+                             "--temp", "0", "--no-display-prompt"])
+    p1 = _run_rank(common + ["--rank", "1"])
+    out0, err0 = p0.communicate(timeout=420)
+    out1, err1 = p1.communicate(timeout=60)
+    assert p0.returncode == 0, err0[-2000:]
+    assert p1.returncode == 0, err1[-2000:]
+    assert "streaming" in err0 or "streaming" in err1  # the split engaged
+
+    single = _run_rank(["-m", tiny, "-c", "64", "--matmul", "xla",
+                        "-p", "Hello", "-n", "6", "--temp", "0",
+                        "--no-display-prompt"])
+    ref, err = single.communicate(timeout=420)
+    assert single.returncode == 0, err[-2000:]
+    assert out0.strip() == ref.strip()
