@@ -23,6 +23,9 @@ def main(argv=None) -> int:
     ap.add_argument("--fuse", action="store_true",
                     help="fuse Q/K/V and gate/up weights at load where quant "
                          "types match (fewer GEMV launches per layer)")
+    ap.add_argument("-ngl", "--n-gpu-layers", type=int, default=-1,
+                    help="ring mode: HBM-resident layers per window, the "
+                         "rest stream from host RAM each cycle")
     ap.add_argument("-ctk", "--cache-type-k", default="bf16",
                     choices=["f32", "bf16", "q8_0", "q4_0"], dest="cache_type")
     ap.add_argument("--alias", default="prima-tpu")
@@ -262,9 +265,27 @@ def _ring_main(args) -> int:
     for lo, hi in ranges:
         owned.update(range(lo, hi))
     opts = ForwardOptions(matmul_impl=args.matmul)
-    params = load_params(m, cfg, layer_filter=lambda i: i in owned,
+    # resident/streamed split (manual mode: all resident unless -ngl given)
+    streamed_ids: set[int] = set()
+    if args.n_gpu_layers >= 0:
+        for lo, hi in ranges:
+            nr = min(args.n_gpu_layers, hi - lo)
+            streamed_ids.update(range(lo, hi - nr))
+    resident = owned - streamed_ids
+    params = load_params(m, cfg, layer_filter=lambda i: i in resident,
                          with_embedding=args.rank == 0,
                          with_output=args.rank == 0, fuse=args.fuse)
+    streamed_host = None
+    if streamed_ids:
+        from ..models.llama import gguf_host_layer
+        from ..runtime.streaming import pack_host_layer
+
+        print(f"rank {args.rank}: streaming {len(streamed_ids)} of "
+              f"{len(owned)} layers from host RAM", file=sys.stderr)
+        streamed_host = {
+            i: pack_host_layer(gguf_host_layer(m, cfg, i),
+                               pallas=args.matmul == "pallas")
+            for i in sorted(streamed_ids)}
     # quantized cache type applies on EVERY rank (the reference's -ctk is a
     # per-device context param; windows must agree on the storage format)
     kv_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16,
@@ -273,7 +294,7 @@ def _ring_main(args) -> int:
     if args.rank != 0:
         worker = TcpRingWorker(ctx, cfg, params, max_seq=args.ctx_size,
                                opts=opts, n_slots=n_slots, n_groups=n_groups,
-                               kv_dtype=kv_dtype)
+                               kv_dtype=kv_dtype, streamed_host=streamed_host)
         print(f"rank {args.rank}: serving ring windows {sorted(owned)}",
               file=sys.stderr)
         worker.serve()
@@ -293,7 +314,8 @@ def _ring_main(args) -> int:
                            ctx_shift=(not args.no_context_shift
                                       and args.grp_attn_n == 1),
                            n_keep=args.keep, grp_attn_n=args.grp_attn_n,
-                           grp_attn_w=args.grp_attn_w)
+                           grp_attn_w=args.grp_attn_w,
+                           streamed_host=streamed_host)
     httpd, _ctx = serve(model, engine, args.host, args.port, args.alias)
     print(f"listening on http://{args.host}:{args.port} "
           f"(ring world={args.world})", file=sys.stderr)
