@@ -188,7 +188,9 @@ def _stream_generate(eng, model, sampler, prompt_tokens, n_predict, reverse: lis
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
-    if args.world > 1:
+    if args.world > 1 or args.n_gpu_layers >= 0:
+        # -ngl on one process runs the degenerate single-process ring:
+        # the window streamer serves models larger than HBM on one chip
         from .cli_distributed import run_distributed
 
         prompt = args.prompt
