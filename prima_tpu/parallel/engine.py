@@ -281,6 +281,11 @@ class DistributedEngine:
         s_len = len(chain)
         m, b = divmod(int(slot_id), self.B)
         pos0 = self.kv.used(slot_id)
+        # every grid row writes padding at its own cache_pos: [pos, pos+s_len)
+        # must stay inside the cache (clamped writes corrupt real cells)
+        assert pos0 + s_len <= self.max_seq and (
+            self.M * self.B == 1 or s_len <= self.n_batch), \
+            f"verify chain of {s_len} does not fit at {pos0}"
         tokens = np.zeros((self.M, self.B, s_len), np.int32)
         tokens[m, b] = chain
         mask_positions = (np.broadcast_to(

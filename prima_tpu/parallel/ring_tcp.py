@@ -838,6 +838,12 @@ class TcpRingEngine:
         g, b = divmod(int(slot_id), self.Bg)
         kvc = self.core.kvc[g]
         pos0 = int(kvc.cache_pos[b])
+        # parked rows in the shared ubatch write padding at their own
+        # cache_pos: every row's [pos, pos+s_len) must stay inside the
+        # cache or the clamped write corrupts real cells
+        assert pos0 + s_len <= self.max_seq and (
+            self.Bg == 1 or s_len <= self.n_batch), \
+            f"verify chain of {s_len} does not fit at {pos0}"
         tokens = np.zeros((self.Bg, s_len), np.int32)
         tokens[b] = chain
         positions = (np.broadcast_to(np.arange(s_len, dtype=np.int32),
