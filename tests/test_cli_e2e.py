@@ -112,3 +112,16 @@ def test_cli_conversation_mode(tiny_model, monkeypatch):
                     "--chat-template", "chatml"])
     # two assistant replies were generated
     assert len(out.strip()) > 0
+
+
+def test_cli_single_process_streamed(tiny_model):
+    """-ngl on one process routes through the degenerate ring: N layers per
+    window resident, the rest streamed host->HBM; greedy output must match
+    the fully-resident path."""
+    ref = _run_cli(["-m", tiny_model, "-p", "Hello", "-n", "6", "--temp", "0",
+                    "--matmul", "xla", "--no-display-prompt"])
+    out = _run_cli(["-m", tiny_model, "-p", "Hello", "-n", "6", "--temp", "0",
+                    "--matmul", "xla", "--no-display-prompt",
+                    "-ngl", "1", "-lw", "1", "-k", "2",
+                    "--data-port", "23941"])
+    assert out.strip() == ref.strip()
