@@ -485,35 +485,6 @@ class _MasterCore:
         self.kv_remap(g, slot, src, delta, n_keep + move)
 
 
-class TcpRingMaster:
-    """Rank 0, single-sequence surface (the CLI path): embedding + first
-    windows + output head."""
-
-    def __init__(self, ctx: RingContext, cfg: ModelConfig, params: dict,
-                 max_seq: int = 2048, opts: ForwardOptions | None = None,
-                 kv_dtype=None, streamed_host: dict[int, dict] | None = None):
-        self.core = _MasterCore(ctx, cfg, params, max_seq,
-                                opts or ForwardOptions(), kv_dtype, 1, 1,
-                                streamed_host=streamed_host)
-        self.ctx = ctx
-        self.cache_pos = np.zeros(1, np.int32)
-
-    @property
-    def kv(self):
-        return self.core.kvc[0].caches
-
-    def decode(self, tokens: np.ndarray, positions: np.ndarray) -> np.ndarray:
-        """One distributed ubatch; returns last-position logits (1, vocab)."""
-        hidden = self.core.ring_pass(
-            [(0, tokens, positions, self.cache_pos)])[0]
-        logits = self.core.head(hidden)
-        self.cache_pos = self.cache_pos + tokens.shape[1]
-        return np.asarray(logits[:, -1], dtype=np.float32)
-
-    def stop(self) -> None:
-        self.ctx.node.send_stop()
-
-
 class TcpRingEngine:
     """Engine-compatible continuous batching over the TCP ring (rank 0).
 
