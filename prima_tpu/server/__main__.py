@@ -93,6 +93,10 @@ def main(argv=None) -> int:
     print(f"loading {args.model} ...", file=sys.stderr)
     probe = GGUFModel.open(args.model)
     arch = probe.arch
+    if args.ctx_size == 0:  # -c 0: the model's training context (common.cpp)
+        from ..models.config import ModelConfig as _MC
+
+        args.ctx_size = _MC.from_gguf(probe).n_ctx_train
     probe.close()
     if arch in ("bert", "nomic-bert"):  # embedding model: /v1/embeddings only
         from ..models.bert import BertModelRuntime

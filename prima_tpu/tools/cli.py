@@ -274,6 +274,8 @@ def main(argv=None) -> int:
         yarn_attn_factor=args.yarn_attn_factor,
         yarn_beta_fast=args.yarn_beta_fast,
         yarn_beta_slow=args.yarn_beta_slow)
+    if args.ctx_size == 0:  # -c 0: the model's training context (common.cpp)
+        args.ctx_size = model.cfg.n_ctx_train
     opts = ForwardOptions(matmul_impl=args.matmul)
     import jax.numpy as _jnp
 

@@ -68,6 +68,8 @@ def run_distributed(args, prompt: str) -> int:
         yarn_attn_factor=getattr(args, "yarn_attn_factor", -1.0),
         yarn_beta_fast=getattr(args, "yarn_beta_fast", -1.0),
         yarn_beta_slow=getattr(args, "yarn_beta_slow", -1.0))
+    if args.ctx_size == 0:  # -c 0: the model's training context (common.cpp)
+        args.ctx_size = cfg.n_ctx_train
     cost = model_cost_from_gguf(m)
     manual_w = parse_lw(getattr(args, "n_layer_window", None))
     if manual_w is not None and len(manual_w) != args.world:
