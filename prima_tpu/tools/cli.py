@@ -37,6 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="builtin template name or a jinja template string "
                          "(default: the GGUF's tokenizer.chat_template)")
     ap.add_argument("-r", "--reverse-prompt", action="append", default=[])
+    ap.add_argument("--in-prefix", default="",
+                    help="prepended to each interactive user input")
+    ap.add_argument("--in-suffix", default="",
+                    help="appended after each interactive user input")
     ap.add_argument("-e", "--escape", action="store_true",
                     help="process \\n, \\t, ... escapes in the prompt")
     ap.add_argument("--no-display-prompt", action="store_true")
@@ -390,7 +394,7 @@ def main(argv=None) -> int:
             break
         if not line.strip():
             break
-        history += line + "\n"
+        history += args.in_prefix + line + args.in_suffix + "\n"
         toks = model.tokenizer.encode(history, add_special=True, parse_special=True)
         sampler = make_sampler(args, model, v.n_tokens)
         out = _stream_generate(eng, model, sampler, toks, args.n_predict,
