@@ -341,3 +341,12 @@ def test_quantize_bf16(tiny, tmp_path):
     # bf16 keeps the top 8 significand bits (RNE)
     assert np.abs(got - want).max() <= np.abs(want).max() * 2.0 ** -8
     m.close(), src.close()
+
+
+def test_eval_callback_tool(tiny, capsys):
+    from prima_tpu.tools.eval_callback import main as ec_main
+
+    rc = ec_main(["-m", tiny, "-p", "hello", "--matmul", "xla"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "blk.0.attn_q.weight" in out and "logits:" in out
