@@ -94,9 +94,8 @@ def main(argv=None) -> int:
     probe = GGUFModel.open(args.model)
     arch = probe.arch
     if args.ctx_size == 0:  # -c 0: the model's training context (common.cpp)
-        from ..models.config import ModelConfig as _MC
-
-        args.ctx_size = _MC.from_gguf(probe).n_ctx_train
+        # read the KV directly: encoder archs (bert) have no decoder config
+        args.ctx_size = int(probe.get(f"{arch}.context_length") or 2048)
     probe.close()
     if arch in ("bert", "nomic-bert"):  # embedding model: /v1/embeddings only
         from ..models.bert import BertModelRuntime

@@ -294,7 +294,10 @@ def main(argv=None) -> int:
     if args.file:
         prompt = open(args.file).read()
     if args.escape:
+        # string_process_escapes applies to the prefix/suffix too (arg.cpp)
         prompt = prompt.encode().decode("unicode_escape")
+        args.in_prefix = args.in_prefix.encode().decode("unicode_escape")
+        args.in_suffix = args.in_suffix.encode().decode("unicode_escape")
 
     v = model.tokenizer.vocab
     if args.verbose:
@@ -394,7 +397,9 @@ def main(argv=None) -> int:
             break
         if not line.strip():
             break
-        history += args.in_prefix + line + args.in_suffix + "\n"
+        # reference order: prefix tokens, the input line, then suffix tokens
+        # LAST so generation continues right after the suffix (main.cpp)
+        history += args.in_prefix + line + "\n" + args.in_suffix
         toks = model.tokenizer.encode(history, add_special=True, parse_special=True)
         sampler = make_sampler(args, model, v.n_tokens)
         out = _stream_generate(eng, model, sampler, toks, args.n_predict,

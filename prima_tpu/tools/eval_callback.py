@@ -52,8 +52,13 @@ def main(argv=None) -> int:
     logits, taps = jax.device_get(
         run(model.params, jnp.asarray([toks], jnp.int32)))
 
+    def order(n: str):
+        # execution order: embedding-side first, then by layer index
+        parts = n.split(".")
+        return ((int(parts[1]), n) if parts[0] == "blk" else (10**9, n))
+
     print(f"{'tensor':<28} {'rms':>12} {'col_min':>12} {'col_max':>12}")
-    for name in sorted(taps, key=lambda n: (len(n), n)):
+    for name in sorted(taps, key=order):
         ssq, cnt = taps[name]
         col_ms = np.asarray(ssq, np.float64) / max(int(cnt), 1)
         rms = float(np.sqrt(col_ms.mean()))

@@ -122,6 +122,6 @@ def test_cli_single_process_streamed(tiny_model):
                     "--matmul", "xla", "--no-display-prompt"])
     out = _run_cli(["-m", tiny_model, "-p", "Hello", "-n", "6", "--temp", "0",
                     "--matmul", "xla", "--no-display-prompt",
-                    "-ngl", "1", "-lw", "1", "-k", "2",
+                    "-ngl", "0", "-lw", "1", "-k", "2",
                     "--data-port", "23941"])
     assert out.strip() == ref.strip()
