@@ -440,7 +440,8 @@ def init_kv_stacked(cfg: ModelConfig, batch: int, max_seq: int,
 
 def forward_scan(params: dict, cfg: ModelConfig, tokens, positions,
                  kv, cache_pos, opts=None, return_hidden: bool = False,
-                 mask_positions: jax.Array | None = None):
+                 mask_positions: jax.Array | None = None,
+                 attn_mask: jax.Array | None = None):
     """Uniform-layer forward as ONE lax.scan over stacked layer params —
     XLA compiles a single layer body regardless of depth (the fast-compile
     path for benchmarks and uniform models; the indexable forward() remains
@@ -459,7 +460,11 @@ def forward_scan(params: dict, cfg: ModelConfig, tokens, positions,
     inv_freq, mscale = rope_freqs(cfg)
     t_cache = kv[0].shape[2]
     mpos = positions if mask_positions is None else mask_positions
-    if cfg.alibi_max_bias:  # bloom/mpt
+    if attn_mask is not None:
+        # caller-supplied additive mask (b,1,s,t) — non-causal visibility,
+        # e.g. the lookahead decoder's Jacobi/verification tree
+        mask = attn_mask
+    elif cfg.alibi_max_bias:  # bloom/mpt
         mask = alibi_mask(mpos, t_cache)
     else:
         mask = causal_mask(mpos, t_cache)
@@ -1113,6 +1118,7 @@ def forward(
     return_hidden: bool = False,
     taps: dict | None = None,
     mask_positions: jax.Array | None = None,
+    attn_mask: jax.Array | None = None,
 ):
     """Full or partial (layer-window) forward.
 
@@ -1142,7 +1148,11 @@ def forward(
     # write index; causal visibility must follow the physical cache order
     # (main.cpp:618-640), so the mask may use separate positions.
     mpos = positions if mask_positions is None else mask_positions
-    if cfg.alibi_max_bias:  # bloom/mpt: mask carries -|pos_i - j| distances
+    if attn_mask is not None:
+        # caller-supplied additive mask (b,1,s,t) — non-causal visibility,
+        # e.g. the lookahead decoder's Jacobi/verification tree
+        mask = attn_mask
+    elif cfg.alibi_max_bias:  # bloom/mpt: mask carries -|pos_i - j| distances
         mask = alibi_mask(mpos, t_cache)
     else:
         mask = causal_mask(mpos, t_cache)
