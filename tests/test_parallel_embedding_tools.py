@@ -1,0 +1,88 @@
+"""prima-parallel (examples/parallel) and prima-embedding
+(examples/embedding) CLI analogues."""
+
+import io
+import json
+import sys
+
+import numpy as np
+import pytest
+
+from prima_tpu.tools.make_tiny_gguf import make_tiny_gguf
+
+
+@pytest.fixture(scope="module")
+def tiny_model(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("m") / "tiny.gguf")
+    return make_tiny_gguf(path, seed=3)
+
+
+def _run(fn, args):
+    old = sys.stdout
+    sys.stdout = cap = io.StringIO()
+    try:
+        rc = fn(args)
+    finally:
+        sys.stdout = old
+    assert rc == 0
+    return cap.getvalue()
+
+
+def test_parallel_serves_all_sequences(tiny_model, capsys):
+    from prima_tpu.tools.parallel import main
+
+    out = _run(main, ["-m", tiny_model, "-np", "2", "-ns", "5", "-n", "6",
+                      "--matmul", "xla", "--temp", "0", "-c", "128"])
+    # every sequence produced a completed line with a stop reason
+    for seq in range(5):
+        assert f"[seq {seq:3d}]" in out
+    assert out.count("tok,") == 5
+    err = capsys.readouterr().err
+    assert "n_parallel = 2, n_sequences = 5" in err
+
+
+def test_parallel_batches_decodes(tiny_model, capsys):
+    """Continuous batching: 4 clients x 6 tokens must take far fewer decode
+    calls than 24 (the whole point of examples/parallel)."""
+    from prima_tpu.tools.parallel import main
+
+    _run(main, ["-m", tiny_model, "-np", "4", "-ns", "4", "-n", "6",
+                "--matmul", "xla", "--temp", "0", "-c", "128",
+                "--no-system"])
+    err = capsys.readouterr().err
+    calls = int(err.split("decode calls")[0].rsplit(",", 1)[-1].strip())
+    assert calls <= 12  # 4 slots decode together: ~6 calls + prefill ticks
+
+
+def test_embedding_json_and_similarity(tiny_model):
+    from prima_tpu.tools.embedding import main
+
+    out = _run(main, ["-m", tiny_model, "-p", "hello world\\ngoodbye moon",
+                      "--embd-output-format", "json+", "--matmul", "xla",
+                      "-c", "64"])
+    doc = json.loads(out)
+    assert len(doc["data"]) == 2
+    v0 = np.asarray(doc["data"][0]["embedding"])
+    assert np.isfinite(v0).all() and abs(np.linalg.norm(v0) - 1.0) < 1e-3
+    sim = doc["cosineSimilarity"]
+    assert len(sim) == 2 and abs(sim[0][0] - 1.0) < 0.02
+
+
+def test_embedding_default_matrix_output(tiny_model):
+    from prima_tpu.tools.embedding import main
+
+    out = _run(main, ["-m", tiny_model, "-p", "a b\\nc d", "--matmul", "xla",
+                      "-c", "64"])
+    assert "embedding 0:" in out and "cosine similarity matrix" in out
+
+
+def test_normalize_modes():
+    from prima_tpu.tools.embedding import normalize_embedding
+
+    v = np.asarray([3.0, -4.0], np.float32)
+    assert np.allclose(normalize_embedding(v, 2), [0.6, -0.8])
+    assert np.allclose(normalize_embedding(v, -1), v)
+    t = normalize_embedding(v, 1)  # taxicab
+    assert np.allclose(np.abs(t).sum(), 1.0)
+    m = normalize_embedding(v, 0)  # max-abs int16 scaling
+    assert np.abs(m).max() == pytest.approx(32760.0, rel=1e-3)
