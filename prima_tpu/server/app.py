@@ -414,18 +414,15 @@ def make_handler(ctx: ServerContext):
         def _infill(self, body: dict):
             """Fill-in-the-middle completion (server.cpp /infill): requires
             FIM special tokens in the vocab."""
-            v = tok.vocab
-            names = [("<|fim_prefix|>", "<|fim_suffix|>", "<|fim_middle|>"),
-                     ("<fim_prefix>", "<fim_suffix>", "<fim_middle>"),
-                     ("<|fim▁begin|>", "<|fim▁hole|>", "<|fim▁end|>"),
-                     ("<PRE>", "<SUF>", "<MID>")]
-            fim = next((t for t in names if all(n in v.token_to_id for n in t)), None)
-            if fim is None:
+            from ..tokenizer.fim import build_infill_prompt
+
+            try:
+                toks = build_infill_prompt(
+                    tok, body.get("input_prefix", ""),
+                    body.get("input_suffix", ""),
+                    spm_infill=bool(body.get("spm_infill", False)))
+            except ValueError:
                 return self._error(501, "model has no FIM tokens")
-            pre, suf, mid = (v.token_to_id[n] for n in fim)
-            toks = ([pre] + tok.encode(body.get("input_prefix", ""), add_special=False)
-                    + [suf] + tok.encode(body.get("input_suffix", ""), add_special=False)
-                    + [mid])
             req = self._prep(body, None, prompt_tokens=toks)
             for ev in ctx.worker.generate(req):
                 last = ev

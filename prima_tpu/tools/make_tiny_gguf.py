@@ -51,6 +51,7 @@ def make_tiny_gguf(
     ftype: GGMLType = GGMLType.Q4_K,
     seed: int = 0,
     arch: str = "llama",
+    extra_tokens: list[str] | None = None,
 ) -> str:
     rng = np.random.default_rng(seed)
     head_dim = n_embd // n_heads
@@ -68,7 +69,7 @@ def make_tiny_gguf(
     w.add_kv(f"{arch}.rope.dimension_count", head_dim)
 
     # tokenizer: copy from a vocab fixture if available, else byte vocab
-    if vocab_from and os.path.exists(vocab_from):
+    if vocab_from and os.path.exists(vocab_from) and not extra_tokens:
         src = GGUFModel.open(vocab_from)
         for key, val in src.metadata.items():
             if key.startswith("tokenizer."):
@@ -78,6 +79,10 @@ def make_tiny_gguf(
         src.close()
     else:
         kv = _byte_vocab()
+        for t in extra_tokens or []:  # appended as CONTROL (e.g. FIM)
+            kv["tokenizer.ggml.tokens"].append(t)
+            kv["tokenizer.ggml.token_type"].append(3)
+            kv["tokenizer.ggml.scores"].append(0.0)
         for key, val in kv.items():
             w.add_kv(key, val)
         n_vocab = len(kv["tokenizer.ggml.tokens"])
