@@ -86,3 +86,25 @@ def test_normalize_modes():
     assert np.allclose(np.abs(t).sum(), 1.0)
     m = normalize_embedding(v, 0)  # max-abs int16 scaling
     assert np.abs(m).max() == pytest.approx(32760.0, rel=1e-3)
+
+
+def test_batched_tool(tiny_model, capsys):
+    """prima-batched (examples/batched): N forked continuations, shared
+    prompt decoded once via prefix reuse."""
+    import io
+
+    from prima_tpu.tools.batched import main
+
+    old = sys.stdout
+    sys.stdout = cap = io.StringIO()
+    try:
+        rc = main(["-m", tiny_model, "-p", "Hello", "-np", "3", "-n", "6",
+                   "--matmul", "xla", "-c", "128", "--temp", "0.8"])
+    finally:
+        sys.stdout = old
+    assert rc == 0
+    out = cap.getvalue()
+    assert out.count("sequence ") == 3
+    err = capsys.readouterr().err
+    calls = int(err.split("decode calls")[0].rsplit("(", 1)[-1].strip())
+    assert calls <= 10  # 3 slots batched: ~6 decode ticks, not 18
