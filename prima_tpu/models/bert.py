@@ -246,9 +246,13 @@ class BertModelRuntime:
         return cls(cfg, params, tok)
 
     def embed(self, texts: list[str], normalize: bool = True,
-              matmul_impl: str = "xla") -> np.ndarray:
+              matmul_impl: str = "xla",
+              pooling: int | None = None) -> np.ndarray:
         """-> (n, e) pooled (and L2-normalized, like the server's
-        embedding endpoint) sentence embeddings."""
+        embedding endpoint) sentence embeddings. pooling overrides the
+        model's pooling_type (the --pooling flag, embedding.cpp)."""
+        if pooling is None:
+            pooling = self.cfg.pooling or PoolingType.MEAN
         out = []
         for text in texts:
             ids = self.tokenizer.encode(text, add_special=True)
@@ -257,7 +261,7 @@ class BertModelRuntime:
                                   matmul_impl=matmul_impl)
             vec = np.asarray(
                 pool(hidden, jnp.ones_like(toks, jnp.float32),
-                     self.cfg.pooling or PoolingType.MEAN)[0], np.float32)
+                     pooling)[0], np.float32)
             if normalize:
                 vec = vec / (np.linalg.norm(vec) + 1e-8)
             out.append(vec)

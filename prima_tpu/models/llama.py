@@ -462,8 +462,14 @@ def forward_scan(params: dict, cfg: ModelConfig, tokens, positions,
     mpos = positions if mask_positions is None else mask_positions
     if attn_mask is not None:
         # caller-supplied additive mask (b,1,s,t) — non-causal visibility,
-        # e.g. the lookahead decoder's Jacobi/verification tree
+        # e.g. the lookahead decoder's Jacobi/verification tree. Flash
+        # attention derives visibility from positions alone, so force the
+        # masked attention path.
         mask = attn_mask
+        if opts.attn_impl == "pallas":
+            import dataclasses as _dc
+
+            opts = _dc.replace(opts, attn_impl="xla")
     elif cfg.alibi_max_bias:  # bloom/mpt
         mask = alibi_mask(mpos, t_cache)
     else:
@@ -1150,8 +1156,14 @@ def forward(
     mpos = positions if mask_positions is None else mask_positions
     if attn_mask is not None:
         # caller-supplied additive mask (b,1,s,t) — non-causal visibility,
-        # e.g. the lookahead decoder's Jacobi/verification tree
+        # e.g. the lookahead decoder's Jacobi/verification tree. Flash
+        # attention derives visibility from positions alone, so force the
+        # masked attention path.
         mask = attn_mask
+        if opts.attn_impl == "pallas":
+            import dataclasses as _dc
+
+            opts = _dc.replace(opts, attn_impl="xla")
     elif cfg.alibi_max_bias:  # bloom/mpt: mask carries -|pos_i - j| distances
         mask = alibi_mask(mpos, t_cache)
     else:

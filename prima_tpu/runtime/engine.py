@@ -296,6 +296,36 @@ class Engine:
             slot.state = SlotState.DECODE  # everything but last token cached
         return slot
 
+    def fork(self, src: Slot, sampler: Sampler | None = None,
+             n_predict: int = -1, request_id: Any = None,
+             n_probs: int = 0) -> Slot:
+        """Fork src's ingested prompt into a new slot — the
+        llama_kv_cache_seq_cp fork (examples/batched/batched.cpp:139-143):
+        the new slot shares the already-decoded prefix without
+        re-prefilling. src must be fully prefilled."""
+        if src.state == SlotState.PREFILL:
+            raise ValueError("fork requires a fully prefilled source slot")
+        slot = self.find_idle_slot()
+        if slot is None:
+            raise RuntimeError("no idle slot")
+        self.kv.seq_cp(dst=slot.id, src=src.id)
+        slot.state = SlotState.DECODE
+        slot.prompt = list(src.prompt)
+        slot.n_prompt_done = src.n_prompt_done
+        slot.generated = list(src.generated)
+        slot.sampler = sampler or Sampler(SamplerParams(temp=0.0))
+        slot.n_predict = n_predict
+        slot.request_id = request_id
+        slot.stop_reason = None
+        slot.n_probs = n_probs
+        slot.ga_i = src.ga_i
+        slot.pos_delta = src.pos_delta
+        slot.pos_map = None if src.pos_map is None else src.pos_map.copy()
+        slot.shifts = list(src.shifts)
+        for t in slot.prompt:
+            slot.sampler.accept(t, accept_grammar=False)
+        return slot
+
     def cancel(self, request_id: Any) -> bool:
         """/v1/cancel analogue (server.cpp:2826)."""
         for s in self.slots:

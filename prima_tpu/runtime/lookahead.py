@@ -31,7 +31,6 @@ TPU-native design differences from the reference:
 from __future__ import annotations
 
 import dataclasses
-import functools
 from dataclasses import dataclass, field
 
 import jax
@@ -230,11 +229,16 @@ class LookaheadDecoder:
                     break  # scratch no longer fits the cache
 
                 g_cur = int(min(self.pool.cnt[cur], G))
+                # snapshot the verification n-grams NOW (ngrams_cur,
+                # lookahead.cpp:173-190): the observe step below mutates the
+                # pool mid-iteration, and verification must match the tokens
+                # actually in this batch
+                ngrams = self.pool.tokens[cur, :g_cur].copy()
                 batch[0] = cur
                 batch[self.v0:self.l0] = 0
                 for g in range(g_cur):
                     batch[self.v0 + g * (N - 1): self.v0 + (g + 1) * (N - 1)] = \
-                        self.pool.tokens[cur, g]
+                        ngrams[g]
                 batch[self.l0:self.lj] = tokens_j[0][1:]
                 for j in range(1, N - 1):
                     batch[self.lj + (j - 1) * W: self.lj + j * W] = tokens_j[j]
@@ -272,7 +276,7 @@ class LookaheadDecoder:
                     if v == N - 1:
                         active[:] = False
                     elif g_cur:
-                        active &= self.pool.tokens[cur, :g_cur, v] == tok
+                        active &= ngrams[:, v] == tok
 
                     # update Jacobi levels (lookahead.cpp:346-375)
                     tokens_j_prev = tokens_j[0]

@@ -48,15 +48,19 @@ def main(argv=None) -> int:
                  eog_ids=model.eog_ids)
     toks = model.tokenizer.encode(args.prompt, add_special=True)
 
-    # fork the prompt into n_parallel sequences; each slot's prefill reuses
-    # the previously ingested prefix, so the prompt is decoded once
-    slots = []
-    for i in range(args.parallel):
-        sampler = Sampler(SamplerParams(
+    # decode the prompt ONCE, then fork it into n_parallel sequences — the
+    # llama_kv_cache_seq_cp fork (batched.cpp:131-143)
+    def sampler_for(i):
+        return Sampler(SamplerParams(
             temp=args.temp, top_k=args.top_k, top_p=args.top_p,
             seed=args.seed + i), n_vocab=model.cfg.n_vocab)
-        slots.append(eng.submit(toks, sampler=sampler,
-                                n_predict=args.n_predict, request_id=i))
+
+    first = eng.submit(toks, sampler=sampler_for(0),
+                       n_predict=args.n_predict, request_id=0)
+    eng.prefill_only(first)
+    for i in range(1, args.parallel):
+        eng.fork(first, sampler=sampler_for(i), n_predict=args.n_predict,
+                 request_id=i)
 
     out: dict[int, list[int]] = {i: [] for i in range(args.parallel)}
     t0 = time.perf_counter()
@@ -64,7 +68,7 @@ def main(argv=None) -> int:
     while live:
         events = eng.step()
         if not events:
-            break
+            break  # all forked slots start in DECODE; [] means none left
         for ev in events:
             if ev.token is not None:
                 out[ev.request_id].append(ev.token)

@@ -77,11 +77,14 @@ def main(argv=None) -> int:
     if arch in ("bert", "nomic-bert", "jina-bert-v2"):
         # encoder-only models embed through the bert runtime (llama_encode
         # branch, embedding.cpp:44-48)
-        from ..models.bert import BertModelRuntime
+        from ..models.bert import BertModelRuntime, PoolingType
 
         rt = BertModelRuntime.load(args.model)
+        ptype = {"mean": PoolingType.MEAN, "last": PoolingType.LAST,
+                 "cls": PoolingType.CLS}[args.pooling]
         embs = [np.asarray(rt.embed([p], normalize=False,
-                                    matmul_impl=args.matmul)[0], np.float32)
+                                    matmul_impl=args.matmul,
+                                    pooling=ptype)[0], np.float32)
                 for p in prompts]
     else:
         from ..models.llama import ForwardOptions

@@ -95,9 +95,15 @@ def main(argv=None) -> int:
     while submit_next():
         pass
     n_decoded = n_done = 0
+    from ..runtime.engine import SlotState
+
     while n_done < args.sequences:
         events = eng.step()
         if not events:
+            # [] also happens on prefill-only ticks — keep stepping while
+            # any slot is still ingesting its prompt
+            if any(s.state == SlotState.PREFILL for s in eng.slots):
+                continue
             if not submit_next():
                 break  # nothing active and nothing left to submit
             continue

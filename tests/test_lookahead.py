@@ -126,3 +126,17 @@ def test_lookahead_tool_e2e(tmp_path):
                        "--matmul", "xla", "--lookahead-w", "4",
                        "--lookahead-n", "3", "--lookahead-g", "4"])
     assert plain.strip() in la.strip()
+
+
+def test_lossless_long_run_with_pool_churn(model):
+    """Regression: the n-gram pool mutates during a step (observe at v==0);
+    verification must use the snapshot taken at batch-build time or a
+    repeated first token desyncs accept decisions from the batch content."""
+    cfg, params = model
+    prompt = [7, 7, 7, 9]
+    plain = _engine(cfg, params).run_to_completion(prompt, n_predict=40)
+    la = LookaheadDecoder(_engine(cfg, params), W=5, N=4, G=3)
+    out, stats = la.generate(prompt, Sampler(SamplerParams(temp=0.0)),
+                             n_predict=40)
+    assert out == plain
+    assert stats.n_steps >= 1

@@ -108,3 +108,38 @@ def test_batched_tool(tiny_model, capsys):
     err = capsys.readouterr().err
     calls = int(err.split("decode calls")[0].rsplit("(", 1)[-1].strip())
     assert calls <= 10  # 3 slots batched: ~6 decode ticks, not 18
+
+
+def test_engine_fork_shares_prefill(tiny_model):
+    """Engine.fork: the forked slot continues from the source's KV without
+    re-prefilling, and greedy forks decode identically."""
+    import jax.numpy as jnp
+
+    from prima_tpu.models.llama import ForwardOptions
+    from prima_tpu.models.loader import load_model
+    from prima_tpu.runtime.engine import Engine
+
+    m = load_model(tiny_model)
+    eng = Engine(m.cfg, m.params, n_slots=3, max_seq=128, n_batch=32,
+                 opts=ForwardOptions(matmul_impl="xla", dtype=jnp.float32))
+    toks = m.tokenizer.encode("Hello world", add_special=True)
+    first = eng.submit(toks, n_predict=8, request_id=0)
+    eng.prefill_only(first)
+    prefill_tokens = eng.perf["n_prompt"]
+    eng.fork(first, n_predict=8, request_id=1)
+    eng.fork(first, n_predict=8, request_id=2)
+    assert eng.perf["n_prompt"] == prefill_tokens  # no extra prefill
+
+    out = {0: [], 1: [], 2: []}
+    live = {0, 1, 2}
+    while live:
+        events = eng.step()
+        if not events:
+            break
+        for ev in events:
+            if ev.token is not None:
+                out[ev.request_id].append(ev.token)
+            if ev.done:
+                live.discard(ev.request_id)
+    assert out[0] == out[1] == out[2]  # greedy forks are identical
+    assert len(out[0]) == 8
