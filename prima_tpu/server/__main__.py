@@ -61,6 +61,11 @@ def main(argv=None) -> int:
                     help="Self-Extend group window")
     ap.add_argument("--slot-save-path", default=env("SLOT_SAVE_PATH"),
                     help="confine /slots save/restore files to this dir")
+    ap.add_argument("--api-key", action="append", default=None,
+                    metavar="KEY", help="API key for Bearer auth on "
+                    "completion/embedding endpoints (repeatable)")
+    ap.add_argument("--api-key-file", default=env("API_KEY_FILE"),
+                    help="file with one API key per line")
     # distributed (mesh) mode: serve a piped-ring pipelined model — the
     # analogue of llama-server driving the distributed ring
     # (server.cpp:2431 llama_decode(ctx, batch_view, true))
@@ -213,9 +218,14 @@ def main(argv=None) -> int:
         spec = SpeculativeDecoder(engine, deng, n_draft=args.draft_max,
                                   p_min=args.draft_p_min)
 
+    api_keys = list(args.api_key or [])
+    if args.api_key_file:
+        with open(args.api_key_file) as f:
+            api_keys += [ln.strip() for ln in f if ln.strip()]
     httpd, _ctx = serve(model, engine, args.host, args.port, args.alias,
                         loras=loras, spec=spec,
-                        slot_save_dir=args.slot_save_path)
+                        slot_save_dir=args.slot_save_path,
+                        api_keys=api_keys)
     if loras:
         _ctx.set_lora_scales(
             [{"id": r["id"], "scale": r["scale"]} for r in loras])
@@ -319,7 +329,12 @@ def _ring_main(args) -> int:
                            n_keep=args.keep, grp_attn_n=args.grp_attn_n,
                            grp_attn_w=args.grp_attn_w,
                            streamed_host=streamed_host)
-    httpd, _ctx = serve(model, engine, args.host, args.port, args.alias)
+    api_keys = list(args.api_key or [])
+    if args.api_key_file:
+        with open(args.api_key_file) as f:
+            api_keys += [ln.strip() for ln in f if ln.strip()]
+    httpd, _ctx = serve(model, engine, args.host, args.port, args.alias,
+                        api_keys=api_keys)
     print(f"listening on http://{args.host}:{args.port} "
           f"(ring world={args.world})", file=sys.stderr)
     try:

@@ -29,10 +29,13 @@ from .scheduler import EngineWorker, GenerationRequest
 class ServerContext:
     def __init__(self, model: LoadedModel, engine: Engine, alias: str = "prima-tpu",
                  loras: list | None = None, spec=None,
-                 slot_save_dir: str | None = None):
+                 slot_save_dir: str | None = None,
+                 api_keys: list[str] | None = None):
         self.model = model
         self.engine = engine
         self.alias = alias
+        # --api-key auth (server.cpp middleware_validate_api_key @2743)
+        self.api_keys = set(api_keys or [])
         self.worker = EngineWorker(engine, model.tokenizer, spec=spec)
         self.chat_template = model.gguf.get("tokenizer.chat_template")
         self.t_start = time.time()
@@ -154,6 +157,24 @@ def make_handler(ctx: ServerContext):
         def _error(self, code: int, msg: str, etype: str = "invalid_request_error"):
             self._json(code, {"error": {"message": msg, "type": etype, "code": code}})
 
+        # endpoints requiring a valid Bearer key when --api-key is set
+        # (server.cpp middleware_validate_api_key protected_endpoints)
+        PROTECTED = {
+            "/props", "/completion", "/completions", "/v1/completions",
+            "/chat/completions", "/v1/chat/completions", "/infill",
+            "/tokenize", "/detokenize", "/embedding", "/embeddings",
+            "/v1/embeddings",
+        }
+
+        def _check_auth(self, path: str) -> bool:
+            if not ctx.api_keys or path not in self.PROTECTED:
+                return True
+            auth = self.headers.get("Authorization", "")
+            if auth.startswith("Bearer ") and auth[7:] in ctx.api_keys:
+                return True
+            self._error(401, "Invalid API Key", "authentication_error")
+            return False
+
         def _body(self) -> dict:
             n = int(self.headers.get("Content-Length", 0))
             if n == 0:
@@ -181,6 +202,8 @@ def make_handler(ctx: ServerContext):
 
         def do_GET(self):
             path = self.path.split("?")[0]
+            if not self._check_auth(path):
+                return
             if path == "/health":
                 self._json(200, {"status": "ok"})
             elif path in ("/", "/index.html"):
@@ -243,6 +266,8 @@ def make_handler(ctx: ServerContext):
 
         def do_POST(self):
             path = self.path.split("?")[0]
+            if not self._check_auth(path):
+                return
             try:
                 body = self._body()
             except json.JSONDecodeError:
@@ -496,9 +521,10 @@ def _usage(req: GenerationRequest) -> dict:
 def serve(model: LoadedModel, engine: Engine, host: str = "127.0.0.1", port: int = 8080,
           alias: str = "prima-tpu", loras: list | None = None, spec=None,
           slot_save_dir: str | None = None,
+          api_keys: list[str] | None = None,
           ) -> tuple[ThreadingHTTPServer, ServerContext]:
     ctx = ServerContext(model, engine, alias, loras=loras, spec=spec,
-                        slot_save_dir=slot_save_dir)
+                        slot_save_dir=slot_save_dir, api_keys=api_keys)
     ctx.start()
     httpd = ThreadingHTTPServer((host, port), make_handler(ctx))
     return httpd, ctx
