@@ -48,6 +48,35 @@ JAX_PLATFORMS=cpu PRIMA_PALLAS_INTERPRET=1 python -m prima_tpu.tools.speculative
 JAX_PLATFORMS=cpu PRIMA_PALLAS_INTERPRET=1 python -m prima_tpu.tools.batched_bench \
     -m "$TMP/tiny.gguf" -npp 8 -ntg 4 -npl 1 -c 64 --matmul xla | tail -1
 
+echo "== e2e smoke: lookahead/batched/embedding/infill/llama2c =="
+JAX_PLATFORMS=cpu PRIMA_PALLAS_INTERPRET=1 python -m prima_tpu.tools.lookahead \
+    -m "$TMP/tiny.gguf" -p "Hello" -n 6 --temp 0 --matmul xla \
+    --lookahead-w 4 --lookahead-n 3 --lookahead-g 4 2>/dev/null | tail -1
+JAX_PLATFORMS=cpu PRIMA_PALLAS_INTERPRET=1 python -m prima_tpu.tools.batched \
+    -m "$TMP/tiny.gguf" -p "Hello" -np 2 -n 4 -c 64 --matmul xla 2>/dev/null | tail -2
+JAX_PLATFORMS=cpu PRIMA_PALLAS_INTERPRET=1 python -m prima_tpu.tools.embedding \
+    -m "$TMP/tiny.gguf" -p 'a b\nc d' -c 64 --matmul xla 2>/dev/null | tail -2
+python - <<PYEOF
+# tiny llama2.c checkpoint for the converter smoke
+import struct, numpy as np
+dim, hid, L, H, KV, V, S = 32, 48, 1, 4, 2, 32, 8
+rng = np.random.default_rng(0)
+with open("$TMP/ak.bin", "wb") as f:
+    f.write(struct.pack("<7i", dim, hid, L, H, KV, V, S))
+    for shape in [(V, dim), (L, dim), (L, dim, dim), (L, dim * KV // H, dim),
+                  (L, dim * KV // H, dim), (L, dim, dim), (L, dim),
+                  (L, hid, dim), (L, dim, hid), (L, hid, dim), (dim,)]:
+        f.write(rng.standard_normal(shape).astype(np.float32).tobytes())
+    f.write(np.zeros(S * dim // H, np.float32).tobytes())
+with open("$TMP/ak_tok.bin", "wb") as f:
+    f.write(struct.pack("<I", 8))
+    for i in range(V):
+        t = f"t{i}".encode()
+        f.write(struct.pack("<fI", 0.0, len(t)) + t)
+PYEOF
+python -m prima_tpu.tools.convert_llama2c --copy-vocab-from-model "$TMP/ak_tok.bin" \
+    --llama2c-model "$TMP/ak.bin" --llama2c-output-model "$TMP/ak.gguf" 2>&1 | tail -1
+
 echo "== e2e smoke: 2-process distributed ring =="
 PORT=$(( (RANDOM % 2000) + 20000 ))
 JAX_PLATFORMS=cpu PRIMA_PALLAS_INTERPRET=1 python -m prima_tpu.tools.cli \
