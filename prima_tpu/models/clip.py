@@ -1,0 +1,263 @@
+"""CLIP ViT vision encoder + LLaVA projector — mmproj GGUF consumer.
+
+The analogue of the reference's examples/llava/clip.cpp: loads a
+`mmproj-*.gguf` (KV namespace `clip.vision.*`, tensors `v.*` / `mm.*`,
+clip.cpp:85-145), encodes preprocessed images into patch embeddings, and
+projects them into the language model's embedding space.
+
+Faithful behavioral details (clip.cpp build graph @582-815):
+- patch conv2d (+ optional bias), class token at position 0, learned
+  position embeddings, optional pre/post LayerNorm
+- with a llava projector the transformer runs block_count - 1 layers
+  (the penultimate "vision_feature_layer", @682)
+- attention is bidirectional multi-head with q/k/v/out biases
+- FFN activation: gelu when `clip.use_gelu` else quick-gelu (@747-751)
+- NOTE the GGUF names are swapped vs HF: `ffn_down` = HF mlp.fc1
+  (hidden->intermediate) and `ffn_up` = fc2 (convert_image_encoder_to_
+  gguf.py:48, clip.cpp:1482-1483); this module follows the GGUF wire
+  convention
+- projector `mlp`: mm.0 linear -> gelu -> mm.2 linear, class token
+  dropped (@785-792); `mlp_norm`: mm.0 -> LN mm.1 -> gelu -> mm.3 ->
+  LN mm.4 (@793-813)
+
+Unsupported (clearly rejected): the MobileVLM `ldp`/`ldpv2` conv
+projectors and the minicpmv resampler.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# LLaVA's pad-to-square background color (mean RGB * 255, clip.cpp:1998)
+PAD_COLOR = (122, 116, 104)
+
+
+@dataclass
+class ClipVisionConfig:
+    image_size: int
+    patch_size: int
+    n_embd: int
+    n_ff: int
+    n_layers: int
+    n_heads: int
+    eps: float
+    proj_dim: int
+    use_gelu: bool
+    projector_type: str
+    image_mean: tuple = (0.48145466, 0.4578275, 0.40821073)
+    image_std: tuple = (0.26862954, 0.26130258, 0.27577711)
+    mm_patch_merge_type: str = "flat"
+
+    @property
+    def n_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    @classmethod
+    def from_gguf(cls, m) -> "ClipVisionConfig":
+        if not m.get("clip.has_vision_encoder"):
+            raise ValueError("mmproj GGUF has no vision encoder")
+        proj = str(m.get("clip.projector_type") or "mlp")
+        if proj not in ("mlp", "mlp_norm"):
+            raise NotImplementedError(
+                f"clip projector type {proj!r} not supported (mlp/mlp_norm only)")
+        return cls(
+            image_size=int(m.get("clip.vision.image_size")),
+            patch_size=int(m.get("clip.vision.patch_size")),
+            n_embd=int(m.get("clip.vision.embedding_length")),
+            n_ff=int(m.get("clip.vision.feed_forward_length")),
+            n_layers=int(m.get("clip.vision.block_count")),
+            n_heads=int(m.get("clip.vision.attention.head_count")),
+            eps=float(m.get("clip.vision.attention.layer_norm_epsilon")
+                      or 1e-5),
+            proj_dim=int(m.get("clip.vision.projection_dim") or 0),
+            use_gelu=bool(m.get("clip.use_gelu")),
+            projector_type=proj,
+            image_mean=tuple(np.asarray(
+                m.get("clip.vision.image_mean")
+                if m.get("clip.vision.image_mean") is not None
+                else (0.48145466, 0.4578275, 0.40821073), np.float64)),
+            image_std=tuple(np.asarray(
+                m.get("clip.vision.image_std")
+                if m.get("clip.vision.image_std") is not None
+                else (0.26862954, 0.26130258, 0.27577711), np.float64)),
+            mm_patch_merge_type=str(m.get("clip.vision.mm_patch_merge_type")
+                                    or "flat"),
+        )
+
+
+def load_clip_params(m, cfg: ClipVisionConfig, dtype=jnp.float32) -> dict:
+    """Load mmproj tensors (clip.cpp:1440-1508 names) as jax arrays."""
+    from ..quant.dequant_np import dequantize_tensor
+
+    def t(name, required=True):
+        ti = m.tensors.get(name)
+        if ti is None:
+            if required:
+                raise KeyError(f"mmproj missing tensor {name}")
+            return None
+        return jnp.asarray(dequantize_tensor(ti), dtype)
+
+    p: dict[str, Any] = {
+        "patch_embd": t("v.patch_embd.weight"),      # (hid, 3, ps, ps)
+        "patch_bias": t("v.patch_embd.bias", False),
+        "class_embd": t("v.class_embd", False),
+        "pos_embd": t("v.position_embd.weight"),
+        "pre_ln_w": t("v.pre_ln.weight", False),
+        "pre_ln_b": t("v.pre_ln.bias", False),
+        "post_ln_w": t("v.post_ln.weight", False),
+        "post_ln_b": t("v.post_ln.bias", False),
+        "layers": [],
+    }
+    for i in range(cfg.n_layers):
+        pre = f"v.blk.{i}."
+        p["layers"].append({
+            k: t(pre + n) for k, n in [
+                ("ln1_w", "ln1.weight"), ("ln1_b", "ln1.bias"),
+                ("q_w", "attn_q.weight"), ("q_b", "attn_q.bias"),
+                ("k_w", "attn_k.weight"), ("k_b", "attn_k.bias"),
+                ("v_w", "attn_v.weight"), ("v_b", "attn_v.bias"),
+                ("o_w", "attn_out.weight"), ("o_b", "attn_out.bias"),
+                ("ln2_w", "ln2.weight"), ("ln2_b", "ln2.bias"),
+                ("ffi_w", "ffn_down.weight"), ("ffi_b", "ffn_down.bias"),
+                ("ffo_w", "ffn_up.weight"), ("ffo_b", "ffn_up.bias"),
+            ]})
+    # projector
+    if cfg.projector_type == "mlp":
+        for k in ("mm.0.weight", "mm.0.bias", "mm.2.weight", "mm.2.bias"):
+            p[k] = t(k)
+    else:  # mlp_norm
+        for k in ("mm.0.weight", "mm.0.bias", "mm.1.weight", "mm.1.bias",
+                  "mm.3.weight", "mm.3.bias", "mm.4.weight", "mm.4.bias"):
+            p[k] = t(k)
+    return p
+
+
+def _ln(x, w, b, eps):
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(axis=-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * w + b).astype(x.dtype)
+
+
+def _gelu(x, use_gelu: bool):
+    xf = x.astype(jnp.float32)
+    if use_gelu:
+        g = 0.5 * xf * (1.0 + jnp.tanh(
+            np.float32(0.7978845608028654) * (xf + 0.044715 * xf ** 3)))
+    else:  # quick gelu (ggml_gelu_quick): x * sigmoid(1.702 x)
+        g = xf * jax.nn.sigmoid(np.float32(1.702) * xf)
+    return g.astype(x.dtype)
+
+
+def clip_encode_image(params: dict, cfg: ClipVisionConfig,
+                      pixels: jax.Array) -> jax.Array:
+    """pixels (3, H, W) f32 normalized -> projected patch embeddings
+    (n_patches, llm_embd). The full clip.cpp graph for one image."""
+    ps, hid = cfg.patch_size, cfg.n_embd
+    n_side = cfg.image_size // ps
+    # patch conv2d == unfold + matmul on the MXU
+    patches = pixels.reshape(3, n_side, ps, n_side, ps)
+    patches = patches.transpose(1, 3, 0, 2, 4).reshape(n_side * n_side,
+                                                       3 * ps * ps)
+    kernel = params["patch_embd"].reshape(hid, 3 * ps * ps)
+    x = patches @ kernel.T  # (n_patches, hid)
+    if params.get("patch_bias") is not None:
+        x = x + params["patch_bias"]
+    if params.get("class_embd") is not None:
+        x = jnp.concatenate([params["class_embd"][None], x], axis=0)
+    x = x + params["pos_embd"][: x.shape[0]]
+    if params.get("pre_ln_w") is not None:
+        x = _ln(x, params["pre_ln_w"], params["pre_ln_b"], cfg.eps)
+
+    n_heads = cfg.n_heads
+    hd = hid // n_heads
+    scale = 1.0 / np.sqrt(hd)
+    # llava feature layer: penultimate (clip.cpp:682 `il < n_layer - 1`)
+    for layer in params["layers"][: cfg.n_layers - 1]:
+        h = _ln(x, layer["ln1_w"], layer["ln1_b"], cfg.eps)
+        q = (h @ layer["q_w"].T + layer["q_b"]) * scale
+        k = h @ layer["k_w"].T + layer["k_b"]
+        v = h @ layer["v_w"].T + layer["v_b"]
+        n = h.shape[0]
+        q = q.reshape(n, n_heads, hd).transpose(1, 0, 2)
+        k = k.reshape(n, n_heads, hd).transpose(1, 0, 2)
+        v = v.reshape(n, n_heads, hd).transpose(1, 0, 2)
+        att = jax.nn.softmax(
+            jnp.einsum("hqd,hkd->hqk", q, k,
+                       preferred_element_type=jnp.float32), axis=-1)
+        o = jnp.einsum("hqk,hkd->hqd", att.astype(v.dtype), v)
+        o = o.transpose(1, 0, 2).reshape(n, hid)
+        x = x + (o @ layer["o_w"].T + layer["o_b"])
+        h = _ln(x, layer["ln2_w"], layer["ln2_b"], cfg.eps)
+        h = _gelu(h @ layer["ffi_w"].T + layer["ffi_b"], cfg.use_gelu)
+        x = x + (h @ layer["ffo_w"].T + layer["ffo_b"])
+
+    if params.get("post_ln_w") is not None:
+        x = _ln(x, params["post_ln_w"], params["post_ln_b"], cfg.eps)
+
+    # drop the class token (ggml_get_rows with patches = 1..n, @774-781)
+    if params.get("class_embd") is not None:
+        x = x[1:]
+
+    # llava projector
+    x = x @ params["mm.0.weight"].T + params["mm.0.bias"]
+    if cfg.projector_type == "mlp":
+        x = _gelu(x, True)
+        x = x @ params["mm.2.weight"].T + params["mm.2.bias"]
+    else:  # mlp_norm (@793-813)
+        x = _ln(x, params["mm.1.weight"], params["mm.1.bias"], cfg.eps)
+        x = _gelu(x, True)
+        x = x @ params["mm.3.weight"].T + params["mm.3.bias"]
+        x = _ln(x, params["mm.4.weight"], params["mm.4.bias"], cfg.eps)
+    return x
+
+
+def preprocess_image(img: np.ndarray, cfg: ClipVisionConfig) -> np.ndarray:
+    """LLaVA-1.5 preprocessing (clip.cpp:1971-2010 + 2040-2075): pad the
+    shorter side to square with the mean background color, bicubic-resize
+    to image_size, scale to [0,1] and normalize with CLIP mean/std.
+    img: (H, W, 3) uint8 RGB. -> (3, S, S) float32."""
+    from PIL import Image
+
+    h, w = img.shape[:2]
+    if h != w:
+        side = max(h, w)
+        canvas = np.empty((side, side, 3), np.uint8)
+        canvas[:, :] = PAD_COLOR
+        canvas[:h, :w] = img
+        img = canvas
+    pil = Image.fromarray(img).resize(
+        (cfg.image_size, cfg.image_size), Image.BICUBIC)
+    x = np.asarray(pil, np.float32) / 255.0
+    mean = np.asarray(cfg.image_mean, np.float32)
+    std = np.asarray(cfg.image_std, np.float32)
+    x = (x - mean) / std
+    return x.transpose(2, 0, 1)  # (3, S, S)
+
+
+@dataclass
+class ClipModel:
+    cfg: ClipVisionConfig
+    params: dict = field(repr=False)
+
+    @classmethod
+    def load(cls, path: str, dtype=jnp.float32) -> "ClipModel":
+        from ..gguf.reader import GGUFModel
+
+        m = GGUFModel.open(path)
+        cfg = ClipVisionConfig.from_gguf(m)
+        params = load_clip_params(m, cfg, dtype)
+        m.close()
+        return cls(cfg, params)
+
+    def encode(self, img: np.ndarray) -> np.ndarray:
+        """uint8 (H, W, 3) image -> (n_patches, llm_embd) f32."""
+        px = jnp.asarray(preprocess_image(img, self.cfg))
+        return np.asarray(clip_encode_image(self.params, self.cfg, px),
+                          np.float32)

@@ -1125,15 +1125,22 @@ def forward(
     taps: dict | None = None,
     mask_positions: jax.Array | None = None,
     attn_mask: jax.Array | None = None,
+    inputs_embeds: jax.Array | None = None,
 ):
     """Full or partial (layer-window) forward.
+
+    inputs_embeds (b, s, e) replaces the token-embedding lookup — the
+    multimodal path where image patch embeddings are spliced into the
+    sequence (llava_eval_image_embed, examples/llava/llava.cpp:409-436).
 
     With layer_range=(lo, hi), runs layers [lo, hi) taking hidden_in instead
     of embeddings when lo > 0 and returning hidden states when hi < n_layers
     — the building block for pipeline windows.
     """
     lo, hi = layer_range or (0, cfg.n_layers)
-    if lo == 0:
+    if lo == 0 and inputs_embeds is not None:
+        x = inputs_embeds.astype(opts.dtype)
+    elif lo == 0:
         x = embed(params["tok_embd"], tokens, opts.dtype)
         if cfg.embd_scale != 1.0:  # gemma: sqrt(n_embd) input scaling
             x = x * np.float32(cfg.embd_scale)
