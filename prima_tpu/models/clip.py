@@ -52,6 +52,7 @@ class ClipVisionConfig:
     image_mean: tuple = (0.48145466, 0.4578275, 0.40821073)
     image_std: tuple = (0.26862954, 0.26130258, 0.27577711)
     mm_patch_merge_type: str = "flat"
+    grid_pinpoints: tuple = ()  # llava-1.6 anyres resolutions (w,h pairs)
 
     @property
     def n_patches(self) -> int:
@@ -87,6 +88,11 @@ class ClipVisionConfig:
                 else (0.26862954, 0.26130258, 0.27577711), np.float64)),
             mm_patch_merge_type=str(m.get("clip.vision.mm_patch_merge_type")
                                     or "flat"),
+            grid_pinpoints=tuple(
+                int(x) for x in np.ravel(np.asarray(
+                    m.get("clip.vision.image_grid_pinpoints")
+                    if m.get("clip.vision.image_grid_pinpoints") is not None
+                    else [], np.int64))),
         )
 
 
@@ -241,6 +247,74 @@ def preprocess_image(img: np.ndarray, cfg: ClipVisionConfig) -> np.ndarray:
     return x.transpose(2, 0, 1)  # (3, S, S)
 
 
+def select_best_resolution(size: tuple[int, int],
+                           resolutions) -> tuple[int, int]:
+    """(w, h) of the pinpoint that maximizes effective resolution, then
+    minimizes waste (clip.cpp:1746-1770)."""
+    ow, oh = size
+    best, best_eff, best_waste = None, 0, 1 << 62
+    for rw, rh in resolutions:
+        scale = min(rw / ow, rh / oh)
+        eff = min(int(ow * scale) * int(oh * scale), ow * oh)
+        waste = rw * rh - eff
+        if eff > best_eff or (eff == best_eff and waste < best_waste):
+            best, best_eff, best_waste = (rw, rh), eff, waste
+    return best
+
+
+def resize_and_pad(img: np.ndarray, target: tuple[int, int]) -> np.ndarray:
+    """Aspect-preserving bicubic resize centered on a black canvas
+    (resize_and_pad_image, clip.cpp:1697-1737)."""
+    from PIL import Image
+
+    tw, th = target
+    h, w = img.shape[:2]
+    scale_w, scale_h = tw / w, th / h
+    if scale_w < scale_h:
+        nw, nh = tw, min(int(np.ceil(h * scale_w)), th)
+    else:
+        nh, nw = th, min(int(np.ceil(w * scale_h)), tw)
+    resized = np.asarray(Image.fromarray(img).resize((nw, nh), Image.BICUBIC))
+    canvas = np.zeros((th, tw, 3), np.uint8)
+    py, px = (th - nh) // 2, (tw - nw) // 2
+    canvas[py:py + nh, px:px + nw] = resized
+    return canvas
+
+
+def anyres_tiles(img: np.ndarray, cfg: ClipVisionConfig
+                 ) -> tuple[list[np.ndarray], tuple[int, int]]:
+    """llava-1.6 anyres preprocessing (clip.cpp:2015-2040): [base square
+    resize of the original] + image_size tiles of the best-fit padded
+    image. Returns (uint8 tiles, (grid_w, grid_h))."""
+    from PIL import Image
+
+    pins = cfg.grid_pinpoints
+    res = [(pins[i], pins[i + 1]) for i in range(0, len(pins) - 1, 2)]
+    h, w = img.shape[:2]
+    best = select_best_resolution((w, h), res)
+    padded = resize_and_pad(img, best)
+    s = cfg.image_size
+    tiles = [np.asarray(Image.fromarray(img).resize((s, s), Image.BICUBIC))]
+    for y in range(0, best[1], s):
+        for x in range(0, best[0], s):
+            tiles.append(padded[y:y + s, x:x + s])
+    return tiles, (best[0] // s, best[1] // s)
+
+
+def merge_anyres_embeds(tile_embeds: list[np.ndarray],
+                        grid: tuple[int, int], n_side: int) -> np.ndarray:
+    """Assemble [base | spatially-merged grid] the way
+    clip_llava_handle_patches does (llava.cpp:99-224, the no-unpad/
+    no-newline variant): grid tiles (gh, gw, s, s, D) -> permute
+    (gh, s, gw, s, D) -> flatten."""
+    gw, gh = grid
+    base, rest = tile_embeds[0], np.stack(tile_embeds[1:])
+    d = base.shape[-1]
+    merged = rest.reshape(gh, gw, n_side, n_side, d) \
+        .transpose(0, 2, 1, 3, 4).reshape(-1, d)
+    return np.concatenate([base, merged], axis=0)
+
+
 @dataclass
 class ClipModel:
     cfg: ClipVisionConfig
@@ -256,8 +330,27 @@ class ClipModel:
         m.close()
         return cls(cfg, params)
 
+    def _normalize(self, tile: np.ndarray) -> np.ndarray:
+        x = tile.astype(np.float32) / 255.0
+        mean = np.asarray(self.cfg.image_mean, np.float32)
+        std = np.asarray(self.cfg.image_std, np.float32)
+        return ((x - mean) / std).transpose(2, 0, 1)
+
     def encode(self, img: np.ndarray) -> np.ndarray:
-        """uint8 (H, W, 3) image -> (n_patches, llm_embd) f32."""
-        px = jnp.asarray(preprocess_image(img, self.cfg))
-        return np.asarray(clip_encode_image(self.params, self.cfg, px),
+        """uint8 (H, W, 3) image -> (n_img_pos, llm_embd) f32.
+
+        llava-1.5: one pad-to-square tile (n_patches rows). llava-1.6
+        (spatial_unpad + grid pinpoints): base tile + spatially merged
+        grid tiles (llava.cpp clip_llava_handle_patches)."""
+        cfg = self.cfg
+        if cfg.mm_patch_merge_type == "spatial_unpad" and cfg.grid_pinpoints:
+            tiles, grid = anyres_tiles(img, cfg)
+            embeds = [np.asarray(
+                clip_encode_image(self.params, cfg,
+                                  jnp.asarray(self._normalize(t))),
+                np.float32) for t in tiles]
+            return merge_anyres_embeds(embeds, grid,
+                                       cfg.image_size // cfg.patch_size)
+        px = jnp.asarray(preprocess_image(img, cfg))
+        return np.asarray(clip_encode_image(self.params, cfg, px),
                           np.float32)

@@ -45,7 +45,9 @@ def map_name(name: str) -> str:
 
 def convert(vision_model, output: str, projector: dict | None = None,
             use_gelu: bool = False, projector_type: str = "mlp",
-            image_mean=None, image_std=None) -> None:
+            image_mean=None, image_std=None,
+            image_grid_pinpoints=None,
+            mm_patch_merge_type: str | None = None) -> None:
     """vision_model: transformers CLIPVisionModel (or compatible with
     .config and .state_dict()). projector: {"mm.0.weight": array, ...}
     already in wire names."""
@@ -75,6 +77,11 @@ def convert(vision_model, output: str, projector: dict | None = None,
         image_mean or (0.48145466, 0.4578275, 0.40821073), np.float32))
     w.add_kv("clip.vision.image_std", np.asarray(
         image_std or (0.26862954, 0.26130258, 0.27577711), np.float32))
+    if image_grid_pinpoints:  # llava-1.6 anyres
+        flat = np.asarray(image_grid_pinpoints, np.int32).reshape(-1)
+        w.add_kv("clip.vision.image_grid_pinpoints", flat)
+    if mm_patch_merge_type:
+        w.add_kv("clip.vision.mm_patch_merge_type", mm_patch_merge_type)
 
     skip = {"vision_model.embeddings.position_ids",
             # llava uses the penultimate features; post_ln never runs

