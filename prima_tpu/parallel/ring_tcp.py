@@ -556,6 +556,23 @@ class TcpRingEngine:
     def n_slots(self) -> int:
         return self.G * self.Bg
 
+    class _CachePosView:
+        """cache_pos facade indexed by GLOBAL slot id — the rollback
+        handle the SpeculativeDecoder uses after partial acceptance
+        (truncation is metadata-only on the ring: workers read cache_pos
+        per meta, so lowering it here rolls every rank back)."""
+
+        def __init__(self, eng: "TcpRingEngine"):
+            self._e = eng
+
+        def __getitem__(self, slot) -> int:
+            g, b = divmod(int(slot), self._e.Bg)
+            return int(self._e.core.kvc[g].cache_pos[b])
+
+        def __setitem__(self, slot, value) -> None:
+            g, b = divmod(int(slot), self._e.Bg)
+            self._e.core.kvc[g].cache_pos[b] = int(value)
+
     class _KVView:
         """kv facade for the server's /slots endpoints + state save."""
 
@@ -570,6 +587,10 @@ class TcpRingEngine:
             # truncation is metadata-only: workers read cache_pos per meta
             g, b = divmod(int(slot), self._e.Bg)
             self._e.core.kvc[g].seq_rm(b, p0, p1)
+
+        @property
+        def cache_pos(self) -> "TcpRingEngine._CachePosView":
+            return TcpRingEngine._CachePosView(self._e)
 
         @property
         def max_seq(self) -> int:

@@ -198,6 +198,38 @@ def run_distributed(args, prompt: str) -> int:
                                        args.n_predict, args.reverse_prompt)
                 msgs.append({"role": "assistant", "content": out})
                 print()
+        elif getattr(args, "model_draft", None):
+            # distributed speculative decoding: the draft model lives WHOLE
+            # on rank 0 (server.cpp:715-733 / speculative.cpp:73-76) and the
+            # ring engine batch-verifies the chain across all ranks
+            from ..models.loader import load_model
+            from ..runtime.engine import Engine
+            from ..runtime.speculative import SpeculativeDecoder
+
+            dmodel = load_model(args.model_draft)
+            deng = Engine(dmodel.cfg, dmodel.params, n_slots=1,
+                          max_seq=args.ctx_size, opts=opts,
+                          eog_ids=dmodel.eog_ids)
+            spec = SpeculativeDecoder(
+                eng, deng, n_draft=getattr(args, "draft_max", 8),
+                p_min=getattr(args, "draft_p_min", 0.75))
+            toks = tok.encode(prompt, add_special=True, parse_special=True)
+            if not args.no_display_prompt:
+                sys.stdout.write(prompt)
+            if args.n_predict != 0:
+                sampler = make_sampler(args, model, tok.vocab.n_tokens)
+                n = args.n_predict if args.n_predict > 0 else 128
+                buf = b""
+                for chunk in spec.generate_stream(toks, sampler, n):
+                    for t in chunk:
+                        buf += tok.decode_token_bytes(t)
+                        try:
+                            sys.stdout.write(buf.decode("utf-8"))
+                            buf = b""
+                            sys.stdout.flush()
+                        except UnicodeDecodeError:
+                            continue
+            sys.stdout.write("\n")
         else:
             toks = tok.encode(prompt, add_special=True, parse_special=True)
             if not args.no_display_prompt:

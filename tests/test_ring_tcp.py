@@ -352,3 +352,32 @@ def test_ring_streamed_windows_match_single(tiny, windows, k, ngl):
     ref, err = single.communicate(timeout=420)
     assert single.returncode == 0, err[-2000:]
     assert out0.strip() == ref.strip()
+
+
+@pytest.mark.parametrize("draft_seed", [3, 9])
+def test_ring_speculative_matches_plain(tiny, tmp_path, draft_seed):
+    """-md over the 2-process ring: draft whole on rank 0, ring-verified
+    target (server.cpp:715-733 semantics) — lossless vs the plain ring.
+    draft_seed 3 = perfect draft (full acceptance); 9 = a different model
+    whose mismatches exercise the ring KV rollback."""
+    draft = tiny if draft_seed == 3 else make_tiny_gguf(
+        str(tmp_path / "draft.gguf"), n_layers=2, seed=draft_seed)
+    port = _free_port()
+    common = ["-m", tiny, "-c", "64", "--matmul", "xla",
+              "--data-port", str(port), "-w", "2", "-lw", "2,2"]
+    p0 = _run_rank(common + ["--rank", "0", "-p", "Hello", "-n", "6",
+                             "--temp", "0", "--no-display-prompt",
+                             "-md", draft, "--draft-max", "3"])
+    p1 = _run_rank(common + ["--rank", "1"])
+    out0, err0 = p0.communicate(timeout=420)
+    out1, err1 = p1.communicate(timeout=60)
+    assert p0.returncode == 0, err0[-2000:]
+    assert p1.returncode == 0, err1[-2000:]
+
+    single = _run_rank(["-m", tiny, "-c", "64", "--matmul", "xla",
+                        "-p", "Hello", "-n", "6", "--temp", "0",
+                        "--no-display-prompt"])
+    ref, err = single.communicate(timeout=420)
+    assert single.returncode == 0, err[-2000:]
+    assert out0.strip() == ref.strip()
+    assert len(out0.strip()) > 0
