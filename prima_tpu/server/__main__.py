@@ -329,12 +329,26 @@ def _ring_main(args) -> int:
                            n_keep=args.keep, grp_attn_n=args.grp_attn_n,
                            grp_attn_w=args.grp_attn_w,
                            streamed_host=streamed_host)
+    spec = None
+    if args.model_draft:
+        # ring speculative serving: draft whole on rank 0, ring-verified
+        # target (server.cpp:715-733)
+        from ..models.loader import load_model
+        from ..runtime.engine import Engine
+        from ..runtime.speculative import SpeculativeDecoder
+
+        dmodel = load_model(args.model_draft)
+        deng = Engine(dmodel.cfg, dmodel.params, n_slots=engine.n_slots,
+                      max_seq=args.ctx_size, opts=opts,
+                      eog_ids=dmodel.eog_ids)
+        spec = SpeculativeDecoder(engine, deng, n_draft=args.draft_max,
+                                  p_min=args.draft_p_min)
     api_keys = list(args.api_key or [])
     if args.api_key_file:
         with open(args.api_key_file) as f:
             api_keys += [ln.strip() for ln in f if ln.strip()]
     httpd, _ctx = serve(model, engine, args.host, args.port, args.alias,
-                        api_keys=api_keys)
+                        spec=spec, api_keys=api_keys)
     print(f"listening on http://{args.host}:{args.port} "
           f"(ring world={args.world})", file=sys.stderr)
     try:

@@ -381,3 +381,66 @@ def test_ring_speculative_matches_plain(tiny, tmp_path, draft_seed):
     assert single.returncode == 0, err[-2000:]
     assert out0.strip() == ref.strip()
     assert len(out0.strip()) > 0
+
+
+def test_ring_http_server_speculative(tiny):
+    """Ring serving with -md: per-slot speculative decoding with the draft
+    on rank 0 and ring-verified target — greedy output matches the
+    non-speculative ring server."""
+    import http.client
+    import json as _json
+    import time
+
+    def _serve_and_ask(extra):
+        port = _free_port() + 500
+        http_port = _free_port() + 600
+        env = {"JAX_PLATFORMS": "cpu", "PRIMA_PALLAS_INTERPRET": "1",
+               "PATH": "/usr/bin:/bin:/usr/local/bin", "HOME": "/root"}
+        common = ["-m", tiny, "-w", "2", "--data-port", str(port),
+                  "-lw", "2,2", "-c", "64", "-np", "2", "-b", "16",
+                  "--matmul", "xla"]
+        p0 = subprocess.Popen(
+            [sys.executable, "-m", "prima_tpu.server"] + common +
+            ["--rank", "0", "--port", str(http_port)] + extra,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            cwd="/root/repo", text=True)
+        p1 = subprocess.Popen(
+            [sys.executable, "-m", "prima_tpu.server"] + common +
+            ["--rank", "1"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+            cwd="/root/repo", text=True)
+        try:
+            deadline = time.time() + 240
+            status = None
+            while time.time() < deadline:
+                try:
+                    conn = http.client.HTTPConnection(
+                        "127.0.0.1", http_port, timeout=5)
+                    conn.request("GET", "/health")
+                    status = conn.getresponse().status
+                    conn.close()
+                    if status == 200:
+                        break
+                except OSError:
+                    time.sleep(1.0)
+            assert status == 200, f"server never came up (rc={p0.poll()})"
+            conn = http.client.HTTPConnection("127.0.0.1", http_port,
+                                              timeout=180)
+            conn.request("POST", "/v1/completions",
+                         _json.dumps({"prompt": "Hi", "max_tokens": 5,
+                                      "temperature": 0}),
+                         {"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            body = _json.loads(resp.read())
+            conn.close()
+            assert resp.status == 200, body
+            return body["choices"][0]["text"]
+        finally:
+            p0.terminate()
+            p1.terminate()
+            p0.wait(timeout=30)
+            p1.wait(timeout=30)
+
+    spec = _serve_and_ask(["-md", tiny, "--draft-max", "3"])
+    plain = _serve_and_ask([])
+    assert spec == plain and len(spec) > 0
