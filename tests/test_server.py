@@ -404,3 +404,29 @@ def test_server_speculative_mode(tmp_path_factory):
     finally:
         httpd.shutdown()
         ctx.worker.shutdown()
+
+
+def test_sampling_seed_consistency(server):
+    """results.feature analogue: same seed -> identical sampled output;
+    different seeds -> (tiny vocab, temp 1) allowed to differ; seeded
+    sampling is stable across concurrent load (varying effective batch)."""
+    port, _ = server
+    body = {"prompt": "abc", "max_tokens": 8, "temperature": 1.0, "seed": 42}
+    _, d1 = _req(port, "POST", "/v1/completions", body)
+    _, d2 = _req(port, "POST", "/v1/completions", body)
+    t1 = json.loads(d1)["choices"][0]["text"]
+    t2 = json.loads(d2)["choices"][0]["text"]
+    assert t1 == t2
+
+    # same seed while another slot decodes concurrently (batch size varies)
+    import threading
+
+    other = threading.Thread(target=_req, args=(
+        port, "POST", "/v1/completions",
+        {"prompt": "zzz", "max_tokens": 16, "temperature": 1.0, "seed": 7}))
+    other.start()
+    try:
+        _, d3 = _req(port, "POST", "/v1/completions", body)
+    finally:
+        other.join()
+    assert json.loads(d3)["choices"][0]["text"] == t1
