@@ -350,3 +350,17 @@ def test_eval_callback_tool(tiny, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "blk.0.attn_q.weight" in out and "logits:" in out
+
+
+def test_gen_docs(tmp_path):
+    """prima-gen-docs (examples/gen-docs analogue) writes per-tool help."""
+    from prima_tpu.tools.gen_docs import main
+
+    out = str(tmp_path / "cli")
+    assert main(["-o", out]) == 0
+    import os
+
+    files = os.listdir(out)
+    assert "README.md" in files and "cli.md" in files and "server.md" in files
+    text = open(os.path.join(out, "cli.md")).read()
+    assert "--prompt" in text or "-p" in text
