@@ -75,8 +75,9 @@ def main(argv=None) -> int:
                     help="tensor-parallel ranks per stage")
     ap.add_argument("--dp", type=int, default=int(env("DP", 1)),
                     help="data-parallel replicas")
-    ap.add_argument("-k", "--n-cycles", type=int, default=1,
-                    help="piped-ring cycles per token (reference -k)")
+    ap.add_argument("-k", "--n-cycles", type=int, default=0,
+                    help="piped-ring cycles per token (reference -k; "
+                         "0 = solver-chosen in ring mode, 1 in mesh mode)")
     # multi-process (TCP ring) mode: one server process per host, rank 0
     # serves HTTP — the reference's llama-server -w/--rank flow
     ap.add_argument("-w", "--world", type=int, default=int(env("WORLD", 1)),
@@ -159,7 +160,7 @@ def main(argv=None) -> int:
         bpm = max(1, -(-args.parallel // micro))  # slots = micro * bpm
         bpm = -(-bpm // args.dp) * args.dp  # dp shards the microbatch rows
         spec = PipeSpec.for_model(cfg, n_pp=args.pp, n_tp=args.tp,
-                                  n_dp=args.dp, k_cycles=args.n_cycles,
+                                  n_dp=args.dp, k_cycles=args.n_cycles or 1,
                                   microbatches=micro)
         pallas = args.matmul == "pallas"
         params = build_pipe_model(
@@ -242,67 +243,23 @@ def _ring_main(args) -> int:
     workers = batched window service loops. The analogue of running
     llama-server as the rank-0 command of a prima.cpp ring
     (reference README 'use prima.cpp in your apps' + server.cpp:2431)."""
-    import jax.numpy as jnp  # noqa: F401
+    from ..parallel.ring_tcp import TcpRingEngine, TcpRingWorker
+    from ..tools.cli_distributed import setup_ring
 
-    from ..gguf.reader import GGUFModel
-    from ..models.config import ModelConfig
-    from ..models.llama import ForwardOptions, load_params
-    from ..parallel.bootstrap import RingConfig, RingNode
-    from ..parallel.ring_host import RingPlan
-    from ..parallel.ring_tcp import RingContext, TcpRingEngine, TcpRingWorker
-
-    if not args.n_layer_window:
-        print("ring serving requires -lw windows (manual mode); run "
-              "prima-cli for auto-scheduled rings", file=sys.stderr)
-        return 1
-    windows = [int(x) for x in args.n_layer_window.split(",")]
-    if len(windows) != args.world:
-        print(f"-lw needs {args.world} entries", file=sys.stderr)
-        return 1
-    plan = RingPlan(windows=windows, k=args.n_cycles)
     n_slots = max(1, args.parallel)
     n_groups = max(1, min(args.world, n_slots))
     while n_slots % n_groups:
         n_groups -= 1
 
-    node = RingNode(RingConfig(
-        rank=args.rank, world=args.world, master_ip=args.master_ip,
-        next_ip=args.next_ip, data_port=args.data_port))
-    node.connect_ring()
-    ctx = RingContext(node, plan, args.rank, args.world)
-
-    m = GGUFModel.open(args.model)
-    cfg = ModelConfig.from_gguf(m)
-    ranges = plan.layer_ranges()[args.rank]
-    owned = set()
-    for lo, hi in ranges:
-        owned.update(range(lo, hi))
-    opts = ForwardOptions(matmul_impl=args.matmul)
-    # resident/streamed split (manual mode: all resident unless -ngl given)
-    streamed_ids: set[int] = set()
-    if args.n_gpu_layers >= 0:
-        for lo, hi in ranges:
-            nr = min(args.n_gpu_layers, hi - lo)
-            streamed_ids.update(range(lo, hi - nr))
-    resident = owned - streamed_ids
-    params = load_params(m, cfg, layer_filter=lambda i: i in resident,
-                         with_embedding=args.rank == 0,
-                         with_output=args.rank == 0, fuse=args.fuse)
-    streamed_host = None
-    if streamed_ids:
-        from ..models.llama import gguf_host_layer
-        from ..runtime.streaming import pack_host_layer
-
-        print(f"rank {args.rank}: streaming {len(streamed_ids)} of "
-              f"{len(owned)} layers from host RAM", file=sys.stderr)
-        streamed_host = {
-            i: pack_host_layer(gguf_host_layer(m, cfg, i),
-                               pallas=args.matmul == "pallas")
-            for i in sorted(streamed_ids)}
-    # quantized cache type applies on EVERY rank (the reference's -ctk is a
-    # per-device context param; windows must agree on the storage format)
-    kv_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16,
-                "q8_0": "q8_0", "q4_0": "q4_0"}[args.cache_type]
+    # shared bootstrap: ring connect, auto schedule (profile + MILP) when
+    # -lw is absent, rank-filtered load, resident/streamed split, relays
+    rt = setup_ring(args)
+    if rt is None:
+        return 0
+    node, ctx, cfg, params = rt.node, rt.ctx, rt.cfg, rt.params
+    m, opts, kv_dtype = rt.m, rt.opts, rt.kv_dtype
+    streamed_host, owned = rt.streamed_host, rt.owned
+    args.rank, args.world = rt.res.rank, rt.res.world
 
     if args.rank != 0:
         worker = TcpRingWorker(ctx, cfg, params, max_seq=args.ctx_size,

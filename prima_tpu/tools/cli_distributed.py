@@ -24,19 +24,26 @@ def parse_lw(s: str | None) -> list[int] | None:
     return [int(x) for x in s.split(",")]
 
 
-def run_distributed(args, prompt: str) -> int:
+def setup_ring(args):
+    """Bootstrap one TCP-ring rank: connect (with optional topology
+    rebuild), auto-schedule via profile + MILP unless -lw is given, load
+    the rank's windowed params with the resident/streamed split, and
+    return everything a master or worker runtime needs. Returns None when
+    this rank was assigned no layers (it relayed until STOP and exited) —
+    the shared half of llama_init_from_gpt_params (common.cpp:1663-2003),
+    used by both the CLI and the ring server."""
+    import types
+
     import jax.numpy as jnp
 
     from ..gguf.reader import GGUFModel
-    from ..models.config import ModelConfig
+    from ..models.config import ModelConfig, apply_rope_overrides
     from ..models.llama import ForwardOptions, load_params
     from ..parallel.bootstrap import RingConfig, RingNode, bootstrap
     from ..parallel.ring_host import RingPlan
-    from ..models.config import apply_rope_overrides
-    from ..parallel.ring_tcp import RingContext, TcpRingEngine, TcpRingWorker, relay_loop
+    from ..parallel.ring_tcp import RingContext, relay_loop
     from ..profiler.device import profile_device
     from ..profiler.model_cost import model_cost_from_gguf
-    from ..tokenizer import Tokenizer
 
     node = RingNode(RingConfig(
         rank=args.rank, world=args.world, master_ip=args.master_ip,
@@ -97,7 +104,7 @@ def run_distributed(args, prompt: str) -> int:
         print("No layer is assigned to me; relaying.", file=sys.stderr)
         relay_loop(node)
         node.close()
-        return 0
+        return None
 
     plan = RingPlan(windows=res.w, k=res.k)
     ctx = RingContext(node, plan, res.rank, res.world)
@@ -140,6 +147,22 @@ def run_distributed(args, prompt: str) -> int:
     kv_dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16,
                 "q8_0": "q8_0", "q4_0": "q4_0"}[
                     getattr(args, "cache_type", "bf16")]
+    return types.SimpleNamespace(
+        node=node, ctx=ctx, cfg=cfg, params=params, res=res, m=m,
+        opts=opts, kv_dtype=kv_dtype, streamed_host=streamed_host,
+        owned=owned)
+
+
+def run_distributed(args, prompt: str) -> int:
+    from ..parallel.ring_tcp import TcpRingEngine, TcpRingWorker
+    from ..tokenizer import Tokenizer
+
+    rt = setup_ring(args)
+    if rt is None:
+        return 0
+    node, ctx, cfg, params = rt.node, rt.ctx, rt.cfg, rt.params
+    res, m, opts, kv_dtype = rt.res, rt.m, rt.opts, rt.kv_dtype
+    streamed_host = rt.streamed_host
     if res.rank != 0:
         worker = TcpRingWorker(ctx, cfg, params, max_seq=args.ctx_size,
                                opts=opts, kv_dtype=kv_dtype,

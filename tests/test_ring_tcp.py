@@ -444,3 +444,79 @@ def test_ring_http_server_speculative(tiny):
     spec = _serve_and_ask(["-md", tiny, "--draft-max", "3"])
     plain = _serve_and_ask([])
     assert spec == plain and len(spec) > 0
+
+
+def test_ring_auto_schedule_two_process(tiny):
+    """No -lw: rank 0 profiles, gathers worker profiles, solves the MILP,
+    broadcasts windows — the full llama_init_from_gpt_params auto flow —
+    and greedy output still matches the single-chip run."""
+    port = _free_port() + 700
+    common = ["-m", tiny, "-c", "64", "--matmul", "xla",
+              "--data-port", str(port), "-w", "2"]
+    p0 = _run_rank(common + ["--rank", "0", "-p", "Hello", "-n", "6",
+                             "--temp", "0", "--no-display-prompt"])
+    p1 = _run_rank(common + ["--rank", "1"])
+    out0, err0 = p0.communicate(timeout=600)
+    out1, err1 = p1.communicate(timeout=60)
+    assert p0.returncode == 0, err0[-2000:]
+    assert p1.returncode == 0, err1[-2000:]
+    single = _run_rank(["-m", tiny, "-c", "64", "--matmul", "xla",
+                        "-p", "Hello", "-n", "6", "--temp", "0",
+                        "--no-display-prompt"])
+    ref, err = single.communicate(timeout=420)
+    assert single.returncode == 0, err[-2000:]
+    assert out0.strip() == ref.strip() and len(out0.strip()) > 0
+
+
+def test_ring_server_auto_schedule(tiny):
+    """The ring SERVER also auto-schedules without -lw (shared setup_ring
+    bootstrap) and serves completions."""
+    import http.client
+    import json as _json
+    import time
+
+    port = _free_port() + 800
+    http_port = _free_port() + 900
+    env = {"JAX_PLATFORMS": "cpu", "PRIMA_PALLAS_INTERPRET": "1",
+           "PATH": "/usr/bin:/bin:/usr/local/bin", "HOME": "/root"}
+    common = ["-m", tiny, "-w", "2", "--data-port", str(port),
+              "-c", "64", "-np", "2", "-b", "16", "--matmul", "xla"]
+    p0 = subprocess.Popen(
+        [sys.executable, "-m", "prima_tpu.server"] + common +
+        ["--rank", "0", "--port", str(http_port)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+        cwd="/root/repo", text=True)
+    p1 = subprocess.Popen(
+        [sys.executable, "-m", "prima_tpu.server"] + common + ["--rank", "1"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env,
+        cwd="/root/repo", text=True)
+    try:
+        deadline = time.time() + 300
+        status = None
+        while time.time() < deadline:
+            try:
+                conn = http.client.HTTPConnection("127.0.0.1", http_port,
+                                                  timeout=5)
+                conn.request("GET", "/health")
+                status = conn.getresponse().status
+                conn.close()
+                if status == 200:
+                    break
+            except OSError:
+                time.sleep(1.0)
+        assert status == 200, f"server never came up (rc={p0.poll()})"
+        conn = http.client.HTTPConnection("127.0.0.1", http_port, timeout=120)
+        conn.request("POST", "/v1/completions",
+                     _json.dumps({"prompt": "Hi", "max_tokens": 4,
+                                  "temperature": 0}),
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        body = _json.loads(resp.read())
+        conn.close()
+        assert resp.status == 200, body
+        assert len(body["choices"][0]["text"]) > 0
+    finally:
+        p0.terminate()
+        p1.terminate()
+        p0.wait(timeout=30)
+        p1.wait(timeout=30)
