@@ -322,7 +322,9 @@ class Engine:
         slot.pos_delta = src.pos_delta
         slot.pos_map = None if src.pos_map is None else src.pos_map.copy()
         slot.shifts = list(src.shifts)
-        for t in slot.prompt:
+        # seed the sampler with the slot's FULL context — prompt AND any
+        # already-generated tokens (the penalty window must match the KV)
+        for t in slot.prompt + slot.generated:
             slot.sampler.accept(t, accept_grammar=False)
         return slot
 

@@ -7,6 +7,15 @@ import os
 import sys
 
 
+def _load_api_keys(args) -> list[str]:
+    """--api-key flags plus one key per line of --api-key-file."""
+    keys = list(args.api_key or [])
+    if args.api_key_file:
+        with open(args.api_key_file) as f:
+            keys += [ln.strip() for ln in f if ln.strip()]
+    return keys
+
+
 def main(argv=None) -> int:
     def env(name, default=None):
         return os.environ.get(f"LLAMA_ARG_{name}", default)
@@ -219,14 +228,10 @@ def main(argv=None) -> int:
         spec = SpeculativeDecoder(engine, deng, n_draft=args.draft_max,
                                   p_min=args.draft_p_min)
 
-    api_keys = list(args.api_key or [])
-    if args.api_key_file:
-        with open(args.api_key_file) as f:
-            api_keys += [ln.strip() for ln in f if ln.strip()]
     httpd, _ctx = serve(model, engine, args.host, args.port, args.alias,
                         loras=loras, spec=spec,
                         slot_save_dir=args.slot_save_path,
-                        api_keys=api_keys)
+                        api_keys=_load_api_keys(args))
     if loras:
         _ctx.set_lora_scales(
             [{"id": r["id"], "scale": r["scale"]} for r in loras])
@@ -300,12 +305,8 @@ def _ring_main(args) -> int:
                       eog_ids=dmodel.eog_ids)
         spec = SpeculativeDecoder(engine, deng, n_draft=args.draft_max,
                                   p_min=args.draft_p_min)
-    api_keys = list(args.api_key or [])
-    if args.api_key_file:
-        with open(args.api_key_file) as f:
-            api_keys += [ln.strip() for ln in f if ln.strip()]
     httpd, _ctx = serve(model, engine, args.host, args.port, args.alias,
-                        spec=spec, api_keys=api_keys)
+                        spec=spec, api_keys=_load_api_keys(args))
     print(f"listening on http://{args.host}:{args.port} "
           f"(ring world={args.world})", file=sys.stderr)
     try:

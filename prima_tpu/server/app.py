@@ -157,21 +157,29 @@ def make_handler(ctx: ServerContext):
         def _error(self, code: int, msg: str, etype: str = "invalid_request_error"):
             self._json(code, {"error": {"message": msg, "type": etype, "code": code}})
 
-        # endpoints requiring a valid Bearer key when --api-key is set
-        # (server.cpp middleware_validate_api_key protected_endpoints)
+        # endpoints requiring a valid Bearer key when --api-key is set —
+        # the reference list (server.cpp middleware_validate_api_key) plus
+        # the state-mutating/inference endpoints it forgot (rerank, slots,
+        # lora, cancel); /health, /v1/models and /metrics stay public
         PROTECTED = {
             "/props", "/completion", "/completions", "/v1/completions",
             "/chat/completions", "/v1/chat/completions", "/infill",
             "/tokenize", "/detokenize", "/embedding", "/embeddings",
-            "/v1/embeddings",
+            "/v1/embeddings", "/rerank", "/reranking", "/v1/rerank",
+            "/v1/reranking", "/lora-adapters", "/v1/cancel", "/slots",
         }
 
         def _check_auth(self, path: str) -> bool:
-            if not ctx.api_keys or path not in self.PROTECTED:
+            protected = path in self.PROTECTED or path.startswith("/slots/")
+            if not ctx.api_keys or not protected:
                 return True
             auth = self.headers.get("Authorization", "")
             if auth.startswith("Bearer ") and auth[7:] in ctx.api_keys:
                 return True
+            # drain the body so the 401 does not desync HTTP/1.1 keep-alive
+            n = int(self.headers.get("Content-Length", 0) or 0)
+            while n > 0:
+                n -= len(self.rfile.read(min(n, 65536)))
             self._error(401, "Invalid API Key", "authentication_error")
             return False
 

@@ -45,6 +45,11 @@ class Vocab:
     cls_id: int = -1  # BERT/WPM [CLS] (used as bos)
     add_bos: bool = False
     add_eos: bool = False
+    # FIM/infill specials (llama_token_prefix/suffix/middle): codellama
+    # GGUFs carry these as explicit KVs
+    fim_pre_id: int = -1
+    fim_suf_id: int = -1
+    fim_mid_id: int = -1
     add_space_prefix: bool = True
     ignore_merges: bool = False
     remove_extra_whitespaces: bool = False  # UGM normalization option
@@ -103,6 +108,9 @@ class Vocab:
             cls_id=int(g("tokenizer.ggml.cls_token_id", -1)),
             add_bos=bool(g("tokenizer.ggml.add_bos_token", spm)),
             add_eos=bool(g("tokenizer.ggml.add_eos_token", False)),
+            fim_pre_id=int(g("tokenizer.ggml.prefix_token_id", -1)),
+            fim_suf_id=int(g("tokenizer.ggml.suffix_token_id", -1)),
+            fim_mid_id=int(g("tokenizer.ggml.middle_token_id", -1)),
             add_space_prefix=bool(g("tokenizer.ggml.add_space_prefix", spm)),
             ignore_merges=False,
             remove_extra_whitespaces=bool(

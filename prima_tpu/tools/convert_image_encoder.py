@@ -88,8 +88,11 @@ def convert(vision_model, output: str, projector: dict | None = None,
             # (should_skip_tensor, convert_image_encoder_to_gguf.py:27)
             "vision_model.post_layernorm.weight",
             "vision_model.post_layernorm.bias"}
+    # the final encoder layer is beyond block_count and never loaded —
+    # don't ship its dead weight
+    last = f"vision_model.encoder.layers.{int(cfg.num_hidden_layers) - 1}."
     for name, tensor in vision_model.state_dict().items():
-        if name in skip:
+        if name in skip or name.startswith(last):
             continue
         data = np.asarray(tensor.detach().cpu().numpy(), np.float32)
         w.add_tensor(map_name(name), np.ascontiguousarray(data))
@@ -111,6 +114,13 @@ def main(argv=None) -> int:
     ap.add_argument("-o", "--output", default="mmproj.gguf")
     ap.add_argument("--use-gelu", action="store_true",
                     help="plain GELU instead of CLIP's quick-gelu")
+    ap.add_argument("--projector-type", default="mlp",
+                    choices=["mlp", "mlp_norm"])
+    ap.add_argument("--image-grid-pinpoints", default=None,
+                    help="llava-1.6 anyres resolutions as JSON, e.g. "
+                         '"[[336,672],[672,336]]"')
+    ap.add_argument("--mm-patch-merge-type", default=None,
+                    choices=[None, "flat", "spatial_unpad"])
     args = ap.parse_args(argv)
 
     from transformers import CLIPVisionModel
@@ -135,7 +145,15 @@ def main(argv=None) -> int:
         for k, v in sd.items():
             base, leaf = k.rsplit(".", 1)
             proj[ren.get(base, base) + "." + leaf] = v
-    convert(vm, args.output, projector=proj, use_gelu=args.use_gelu)
+    pinpoints = None
+    if args.image_grid_pinpoints:
+        import json
+
+        pinpoints = json.loads(args.image_grid_pinpoints)
+    convert(vm, args.output, projector=proj, use_gelu=args.use_gelu,
+            projector_type=args.projector_type,
+            image_grid_pinpoints=pinpoints,
+            mm_patch_merge_type=args.mm_patch_merge_type)
     return 0
 
 

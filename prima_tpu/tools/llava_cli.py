@@ -88,8 +88,10 @@ class LlavaRuntime:
         out = []
         for _ in range(n_predict):
             tok = sampler.sample_and_accept(logits)
+            if tok in eog_ids:
+                break  # never emit the EOG token itself
             out.append(tok)
-            if tok in eog_ids or self.pos + 1 > self.max_seq:
+            if self.pos + 1 > self.max_seq:
                 break
             logits = self.eval_tokens([tok])
         return out

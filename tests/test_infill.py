@@ -26,12 +26,14 @@ def test_detect_and_build(fim_model):
     assert fim is not None
     pre, suf, mid = fim
     toks = build_infill_prompt(m.tokenizer, "ab", "cd")
-    assert toks[0] == pre and toks[-1] == mid and suf in toks
+    bos = m.tokenizer.vocab.bos_id
+    assert toks[0] == bos  # BOS leads the infill prompt (infill.cpp:210)
+    assert toks[1] == pre and toks[-1] == mid and suf in toks
     # PSM: prefix body comes before the suffix marker
     i_suf = toks.index(suf)
-    assert i_suf > 1
+    assert i_suf > 2
     spm = build_infill_prompt(m.tokenizer, "ab", "cd", spm_infill=True)
-    assert spm[0] == suf and spm[-1] == mid and pre in spm
+    assert spm[0] == bos and spm[1] == suf and spm[-1] == mid and pre in spm
     assert sorted(spm) == sorted(toks)  # same tokens, different order
 
 
@@ -69,3 +71,21 @@ def test_infill_tool_rejects_plain_model(tmp_path, capsys):
     make_tiny_gguf(path, seed=3, vocab_from=None)
     assert main(["-m", path, "--matmul", "xla"]) == 1
     assert "no FIM" in capsys.readouterr().err
+
+
+def test_fim_kv_ids_preferred(tmp_path):
+    """Explicit tokenizer.ggml.prefix/suffix/middle_token_id KVs win over
+    name probing (codellama GGUFs carry SPM pieces like '▁<PRE>' that the
+    name table can't always see)."""
+    from prima_tpu.models.loader import load_model
+    from prima_tpu.tokenizer.fim import detect_fim_tokens
+
+    path = str(tmp_path / "kvfim.gguf")
+    make_tiny_gguf(path, seed=3, extra_tokens=["▁<PRE>", "▁<SUF>", "▁<MID>"])
+    m = load_model(path)
+    ids = detect_fim_tokens(m.tokenizer.vocab)
+    assert ids is not None  # the ▁-escaped codellama family is probed
+    # explicit KVs take precedence when present
+    v = m.tokenizer.vocab
+    v.fim_pre_id, v.fim_suf_id, v.fim_mid_id = 7, 8, 9
+    assert detect_fim_tokens(v) == (7, 8, 9)
