@@ -76,6 +76,19 @@ with open("$TMP/ak_tok.bin", "wb") as f:
 PYEOF
 python -m prima_tpu.tools.convert_llama2c --copy-vocab-from-model "$TMP/ak_tok.bin" \
     --llama2c-model "$TMP/ak.bin" --llama2c-output-model "$TMP/ak.gguf" 2>&1 | tail -1
+JAX_PLATFORMS=cpu PRIMA_PALLAS_INTERPRET=1 python - <<PYEOF
+# infill (FIM-capable fixture) + gritlm non-causal embed smokes
+from prima_tpu.tools.make_tiny_gguf import make_tiny_gguf
+make_tiny_gguf("$TMP/fim.gguf", seed=3,
+               extra_tokens=["<|fim_prefix|>", "<|fim_suffix|>", "<|fim_middle|>"])
+from prima_tpu.tools.infill import main as infill_main
+assert infill_main(["-m", "$TMP/fim.gguf", "--in-prefix", "def f():",
+                    "--in-suffix", "return x", "-n", "4", "--temp", "0",
+                    "--matmul", "xla", "-c", "64"]) == 0
+from prima_tpu.tools.gritlm import main as gritlm_main
+assert gritlm_main(["-m", "$TMP/tiny.gguf", "--mode", "embed",
+                    "-p", "a b\\nc d", "--matmul", "xla"]) == 0
+PYEOF
 
 echo "== e2e smoke: 2-process distributed ring =="
 PORT=$(( (RANDOM % 2000) + 20000 ))
