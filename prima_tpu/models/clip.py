@@ -63,9 +63,10 @@ class ClipVisionConfig:
         if not m.get("clip.has_vision_encoder"):
             raise ValueError("mmproj GGUF has no vision encoder")
         proj = str(m.get("clip.projector_type") or "mlp")
-        if proj not in ("mlp", "mlp_norm"):
+        if proj not in ("mlp", "mlp_norm", "ldp", "ldpv2"):
             raise NotImplementedError(
-                f"clip projector type {proj!r} not supported (mlp/mlp_norm only)")
+                f"clip projector type {proj!r} not supported "
+                "(mlp/mlp_norm/ldp/ldpv2)")
         return cls(
             image_size=int(m.get("clip.vision.image_size")),
             patch_size=int(m.get("clip.vision.patch_size")),
@@ -134,13 +135,111 @@ def load_clip_params(m, cfg: ClipVisionConfig, dtype=jnp.float32) -> dict:
             ]})
     # projector
     if cfg.projector_type == "mlp":
-        for k in ("mm.0.weight", "mm.0.bias", "mm.2.weight", "mm.2.bias"):
-            p[k] = t(k)
-    else:  # mlp_norm
-        for k in ("mm.0.weight", "mm.0.bias", "mm.1.weight", "mm.1.bias",
-                  "mm.3.weight", "mm.3.bias", "mm.4.weight", "mm.4.bias"):
-            p[k] = t(k)
+        keys = ["mm.0.weight", "mm.0.bias", "mm.2.weight", "mm.2.bias"]
+    elif cfg.projector_type == "mlp_norm":
+        keys = ["mm.0.weight", "mm.0.bias", "mm.1.weight", "mm.1.bias",
+                "mm.3.weight", "mm.3.bias", "mm.4.weight", "mm.4.bias"]
+    elif cfg.projector_type == "ldp":  # MobileVLM (clip.cpp:1409-1434)
+        keys = ["mm.model.mlp.1.weight", "mm.model.mlp.1.bias",
+                "mm.model.mlp.3.weight", "mm.model.mlp.3.bias"]
+        for b in (1, 2):
+            pre = f"mm.model.mb_block.{b}.block"
+            keys += [f"{pre}.0.0.weight", f"{pre}.0.1.weight",
+                     f"{pre}.0.1.bias", f"{pre}.1.fc1.weight",
+                     f"{pre}.1.fc1.bias", f"{pre}.1.fc2.weight",
+                     f"{pre}.1.fc2.bias", f"{pre}.2.0.weight",
+                     f"{pre}.2.1.weight", f"{pre}.2.1.bias"]
+    else:  # ldpv2 (MobileVLM v2)
+        keys = ["mm.model.mlp.0.weight", "mm.model.mlp.0.bias",
+                "mm.model.mlp.2.weight", "mm.model.mlp.2.bias",
+                "mm.model.peg.0.weight", "mm.model.peg.0.bias"]
+    for k in keys:
+        p[k] = t(k)
     return p
+
+
+def _hardswish(x):
+    return x * jnp.clip(x + 3.0, 0.0, 6.0) / 6.0
+
+
+def _hardsigmoid(x):
+    return jnp.clip(x + 3.0, 0.0, 6.0) / 6.0
+
+
+def _dw_conv3x3(x, w, stride: int):
+    """Depthwise 3x3 conv, padding 1 (ggml_conv_depthwise_2d).
+    x (C, H, W), w (C, 1, 3, 3) -> (C, H/stride, W/stride)."""
+    out = jax.lax.conv_general_dilated(
+        x[None], w, window_strides=(stride, stride),
+        padding=((1, 1), (1, 1)), feature_group_count=x.shape[0],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+    return out[0]
+
+
+def _ldp_block(x, p, prefix: str, eps: float, stride: int,
+               residual: bool) -> jax.Array:
+    """One MobileVLM LDP inverted-residual block (clip.cpp:815-923):
+    depthwise conv -> channel LN -> hardswish -> squeeze-excite ->
+    pointwise linear -> channel LN (-> +residual). x (C, H, W)."""
+    h = _dw_conv3x3(x, p[f"{prefix}.0.0.weight"], stride)
+    t = h.transpose(1, 2, 0)  # (H, W, C): LN over channels
+    t = _ln(t, p[f"{prefix}.0.1.weight"], p[f"{prefix}.0.1.bias"], eps)
+    hw = _hardswish(t.transpose(2, 0, 1))
+    se = hw.mean(axis=(1, 2))  # global avg pool (C,)
+    se = jnp.maximum(se @ p[f"{prefix}.1.fc1.weight"].T
+                     + p[f"{prefix}.1.fc1.bias"], 0.0)
+    se = _hardsigmoid(se @ p[f"{prefix}.1.fc2.weight"].T
+                      + p[f"{prefix}.1.fc2.bias"])
+    h = hw * se[:, None, None]
+    c, hh, ww = h.shape
+    t = h.transpose(1, 2, 0).reshape(hh * ww, c)  # (HW, C)
+    t = t @ p[f"{prefix}.2.0.weight"].T  # pointwise, no bias
+    t = _ln(t, p[f"{prefix}.2.1.weight"], p[f"{prefix}.2.1.bias"], eps)
+    out = t.reshape(hh, ww, c).transpose(2, 0, 1)
+    return out + x if residual else out
+
+
+def apply_projector(params: dict, cfg: ClipVisionConfig,
+                    x: jax.Array) -> jax.Array:
+    """Project ViT patch features (n_patches, vis_hidden) into the LM's
+    embedding space. mlp/mlp_norm return n_patches rows; ldp/ldpv2
+    downsample 2x2 (clip.cpp:770-955)."""
+    if cfg.projector_type in ("mlp", "mlp_norm"):
+        x = x @ params["mm.0.weight"].T + params["mm.0.bias"]
+        if cfg.projector_type == "mlp":
+            x = _gelu(x, True)
+            return x @ params["mm.2.weight"].T + params["mm.2.bias"]
+        x = _ln(x, params["mm.1.weight"], params["mm.1.bias"], cfg.eps)
+        x = _gelu(x, True)
+        x = x @ params["mm.3.weight"].T + params["mm.3.bias"]
+        return _ln(x, params["mm.4.weight"], params["mm.4.bias"], cfg.eps)
+
+    n_side = cfg.image_size // cfg.patch_size
+    if cfg.projector_type == "ldp":
+        h = x @ params["mm.model.mlp.1.weight"].T \
+            + params["mm.model.mlp.1.bias"]
+        h = _gelu(h, True)
+        h = h @ params["mm.model.mlp.3.weight"].T \
+            + params["mm.model.mlp.3.bias"]
+        c = h.shape[-1]
+        grid = h.reshape(n_side, n_side, c).transpose(2, 0, 1)  # (C, H, W)
+        grid = _ldp_block(grid, params, "mm.model.mb_block.1.block",
+                          cfg.eps, stride=1, residual=True)
+        grid = _ldp_block(grid, params, "mm.model.mb_block.2.block",
+                          cfg.eps, stride=2, residual=False)
+        return grid.transpose(1, 2, 0).reshape(-1, c)
+
+    # ldpv2: mlp -> 2x2 avg pool -> depthwise positional-encoding residual
+    h = x @ params["mm.model.mlp.0.weight"].T + params["mm.model.mlp.0.bias"]
+    h = _gelu(h, True)
+    h = h @ params["mm.model.mlp.2.weight"].T + params["mm.model.mlp.2.bias"]
+    c = h.shape[-1]
+    grid = h.reshape(n_side, n_side, c).transpose(2, 0, 1)
+    grid = grid.reshape(c, n_side // 2, 2, n_side // 2, 2).mean(axis=(2, 4))
+    peg = _dw_conv3x3(grid, params["mm.model.peg.0.weight"], 1)
+    out = (peg.transpose(1, 2, 0) + params["mm.model.peg.0.bias"]
+           + grid.transpose(1, 2, 0))
+    return out.reshape(-1, c)
 
 
 def _ln(x, w, b, eps):
@@ -211,17 +310,7 @@ def clip_encode_image(params: dict, cfg: ClipVisionConfig,
     if params.get("class_embd") is not None:
         x = x[1:]
 
-    # llava projector
-    x = x @ params["mm.0.weight"].T + params["mm.0.bias"]
-    if cfg.projector_type == "mlp":
-        x = _gelu(x, True)
-        x = x @ params["mm.2.weight"].T + params["mm.2.bias"]
-    else:  # mlp_norm (@793-813)
-        x = _ln(x, params["mm.1.weight"], params["mm.1.bias"], cfg.eps)
-        x = _gelu(x, True)
-        x = x @ params["mm.3.weight"].T + params["mm.3.bias"]
-        x = _ln(x, params["mm.4.weight"], params["mm.4.bias"], cfg.eps)
-    return x
+    return apply_projector(params, cfg, x)
 
 
 def preprocess_image(img: np.ndarray, cfg: ClipVisionConfig) -> np.ndarray:

@@ -167,3 +167,120 @@ def test_anyres_e2e_encode(tiny_clip, tmp_path):
     # base (16 patches) + 2x1 grid (32 patches)
     assert out.shape == (16 + 32, 24)
     assert np.isfinite(out).all()
+
+
+def _torch_ldp(params, x, n_side, eps=1e-5):
+    """Independent torch implementation of the MobileVLM LDP projector
+    (depthwise conv + channel LN + hardswish + SE + pointwise + LN)."""
+    import torch
+    import torch.nn.functional as F
+
+    t = lambda k: torch.from_numpy(np.asarray(params[k]))  # noqa: E731
+    h = torch.from_numpy(x)
+    h = F.gelu(h @ t("mm.model.mlp.1.weight").T + t("mm.model.mlp.1.bias"),
+               approximate="tanh")
+    h = h @ t("mm.model.mlp.3.weight").T + t("mm.model.mlp.3.bias")
+    c = h.shape[-1]
+    g = h.reshape(n_side, n_side, c).permute(2, 0, 1)[None]  # (1,C,H,W)
+
+    def block(g, pre, stride, residual):
+        src = g
+        g = F.conv2d(g, t(f"{pre}.0.0.weight"), stride=stride, padding=1,
+                     groups=c)
+        g = F.layer_norm(g.permute(0, 2, 3, 1), (c,),
+                         t(f"{pre}.0.1.weight"), t(f"{pre}.0.1.bias"),
+                         eps).permute(0, 3, 1, 2)
+        g = F.hardswish(g)
+        se = g.mean(dim=(2, 3))
+        se = F.relu(se @ t(f"{pre}.1.fc1.weight").T + t(f"{pre}.1.fc1.bias"))
+        se = F.hardsigmoid(se @ t(f"{pre}.1.fc2.weight").T
+                           + t(f"{pre}.1.fc2.bias"))
+        g = g * se[:, :, None, None]
+        hw = g.shape[2] * g.shape[3]
+        flat = g.permute(0, 2, 3, 1).reshape(hw, c)
+        flat = flat @ t(f"{pre}.2.0.weight").T
+        flat = F.layer_norm(flat, (c,), t(f"{pre}.2.1.weight"),
+                            t(f"{pre}.2.1.bias"), eps)
+        g = flat.reshape(1, g.shape[2], g.shape[3], c).permute(0, 3, 1, 2)
+        return g + src if residual else g
+
+    g = block(g, "mm.model.mb_block.1.block", 1, True)
+    g = block(g, "mm.model.mb_block.2.block", 2, False)
+    return g[0].permute(1, 2, 0).reshape(-1, c).numpy()
+
+
+def _rand_ldp_params(rng, vis, c):
+    p = {
+        "mm.model.mlp.1.weight": rng.standard_normal((c, vis)).astype(np.float32) * .1,
+        "mm.model.mlp.1.bias": rng.standard_normal(c).astype(np.float32) * .1,
+        "mm.model.mlp.3.weight": rng.standard_normal((c, c)).astype(np.float32) * .1,
+        "mm.model.mlp.3.bias": rng.standard_normal(c).astype(np.float32) * .1,
+    }
+    for b in (1, 2):
+        pre = f"mm.model.mb_block.{b}.block"
+        p[f"{pre}.0.0.weight"] = rng.standard_normal((c, 1, 3, 3)).astype(np.float32) * .2
+        p[f"{pre}.0.1.weight"] = 1 + rng.standard_normal(c).astype(np.float32) * .05
+        p[f"{pre}.0.1.bias"] = rng.standard_normal(c).astype(np.float32) * .05
+        p[f"{pre}.1.fc1.weight"] = rng.standard_normal((c // 4, c)).astype(np.float32) * .1
+        p[f"{pre}.1.fc1.bias"] = rng.standard_normal(c // 4).astype(np.float32) * .1
+        p[f"{pre}.1.fc2.weight"] = rng.standard_normal((c, c // 4)).astype(np.float32) * .1
+        p[f"{pre}.1.fc2.bias"] = rng.standard_normal(c).astype(np.float32) * .1
+        p[f"{pre}.2.0.weight"] = rng.standard_normal((c, c)).astype(np.float32) * .1
+        p[f"{pre}.2.1.weight"] = 1 + rng.standard_normal(c).astype(np.float32) * .05
+        p[f"{pre}.2.1.bias"] = rng.standard_normal(c).astype(np.float32) * .05
+    return p
+
+
+def test_ldp_projector_vs_torch():
+    from prima_tpu.models.clip import ClipVisionConfig, apply_projector
+
+    rng = np.random.default_rng(13)
+    vis, c, n_side = 24, 32, 4
+    cfg = ClipVisionConfig(
+        image_size=32, patch_size=8, n_embd=vis, n_ff=48, n_layers=3,
+        n_heads=4, eps=1e-5, proj_dim=c, use_gelu=False,
+        projector_type="ldp")
+    p = _rand_ldp_params(rng, vis, c)
+    x = rng.standard_normal((n_side * n_side, vis)).astype(np.float32)
+    got = np.asarray(apply_projector(p, cfg, x))
+    want = _torch_ldp(p, x, n_side)
+    assert got.shape == ((n_side // 2) ** 2, c)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_ldpv2_projector_vs_torch():
+    import torch
+    import torch.nn.functional as F
+
+    from prima_tpu.models.clip import ClipVisionConfig, apply_projector
+
+    rng = np.random.default_rng(14)
+    vis, c, n_side = 24, 32, 4
+    cfg = ClipVisionConfig(
+        image_size=32, patch_size=8, n_embd=vis, n_ff=48, n_layers=3,
+        n_heads=4, eps=1e-5, proj_dim=c, use_gelu=False,
+        projector_type="ldpv2")
+    p = {
+        "mm.model.mlp.0.weight": rng.standard_normal((c, vis)).astype(np.float32) * .1,
+        "mm.model.mlp.0.bias": rng.standard_normal(c).astype(np.float32) * .1,
+        "mm.model.mlp.2.weight": rng.standard_normal((c, c)).astype(np.float32) * .1,
+        "mm.model.mlp.2.bias": rng.standard_normal(c).astype(np.float32) * .1,
+        "mm.model.peg.0.weight": rng.standard_normal((c, 1, 3, 3)).astype(np.float32) * .2,
+        "mm.model.peg.0.bias": rng.standard_normal(c).astype(np.float32) * .1,
+    }
+    x = rng.standard_normal((n_side * n_side, vis)).astype(np.float32)
+    got = np.asarray(apply_projector(p, cfg, x))
+
+    t = lambda k: torch.from_numpy(np.asarray(p[k]))  # noqa: E731
+    h = torch.from_numpy(x)
+    h = F.gelu(h @ t("mm.model.mlp.0.weight").T + t("mm.model.mlp.0.bias"),
+               approximate="tanh")
+    h = h @ t("mm.model.mlp.2.weight").T + t("mm.model.mlp.2.bias")
+    g = h.reshape(n_side, n_side, c).permute(2, 0, 1)[None]
+    g = F.avg_pool2d(g, 2, 2)
+    peg = F.conv2d(g, t("mm.model.peg.0.weight"), stride=1, padding=1,
+                   groups=c)
+    want = (peg[0].permute(1, 2, 0) + t("mm.model.peg.0.bias")
+            + g[0].permute(1, 2, 0)).reshape(-1, c).numpy()
+    assert got.shape == ((n_side // 2) ** 2, c)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
