@@ -53,6 +53,7 @@ class ClipVisionConfig:
     image_std: tuple = (0.26862954, 0.26130258, 0.27577711)
     mm_patch_merge_type: str = "flat"
     grid_pinpoints: tuple = ()  # llava-1.6 anyres resolutions (w,h pairs)
+    minicpmv_version: int = 0  # 0 = not minicpmv; 2/3 = resampler variants
 
     @property
     def n_patches(self) -> int:
@@ -63,10 +64,16 @@ class ClipVisionConfig:
         if not m.get("clip.has_vision_encoder"):
             raise ValueError("mmproj GGUF has no vision encoder")
         proj = str(m.get("clip.projector_type") or "mlp")
-        if proj not in ("mlp", "mlp_norm", "ldp", "ldpv2"):
+        minicpmv = int(m.get("clip.minicpmv_version") or 0) \
+            if m.get("clip.has_minicpmv_projector") else 0
+        if minicpmv and proj == "mlp":  # minicpmv GGUFs may omit the key
+            proj = "resampler"
+        if proj not in ("mlp", "mlp_norm", "ldp", "ldpv2", "resampler"):
             raise NotImplementedError(
                 f"clip projector type {proj!r} not supported "
-                "(mlp/mlp_norm/ldp/ldpv2)")
+                "(mlp/mlp_norm/ldp/ldpv2/resampler)")
+        if proj == "resampler" and not minicpmv:
+            minicpmv = 2
         return cls(
             image_size=int(m.get("clip.vision.image_size")),
             patch_size=int(m.get("clip.vision.patch_size")),
@@ -94,6 +101,7 @@ class ClipVisionConfig:
                     m.get("clip.vision.image_grid_pinpoints")
                     if m.get("clip.vision.image_grid_pinpoints") is not None
                     else [], np.int64))),
+            minicpmv_version=minicpmv,
         )
 
 
@@ -149,10 +157,17 @@ def load_clip_params(m, cfg: ClipVisionConfig, dtype=jnp.float32) -> dict:
                      f"{pre}.1.fc1.bias", f"{pre}.1.fc2.weight",
                      f"{pre}.1.fc2.bias", f"{pre}.2.0.weight",
                      f"{pre}.2.1.weight", f"{pre}.2.1.bias"]
-    else:  # ldpv2 (MobileVLM v2)
+    elif cfg.projector_type == "ldpv2":  # MobileVLM v2
         keys = ["mm.model.mlp.0.weight", "mm.model.mlp.0.bias",
                 "mm.model.mlp.2.weight", "mm.model.mlp.2.bias",
                 "mm.model.peg.0.weight", "mm.model.peg.0.bias"]
+    else:  # minicpmv resampler (clip.cpp:1446-1464)
+        keys = ["resampler.query", "resampler.proj.weight",
+                "resampler.kv.weight"]
+        keys += [f"resampler.attn.{n}.{s}" for n in ("q", "k", "v", "out")
+                 for s in ("weight", "bias")]
+        keys += [f"resampler.ln_{n}.{s}" for n in ("q", "kv", "post")
+                 for s in ("weight", "bias")]
     for k in keys:
         p[k] = t(k)
     return p
@@ -260,31 +275,108 @@ def _gelu(x, use_gelu: bool):
     return g.astype(x.dtype)
 
 
+def bucket_position_ids(n_h: int, n_w: int) -> np.ndarray:
+    """siglip-navit interpolation buckets for variable-size images
+    (clip.cpp:2360-2380): patch (y, x) -> floor(70 y / n_h) * 70 +
+    floor(70 x / n_w), row-major."""
+    by = np.floor(70.0 * np.arange(n_h) / n_h).astype(np.int32)
+    bx = np.floor(70.0 * np.arange(n_w) / n_w).astype(np.int32)
+    return (by[:, None] * 70 + bx[None, :]).reshape(-1)
+
+
+def get_2d_sincos_pos_embed(embed_dim: int, pos_w: int,
+                            pos_h: int) -> np.ndarray:
+    """Qwen-VL-style 2D sincos table for the resampler's K
+    (get_2d_sincos_pos_embed, clip.cpp:2198-2282): row[y * pos_w + x]
+    carries [sin/cos(x · ω) | sin/cos(y · ω)]."""
+    half = embed_dim // 2
+    quarter = half // 2
+    omega = 1.0 / 10000.0 ** (np.arange(quarter, dtype=np.float64) / quarter)
+
+    def emb_1d(pos):  # (...,) -> (..., half)
+        out = pos[..., None] * omega
+        return np.concatenate([np.sin(out), np.cos(out)], axis=-1)
+
+    a = np.broadcast_to(np.arange(pos_w, dtype=np.float64)[:, None],
+                        (pos_w, pos_h))  # grid "h" index over the first size
+    b = np.broadcast_to(np.arange(pos_h, dtype=np.float64)[None, :],
+                        (pos_w, pos_h))
+    emb = np.concatenate([emb_1d(a), emb_1d(b)], axis=-1)  # (pos_w,pos_h,d)
+    # pos_embed_2d[w * H + h] = emb[h][w]  (clip.cpp:2274-2278)
+    return emb.transpose(1, 0, 2).reshape(pos_w * pos_h,
+                                          embed_dim).astype(np.float32)
+
+
+def _resampler(params: dict, cfg: ClipVisionConfig, x: jax.Array,
+               n_w: int, n_h: int) -> jax.Array:
+    """minicpmv perceiver resampler (clip.cpp:955-1016): learned queries
+    cross-attend to kv-projected patch features with additive 2D sincos
+    positions on K. x (n_pos, vis_hidden) -> (num_query, hidden)."""
+    q = params["resampler.query"]  # (num_query, hidden)
+    hidden = q.shape[-1]
+    d_head = 128
+    n_head = hidden // d_head
+    q = _ln(q, params["resampler.ln_q.weight"],
+            params["resampler.ln_q.bias"], cfg.eps)
+    v = x @ params["resampler.kv.weight"].T  # no bias (TN_MINICPMV_KV_PROJ)
+    v = _ln(v, params["resampler.ln_kv.weight"],
+            params["resampler.ln_kv.bias"], cfg.eps)
+    k = v + jnp.asarray(get_2d_sincos_pos_embed(hidden, n_w, n_h))
+
+    def heads(t):
+        return t.reshape(t.shape[0], n_head, d_head).transpose(1, 0, 2)
+
+    Q = heads((q @ params["resampler.attn.q.weight"].T
+               + params["resampler.attn.q.bias"]) / np.sqrt(d_head))
+    K = heads(k @ params["resampler.attn.k.weight"].T
+              + params["resampler.attn.k.bias"])
+    V = heads(v @ params["resampler.attn.v.weight"].T
+              + params["resampler.attn.v.bias"])
+    att = jax.nn.softmax(jnp.einsum("hqd,hkd->hqk", Q, K,
+                                    preferred_element_type=jnp.float32),
+                         axis=-1)
+    o = jnp.einsum("hqk,hkd->hqd", att.astype(V.dtype), V)
+    o = o.transpose(1, 0, 2).reshape(-1, hidden)
+    o = o @ params["resampler.attn.out.weight"].T \
+        + params["resampler.attn.out.bias"]
+    o = _ln(o, params["resampler.ln_post.weight"],
+            params["resampler.ln_post.bias"], cfg.eps)
+    return o @ params["resampler.proj.weight"].T
+
+
 def clip_encode_image(params: dict, cfg: ClipVisionConfig,
                       pixels: jax.Array) -> jax.Array:
     """pixels (3, H, W) f32 normalized -> projected patch embeddings
-    (n_patches, llm_embd). The full clip.cpp graph for one image."""
+    (n_patches, llm_embd). The full clip.cpp graph for one image.
+    minicpmv accepts variable H/W (multiples of patch_size)."""
     ps, hid = cfg.patch_size, cfg.n_embd
-    n_side = cfg.image_size // ps
+    _, H, W = pixels.shape
+    n_h, n_w = H // ps, W // ps
     # patch conv2d == unfold + matmul on the MXU
-    patches = pixels.reshape(3, n_side, ps, n_side, ps)
-    patches = patches.transpose(1, 3, 0, 2, 4).reshape(n_side * n_side,
+    patches = pixels.reshape(3, n_h, ps, n_w, ps)
+    patches = patches.transpose(1, 3, 0, 2, 4).reshape(n_h * n_w,
                                                        3 * ps * ps)
     kernel = params["patch_embd"].reshape(hid, 3 * ps * ps)
     x = patches @ kernel.T  # (n_patches, hid)
     if params.get("patch_bias") is not None:
         x = x + params["patch_bias"]
-    if params.get("class_embd") is not None:
-        x = jnp.concatenate([params["class_embd"][None], x], axis=0)
-    x = x + params["pos_embd"][: x.shape[0]]
+    if cfg.minicpmv_version:
+        # siglip: no class token; interpolation-bucket position ids
+        x = x + params["pos_embd"][jnp.asarray(bucket_position_ids(n_h, n_w))]
+    else:
+        if params.get("class_embd") is not None:
+            x = jnp.concatenate([params["class_embd"][None], x], axis=0)
+        x = x + params["pos_embd"][: x.shape[0]]
     if params.get("pre_ln_w") is not None:
         x = _ln(x, params["pre_ln_w"], params["pre_ln_b"], cfg.eps)
 
     n_heads = cfg.n_heads
     hd = hid // n_heads
     scale = 1.0 / np.sqrt(hd)
-    # llava feature layer: penultimate (clip.cpp:682 `il < n_layer - 1`)
-    for layer in params["layers"][: cfg.n_layers - 1]:
+    # llava feature layer: penultimate (clip.cpp:682 `il < n_layer - 1`);
+    # minicpmv runs every stored layer (n_layer += 1 before the loop, @679)
+    n_run = cfg.n_layers if cfg.minicpmv_version else cfg.n_layers - 1
+    for layer in params["layers"][:n_run]:
         h = _ln(x, layer["ln1_w"], layer["ln1_b"], cfg.eps)
         q = (h @ layer["q_w"].T + layer["q_b"]) * scale
         k = h @ layer["k_w"].T + layer["k_b"]
@@ -305,6 +397,9 @@ def clip_encode_image(params: dict, cfg: ClipVisionConfig,
 
     if params.get("post_ln_w") is not None:
         x = _ln(x, params["post_ln_w"], params["post_ln_b"], cfg.eps)
+
+    if cfg.minicpmv_version:
+        return _resampler(params, cfg, x, n_w, n_h)
 
     # drop the class token (ggml_get_rows with patches = 1..n, @774-781)
     if params.get("class_embd") is not None:
@@ -390,6 +485,75 @@ def anyres_tiles(img: np.ndarray, cfg: ClipVisionConfig
     return tiles, (best[0] // s, best[1] // s)
 
 
+def _ensure_divide(length: int, patch_size: int) -> int:
+    return max(int(round(length / patch_size)) * patch_size, patch_size)
+
+
+def _uhd_find_best_resize(size, scale_resolution: int, patch_size: int,
+                          allow_upscale: bool = False) -> tuple[int, int]:
+    w, h = size
+    if w * h > scale_resolution * scale_resolution or allow_upscale:
+        r = w / h
+        h = int(scale_resolution / np.sqrt(r))
+        w = int(h * r)
+    return _ensure_divide(w, patch_size), _ensure_divide(h, patch_size)
+
+
+def uhd_best_grid(max_slice_nums: int, multiple: int,
+                  log_ratio: float) -> tuple[int, int]:
+    candidates = []
+    for i in (multiple - 1, multiple, multiple + 1):
+        if i == 1 or i > max_slice_nums:
+            continue
+        for m in range(1, i + 1):
+            if i % m == 0:
+                candidates.append((m, i // m))
+    best, err = (1, 1), float("inf")
+    for gx, gy in candidates:
+        e = abs(log_ratio - np.log(gx / gy))
+        if e < err:
+            best, err = (gx, gy), e
+    return best
+
+
+def uhd_slice_image(img: np.ndarray, patch_size: int = 14,
+                    scale_resolution: int = 448, max_slice_nums: int = 9
+                    ) -> tuple[list[np.ndarray], tuple[int, int]]:
+    """LLaVA-UHD slicing for minicpmv (uhd_slice_image, clip.cpp:1866-1932):
+    -> ([source image] + row-major grid slices as uint8 arrays,
+        (grid_cols, grid_rows)); grid is (1, 1) with no slices when the
+    image is small enough."""
+    from PIL import Image
+
+    h, w = img.shape[:2]
+    log_ratio = float(np.log(w / h))
+    ratio = w * h / (scale_resolution * scale_resolution)
+    multiple = int(min(np.ceil(ratio), max_slice_nums))
+
+    def resize(im, size):
+        return np.asarray(Image.fromarray(im).resize(size, Image.BICUBIC))
+
+    if multiple <= 1:
+        best = _uhd_find_best_resize((w, h), scale_resolution, patch_size,
+                                     allow_upscale=True)
+        return [resize(img, best)], (1, 1)
+
+    best = _uhd_find_best_resize((w, h), scale_resolution, patch_size)
+    tiles = [resize(img, best)]
+    grid = uhd_best_grid(max_slice_nums, multiple, log_ratio)
+    # refine size: each grid cell resized to its own best fit
+    gw, gh = grid
+    rw, rh = _ensure_divide(w, gw), _ensure_divide(h, gh)
+    bw, bh = _uhd_find_best_resize((rw // gw, rh // gh), scale_resolution,
+                                   patch_size, allow_upscale=True)
+    refine = resize(img, (bw * gw, bh * gh))
+    for gy in range(gh):
+        for gx in range(gw):
+            tiles.append(refine[gy * bh:(gy + 1) * bh,
+                                gx * bw:(gx + 1) * bw])
+    return tiles, grid
+
+
 def merge_anyres_embeds(tile_embeds: list[np.ndarray],
                         grid: tuple[int, int], n_side: int) -> np.ndarray:
     """Assemble [base | spatially-merged grid] the way
@@ -440,6 +604,23 @@ class ClipModel:
                 np.float32) for t in tiles]
             return merge_anyres_embeds(embeds, grid,
                                        cfg.image_size // cfg.patch_size)
+        if cfg.minicpmv_version:
+            tiles, _grid = self.encode_minicpmv(img)
+            return np.concatenate(tiles, axis=0)
         px = jnp.asarray(preprocess_image(img, cfg))
         return np.asarray(clip_encode_image(self.params, cfg, px),
                           np.float32)
+
+    def encode_minicpmv(self, img: np.ndarray
+                        ) -> tuple[list[np.ndarray], tuple[int, int]]:
+        """minicpmv: uhd-slice the image, resample each tile to num_query
+        rows -> (per-tile embeddings [source, slices...], (cols, rows))
+        for the <image>/<slice> prompt assembly (minicpmv-cli.cpp
+        process_image)."""
+        cfg = self.cfg
+        tiles, grid = uhd_slice_image(img, cfg.patch_size)
+        out = [np.asarray(
+            clip_encode_image(self.params, cfg,
+                              jnp.asarray(self._normalize(t))), np.float32)
+            for t in tiles]
+        return out, grid

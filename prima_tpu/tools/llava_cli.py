@@ -138,13 +138,41 @@ def main(argv=None) -> int:
         temp=args.temp, seed=args.seed if args.seed >= 0 else 0xFFFFFFFF,
     ), n_vocab=model.cfg.n_vocab)
 
+    def eval_image(path: str):
+        if not clip.cfg.minicpmv_version:
+            emb = clip.encode(load_image(path))
+            print(f"image: {emb.shape[0]} patch embeddings", file=sys.stderr)
+            return rt.eval_embeds(emb)
+        # minicpmv: <image>source</image> + <slice> rows of
+        # <image>tile</image> with row newlines (minicpmv-cli.cpp:132-162)
+        tiles, (gw, gh) = clip.encode_minicpmv(load_image(path))
+        print(f"image: {len(tiles)} tiles x {tiles[0].shape[0]} queries "
+              f"(grid {gw}x{gh})", file=sys.stderr)
+
+        def toks(s):
+            return model.tokenizer.encode(s, add_special=False,
+                                          parse_special=True)
+
+        logits = rt.eval_tokens(toks("<image>"))
+        logits = rt.eval_embeds(tiles[0])
+        logits = rt.eval_tokens(toks("</image>"))
+        if len(tiles) > 1:
+            rt.eval_tokens(toks("<slice>"))
+            idx = 1
+            for _row in range(gh):
+                for col in range(gw):
+                    rt.eval_tokens(toks("<image>"))
+                    rt.eval_embeds(tiles[idx])
+                    idx += 1
+                    logits = rt.eval_tokens(
+                        toks("</image>" + ("\n" if col == gw - 1 else "")))
+            logits = rt.eval_tokens(toks("</slice>"))
+        return logits
+
     logits = None
     for i, text in enumerate(parts):
         if i > 0:  # an image sits between parts[i-1] and parts[i]
-            emb = clip.encode(load_image(args.image[i - 1]))
-            print(f"image {i}: {emb.shape[0]} patch embeddings",
-                  file=sys.stderr)
-            logits = rt.eval_embeds(emb)
+            logits = eval_image(args.image[i - 1])
         ids = model.tokenizer.encode(text, add_special=(i == 0))
         if ids:
             logits = rt.eval_tokens(ids)

@@ -92,7 +92,7 @@ def test_rejects_unsupported_projector(tiny_clip, tmp_path):
     path = str(tmp_path / "bad.gguf")
     w = GGUFWriter(path, arch="clip")
     w.add_kv("clip.has_vision_encoder", True)
-    w.add_kv("clip.projector_type", "resampler")  # minicpmv: unsupported
+    w.add_kv("clip.projector_type", "adapter_xyz")  # unknown type
     w.add_tensor("dummy", np.zeros(4, np.float32))
     w.write()
     m = GGUFModel.open(path)
