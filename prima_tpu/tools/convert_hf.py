@@ -298,11 +298,84 @@ def _write_bert_tokenizer(w: GGUFWriter, src_dir: str, hf: dict) -> None:
     w.add_kv("tokenizer.ggml.padding_token_id", ids.get("[PAD]", -1))
 
 
+def _convert_llava(src_dir: str, dst_path: str, hf: dict, ftype: str,
+                   logfile) -> int:
+    """LlavaForConditionalGeneration -> language GGUF at dst_path PLUS
+    mmproj-<dst_path> for the vision tower + projector (the combined role
+    of convert_hf_to_gguf + llava-surgery + convert_image_encoder in the
+    reference's llava conversion recipe)."""
+    import shutil
+    import tempfile
+
+    lm, vis, proj = {}, {}, {}
+    for name, t in _iter_hf_tensors(src_dir):
+        if name.startswith("language_model."):
+            lm[name[len("language_model."):]] = t
+        elif name.startswith("vision_tower."):
+            vis[name[len("vision_tower."):]] = t
+        elif name.startswith("multi_modal_projector."):
+            proj[name[len("multi_modal_projector."):]] = t
+
+    # 1. language model: re-materialize as a plain HF checkpoint dir and
+    # recurse through the ordinary converter
+    text_cfg = dict(hf["text_config"])
+    text_cfg.setdefault("architectures", ["LlamaForCausalLM"]
+                        if text_cfg.get("model_type", "llama") == "llama"
+                        else [text_cfg["model_type"]])
+    tmp = tempfile.mkdtemp(prefix="llava_lm_")
+    try:
+        with open(os.path.join(tmp, "config.json"), "w") as f:
+            json.dump(text_cfg, f)
+        for fn in os.listdir(src_dir):
+            if fn.startswith("tokenizer") or fn == "special_tokens_map.json":
+                shutil.copy(os.path.join(src_dir, fn), os.path.join(tmp, fn))
+        from safetensors.numpy import save_file
+
+        save_file(lm, os.path.join(tmp, "model.safetensors"))
+        n = convert_hf_to_gguf(tmp, dst_path, ftype, logfile)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # 2. vision tower + projector -> mmproj gguf next to dst_path
+    import torch
+    from transformers import CLIPVisionConfig, CLIPVisionModel
+
+    from .convert_image_encoder import convert as convert_mmproj
+
+    vcfg = CLIPVisionConfig(**{
+        k: v for k, v in hf["vision_config"].items()
+        if k in ("hidden_size", "intermediate_size", "num_hidden_layers",
+                 "num_attention_heads", "image_size", "patch_size",
+                 "projection_dim", "layer_norm_eps", "hidden_act")})
+    vm = CLIPVisionModel(vcfg)
+    missing, unexpected = vm.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v))
+         for k, v in vis.items()}, strict=False)
+    if unexpected:
+        print(f"llava: ignoring vision tensors {unexpected[:4]}...",
+              file=logfile)
+    mm = {}
+    for k, v in proj.items():
+        mm[k.replace("linear_1", "mm.0").replace("linear_2", "mm.2")] = v
+    d, base = os.path.split(dst_path)
+    mmproj_path = os.path.join(d, f"mmproj-{base}")
+    convert_mmproj(
+        vm, mmproj_path, projector=mm,
+        use_gelu=hf["vision_config"].get("hidden_act") == "gelu",
+        image_grid_pinpoints=hf.get("image_grid_pinpoints"),
+        mm_patch_merge_type=("spatial_unpad"
+                             if hf.get("image_grid_pinpoints") else None))
+    print(f"wrote vision tower + projector -> {mmproj_path}", file=logfile)
+    return n
+
+
 def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
                        logfile=sys.stderr) -> int:
     with open(os.path.join(src_dir, "config.json")) as f:
         hf = json.load(f)
     archs = hf.get("architectures") or []
+    if "LlavaForConditionalGeneration" in archs:
+        return _convert_llava(src_dir, dst_path, hf, ftype, logfile)
     if any("Bert" in a for a in archs):
         return _convert_bert(src_dir, dst_path, hf, ftype, logfile)
     if "MambaForCausalLM" in archs:
