@@ -140,3 +140,19 @@ def test_lossless_long_run_with_pool_churn(model):
                              n_predict=40)
     assert out == plain
     assert stats.n_steps >= 1
+
+
+def test_seeded_sampling_deterministic(model):
+    """With temp > 0 lookahead is not token-identical to plain decoding
+    (different sampler invocation order), but a fixed seed must reproduce."""
+    cfg, params = model
+    prompt = [3, 17, 42]
+
+    def run():
+        la = LookaheadDecoder(_engine(cfg, params), W=4, N=3, G=3)
+        out, _ = la.generate(
+            prompt, Sampler(SamplerParams(temp=0.9, seed=11),
+                            n_vocab=cfg.n_vocab), n_predict=12)
+        return out
+
+    assert run() == run()
