@@ -486,7 +486,9 @@ def anyres_tiles(img: np.ndarray, cfg: ClipVisionConfig
 
 
 def _ensure_divide(length: int, patch_size: int) -> int:
-    return max(int(round(length / patch_size)) * patch_size, patch_size)
+    # C++ std::round (half away from zero), NOT Python banker's rounding
+    return max(int(np.floor(length / patch_size + 0.5)) * patch_size,
+               patch_size)
 
 
 def _uhd_find_best_resize(size, scale_resolution: int, patch_size: int,

@@ -179,7 +179,11 @@ def make_handler(ctx: ServerContext):
             # drain the body so the 401 does not desync HTTP/1.1 keep-alive
             n = int(self.headers.get("Content-Length", 0) or 0)
             while n > 0:
-                n -= len(self.rfile.read(min(n, 65536)))
+                chunk = self.rfile.read(min(n, 65536))
+                if not chunk:  # client hung up mid-body
+                    self.close_connection = True
+                    break
+                n -= len(chunk)
             self._error(401, "Invalid API Key", "authentication_error")
             return False
 

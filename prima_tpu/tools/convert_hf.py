@@ -319,9 +319,13 @@ def _convert_llava(src_dir: str, dst_path: str, hf: dict, ftype: str,
     # 1. language model: re-materialize as a plain HF checkpoint dir and
     # recurse through the ordinary converter
     text_cfg = dict(hf["text_config"])
-    text_cfg.setdefault("architectures", ["LlamaForCausalLM"]
-                        if text_cfg.get("model_type", "llama") == "llama"
-                        else [text_cfg["model_type"]])
+    _ARCH_CLASS = {"llama": "LlamaForCausalLM",
+                   "mistral": "MistralForCausalLM",
+                   "qwen2": "Qwen2ForCausalLM",
+                   "gemma": "GemmaForCausalLM"}
+    mt = text_cfg.get("model_type", "llama")
+    text_cfg.setdefault("architectures",
+                        [_ARCH_CLASS.get(mt, "LlamaForCausalLM")])
     tmp = tempfile.mkdtemp(prefix="llava_lm_")
     try:
         with open(os.path.join(tmp, "config.json"), "w") as f:
@@ -354,6 +358,13 @@ def _convert_llava(src_dir: str, dst_path: str, hf: dict, ftype: str,
     if unexpected:
         print(f"llava: ignoring vision tensors {unexpected[:4]}...",
               file=logfile)
+    real_missing = [k for k in missing if "position_ids" not in k]
+    if real_missing:
+        # a silent random-init vision tower would convert "successfully"
+        raise ValueError(
+            f"llava: {len(real_missing)} vision weights not found in the "
+            f"checkpoint (e.g. {real_missing[:3]}) — unexpected vision "
+            "tower prefix?")
     mm = {}
     for k, v in proj.items():
         mm[k.replace("linear_1", "mm.0").replace("linear_2", "mm.2")] = v
