@@ -87,7 +87,8 @@ class RingConfig:
     master_ip: str = "127.0.0.1"
     next_ip: str = "127.0.0.1"
     data_port: int = 9000
-    signal_port: int = 10000
+    # no separate signal plane: STOP rides the data connection (unlike the
+    # reference's second ZMQ port, src/llama.cpp:20492)
 
 
 class RingNode:
