@@ -82,3 +82,20 @@ def test_health_and_models_stay_public(auth_server):
     assert status == 401
     status, _ = _req(auth_server, "GET", "/props", key="sk-good")
     assert status == 200
+
+
+def test_expanded_protected_endpoints(auth_server):
+    """rerank, slots actions, lora-adapters and cancel are protected too
+    (beyond the reference's list — they mutate state or run inference)."""
+    for method, path, body in [
+        ("POST", "/v1/rerank", {"query": "q", "documents": ["a"]}),
+        ("POST", "/slots/0?action=erase", {}),
+        ("POST", "/lora-adapters", []),
+        ("POST", "/v1/cancel", {"task_id": 1}),
+        ("GET", "/slots", None),
+    ]:
+        status, _ = _req(auth_server, method, path, body)
+        assert status == 401, path
+    # and they work with a key
+    status, _ = _req(auth_server, "GET", "/slots", key="sk-good")
+    assert status == 200
