@@ -31,6 +31,28 @@ class LoadedModel:
         return {t for t in (v.eos_id, v.eot_id, v.eom_id) if t >= 0}
 
 
+def parse_kv_override(spec: str) -> tuple[str, object]:
+    """--override-kv KEY=TYPE:VALUE (string_parse_kv_override,
+    common/arg.cpp:1652: types int, float, bool, str)."""
+    key, _, rest = spec.partition("=")
+    typ, _, val = rest.partition(":")
+    if not key or not typ or _ != ":":
+        raise ValueError(f"invalid KV override {spec!r} "
+                         "(expected KEY=TYPE:VALUE)")
+    if typ == "int":
+        return key, int(val)
+    if typ == "float":
+        return key, float(val)
+    if typ == "bool":
+        if val not in ("true", "false"):
+            raise ValueError(f"invalid bool {val!r} in {spec!r}")
+        return key, val == "true"
+    if typ == "str":
+        return key, val
+    raise ValueError(f"invalid type {typ!r} in {spec!r} "
+                     "(int/float/bool/str)")
+
+
 def load_model(
     path: str,
     dtype=jnp.bfloat16,
@@ -38,8 +60,11 @@ def load_model(
     with_embedding: bool = True,
     with_output: bool = True,
     fuse: bool = False,
+    kv_overrides: dict | None = None,
 ) -> LoadedModel:
     m = GGUFModel.open(path)
+    if kv_overrides:  # --override-kv: patch metadata before config parse
+        m.metadata.update(kv_overrides)
     cfg = ModelConfig.from_gguf(m)
     params = load_params(m, cfg, dtype=dtype, layer_filter=layer_filter,
                          with_embedding=with_embedding, with_output=with_output,

@@ -75,6 +75,10 @@ def main(argv=None) -> int:
                     "completion/embedding endpoints (repeatable)")
     ap.add_argument("--api-key-file", default=env("API_KEY_FILE"),
                     help="file with one API key per line")
+    ap.add_argument("--override-kv", action="append", default=[],
+                    metavar="KEY=TYPE:VALUE",
+                    help="override model metadata (int/float/bool/str); "
+                         "repeatable")
     # distributed (mesh) mode: serve a piped-ring pipelined model — the
     # analogue of llama-server driving the distributed ring
     # (server.cpp:2431 llama_decode(ctx, batch_view, true))
@@ -187,9 +191,13 @@ def main(argv=None) -> int:
             ctx_shift=ctx_shift, n_keep=args.keep,
             grp_attn_n=args.grp_attn_n, grp_attn_w=args.grp_attn_w)
     else:
+        from ..models.loader import parse_kv_override
+
         # LoRA adapters target the unfused tensor names — never fuse with one
         model = load_model(args.model,
-                           fuse=args.fuse and not (args.lora or args.lora_scaled))
+                           fuse=args.fuse and not (args.lora or args.lora_scaled),
+                           kv_overrides=dict(parse_kv_override(s)
+                                             for s in args.override_kv))
         rope_overrides(model.cfg)
         engine = Engine(model.cfg, model.params, n_slots=args.parallel,
                         max_seq=args.ctx_size, n_batch=args.batch_size,

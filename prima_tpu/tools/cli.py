@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--fuse", action="store_true",
                     help="fuse Q/K/V and gate/up weights at load where quant "
                          "types match (4 GEMV launches per layer instead of 7)")
+    ap.add_argument("--override-kv", action="append", default=[],
+                    metavar="KEY=TYPE:VALUE",
+                    help="override model metadata (types: int, float, bool, "
+                         "str); repeatable")
     ap.add_argument("-ctk", "--cache-type-k", default="bf16",
                     choices=["f32", "bf16", "q8_0", "q4_0"], dest="cache_type")
     ap.add_argument("--n-keep", type=int, default=0,
@@ -266,7 +270,10 @@ def main(argv=None) -> int:
         sys.stdout.write(rt.tokenizer.decode(out) + "\n")
         return 0
 
-    model = load_model(args.model, fuse=args.fuse)
+    from ..models.loader import parse_kv_override
+
+    overrides = dict(parse_kv_override(s) for s in args.override_kv)
+    model = load_model(args.model, fuse=args.fuse, kv_overrides=overrides)
     from ..models.config import apply_rope_overrides
 
     apply_rope_overrides(

@@ -125,3 +125,34 @@ def test_cli_single_process_streamed(tiny_model):
                     "-ngl", "0", "-lw", "1", "-k", "2",
                     "--data-port", "23941"])
     assert out.strip() == ref.strip()
+
+
+def test_override_kv(tiny_model, capsys):
+    """--override-kv patches GGUF metadata before config parse
+    (common/arg.cpp:1652 string_parse_kv_override semantics)."""
+    from prima_tpu.models.loader import load_model, parse_kv_override
+
+    assert parse_kv_override("llama.context_length=int:64") == \
+        ("llama.context_length", 64)
+    assert parse_kv_override("tokenizer.ggml.add_bos_token=bool:false") == \
+        ("tokenizer.ggml.add_bos_token", False)
+    assert parse_kv_override("llama.rope.freq_base=float:500000.0") == \
+        ("llama.rope.freq_base", 500000.0)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_kv_override("key=weird:1")
+    with _pytest.raises(ValueError):
+        parse_kv_override("no-type-here")
+
+    m = load_model(tiny_model,
+                   kv_overrides={"llama.rope.freq_base": 123.0,
+                                 "llama.context_length": 99})
+    assert m.cfg.rope_base == 123.0
+    assert m.cfg.n_ctx_train == 99
+
+    # end to end through the CLI flag
+    out = _run_cli(["-m", tiny_model, "-p", "Hi", "-n", "4", "--temp", "0",
+                    "--matmul", "xla", "--no-display-prompt",
+                    "--override-kv", "llama.rope.freq_base=float:123.0"])
+    assert len(out.strip()) > 0
