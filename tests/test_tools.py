@@ -364,3 +364,24 @@ def test_gen_docs(tmp_path):
     assert "README.md" in files and "cli.md" in files and "server.md" in files
     text = open(os.path.join(out, "cli.md")).read()
     assert "--prompt" in text or "-p" in text
+
+
+def test_simple_tool(tmp_path, capsys):
+    """prima-simple (examples/simple): the minimal decode loop."""
+    import io
+    import sys as _sys
+
+    from prima_tpu.tools.make_tiny_gguf import make_tiny_gguf
+    from prima_tpu.tools.simple import main
+
+    path = str(tmp_path / "tiny.gguf")
+    make_tiny_gguf(path, seed=3)
+    old = _sys.stdout
+    _sys.stdout = cap = io.StringIO()
+    try:
+        rc = main(["-m", path, "-p", "Hello", "-n", "6", "--matmul", "xla"])
+    finally:
+        _sys.stdout = old
+    assert rc == 0
+    assert cap.getvalue().startswith("Hello")
+    assert "t/s" in capsys.readouterr().err
