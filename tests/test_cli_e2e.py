@@ -156,3 +156,13 @@ def test_override_kv(tiny_model, capsys):
                     "--matmul", "xla", "--no-display-prompt",
                     "--override-kv", "llama.rope.freq_base=float:123.0"])
     assert len(out.strip()) > 0
+
+
+def test_save_load_state_tool(tiny_model, capsys):
+    from prima_tpu.tools.save_load_state import main
+
+    rc = main(["-m", tiny_model, "-n", "12", "-s", "7", "--matmul", "xla"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    runs = [l.split(": ", 1)[1] for l in out.splitlines() if ": " in l]
+    assert len(runs) == 4 and len(set(runs)) == 1

@@ -130,3 +130,34 @@ def test_max_items_zero_and_ref_namespace():
          "required": ["a", "b"]}
     assert _matches(s, '{"a": 3, "b": "x"}')
     assert not _matches(s, '{"a": "x", "b": "x"}')
+
+
+def test_pydantic_models_to_grammar():
+    pydantic = pytest.importorskip("pydantic")
+
+    class Point(pydantic.BaseModel):
+        """A 2-D point."""
+        x: float
+        y: float
+        label: str = "origin"
+
+    class Flag(pydantic.BaseModel):
+        on: bool
+
+    from prima_tpu.tools.pydantic_to_grammar import gbnf_for_models
+
+    grammar, docs = gbnf_for_models([Point])
+    g = parse_gbnf(grammar)
+    m = GrammarMatcher(g)
+    assert m.advance_text(b'{"x": 1.5, "y": -2, "label": "a"}')
+    assert m.is_complete()
+    m = GrammarMatcher(g)
+    assert not (m.advance_text(b'{"x": true, "y": 2}') and m.is_complete())
+    assert "Point" in docs and "label" in docs and "optional" in docs
+
+    # multi-model alternation: either model's JSON is accepted
+    grammar2, _ = gbnf_for_models([Point, Flag])
+    g2 = parse_gbnf(grammar2)
+    for ok_text in (b'{"x": 0, "y": 0}', b'{"on": false}'):
+        m = GrammarMatcher(g2)
+        assert m.advance_text(ok_text) and m.is_complete()
