@@ -264,12 +264,19 @@ def main():
     # through a tunneled TPU is ~20 MB/s, so weights are never uploaded.
     from prima_tpu.models.llama import synth_params_device_stacked
 
-    # measure BOTH weight layouts — unfused (7 GEMV launches/layer) and
-    # fused QKV + gate-up (4 launches, the --fuse load option) — and
-    # report the better one as the headline (identical bytes + numerics;
-    # the reference's baseline is likewise its best configuration)
-    variants = [("unfused", False), ("fused", True)] if not args.fused \
-        else [("fused", True)]
+    # Two execution strategies over the same fused QKV + gate-up weights:
+    #   scan      — ONE lax.scan over stacked layers (fast compile), but XLA
+    #               cannot fuse the per-iteration dynamic-slice of the
+    #               stacked weights into a Pallas custom call, so each
+    #               layer's ~123 MB is COPIED (read+write) before the kernel
+    #               streams it — ~3x HBM traffic on the weight stream.
+    #   unrolled  — python loop over per-layer param pytrees (the same
+    #               forward() path the real-GGUF Engine uses): weights feed
+    #               the kernels directly, zero copies. Bigger HLO / slower
+    #               compile, which is why scan remains the fallback.
+    # Both are measured (interleaved, same throttle windows); best wins.
+    variants = [("fused", True, "scan")] if args.fused else \
+        [("fused", True, "scan"), ("fused_unrolled", True, "unrolled")]
 
     opts = ForwardOptions(matmul_impl=impl)
     B, T = args.batch, args.ctx
@@ -290,17 +297,53 @@ def main():
             return (kv, nxt[:, None])
         return jax.lax.fori_loop(0, steps, body, (kv, token))
 
+    from prima_tpu.models.llama import forward, init_kv_caches
+
+    kv_unrolled = init_kv_caches(cfg, B, T)
+
+    @jax.jit
+    def decode_many_unrolled(params, kv, token, pos0):
+        def body(i, carry):
+            kv, token = carry
+            pos = pos0 + i
+            logits, kv = forward(params, cfg, token, pos[:, None], kv, pos, opts)
+            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            return (kv, nxt[:, None])
+        return jax.lax.fori_loop(0, steps, body, (kv, token))
+
+    def unstack(stacked):
+        layers = [jax.tree.map(lambda a: a[i], stacked["layers"])
+                  for i in range(cfg.n_layers)]
+        out = {k: v for k, v in stacked.items() if k != "layers"}
+        out["layers"] = layers
+        return out
+
     token = jnp.ones((B, 1), jnp.int32)
     pos0 = jnp.ones((B,), jnp.int32)
     variant_params = {}
-    for name, fused in variants:
+    variant_fn = {}
+    variant_kv = {}
+    for name, fused, strategy in list(variants):
         p = jax.jit(functools.partial(
             synth_params_device_stacked, cfg, GGMLType.Q4_K,
             fused=fused))()
         jax.block_until_ready(jax.tree.leaves(p)[0])
-        out = decode_many(p, kv, token, pos0)  # compile + warm
-        _ = int(out[1][0, 0])  # sync
+        try:
+            if strategy == "unrolled":
+                p = jax.jit(unstack)(p)
+                fn, kvv = decode_many_unrolled, kv_unrolled
+            else:
+                fn, kvv = decode_many, kv
+            out = fn(p, kvv, token, pos0)  # compile + warm
+            _ = int(out[1][0, 0])  # sync
+        except Exception as e:  # noqa: BLE001 — drop a variant, keep going
+            print(f"bench: variant {name} failed ({e}); skipping",
+                  file=sys.stderr, flush=True)
+            variants = [v for v in variants if v[0] != name]
+            continue
         variant_params[name] = p
+        variant_fn[name] = fn
+        variant_kv[name] = kvv
 
     # the tunneled runtime adds a ~25ms round-trip to every synchronized
     # call; measure it and subtract so short runs aren't skewed
@@ -341,7 +384,7 @@ def main():
     # When the shared chip is throttled below the baseline, keep sampling
     # (up to ~8 min total) to catch an unthrottled window; every trial is
     # reported, the best is the headline (same rule as the first 16).
-    trials = {name: [] for name, _ in variants}
+    trials = {name: [] for name, _, _s in variants}
     probes = []
     n_trials = 3 if (args.small or not on_tpu) else 16 // len(variants)
     max_trials = n_trials if (args.small or not on_tpu) \
@@ -355,15 +398,16 @@ def main():
 
     _t = 0
     while _t < max_trials:
-        for name, _ in variants:
+        for name, _, _s in variants:
             t0 = time.perf_counter()
-            out = decode_many(variant_params[name], kv, token, pos0)
+            out = variant_fn[name](variant_params[name], variant_kv[name],
+                                   token, pos0)
             _ = int(out[1][0, 0])  # sync
             trials[name].append(time.perf_counter() - t0)
         probes.append(probe_once())
         _t += 1
         done_minimum = _t >= n_trials
-        above = max(best_tok_s(name) for name, _ in variants) \
+        above = max(best_tok_s(name) for name, _, _s in variants) \
             >= baseline_tok_s * 1.02
         if done_minimum and (above or _t >= max_trials):
             break
@@ -371,7 +415,8 @@ def main():
             time.sleep(6 if not done_minimum else 12)
     hbm_gbs = max(probes)
 
-    per_variant = {name: round(best_tok_s(name), 3) for name, _ in variants}
+    per_variant = {name: round(best_tok_s(name), 3)
+                   for name, _, _s in variants}
     best = max(per_variant, key=per_variant.get)
     tok_s = per_variant[best]
 
