@@ -1,7 +1,7 @@
 # Convenience targets (the reference's Makefile analogue; everything is
 # also runnable directly with python -m ...)
 
-.PHONY: all native test test-fast bench entry clean ci
+.PHONY: all native test test-full test-fast bench entry clean ci
 
 all: native
 
@@ -10,12 +10,14 @@ native: prima_tpu/native/libprima_native.so
 prima_tpu/native/libprima_native.so: prima_tpu/native/convert.cpp
 	g++ -O3 -shared -fPIC -std=c++17 -pthread -o $@ $<
 
-test:
+test:  # default tier: slow-marked multi-process/e2e modules are skipped
 	python -m pytest tests/ -q
 
+test-full:  # both tiers (what CI runs)
+	python -m pytest tests/ -q --runslow
+
 test-fast:
-	python -m pytest tests/ -q -x --ignore=tests/test_server.py \
-	    --ignore=tests/test_ring_tcp.py --ignore=tests/test_bootstrap.py
+	python -m pytest tests/ -q -x
 
 bench:
 	python bench.py

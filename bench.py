@@ -11,9 +11,11 @@ The decode step is HBM-bandwidth-bound: 4.5 bits/weight (nib4 quants +
 packed 6-bit scale/min codes + f16 superblock base pairs — the native GGUF
 footprint) must stream HBM->VMEM per token,
 so speed-of-light on one v5e chip (~819 GB/s) is ~170 tok/s for the 8B
-model. Both the weight synthesis and the decode loop compile a SINGLE
-layer body (vmap / lax.scan over stacked layers), keeping remote
-compilation to seconds.
+model. Weight synthesis compiles a SINGLE layer body (vmap over stacked
+layers). Two execution strategies are measured: `scan` (one lax.scan layer
+body — fast compile, but XLA copies each layer's weight slice before the
+kernel) and `unrolled` (a python loop over per-layer params — zero weight
+copies, n_layers compiled bodies); see the `variants` list in main().
 """
 
 from __future__ import annotations
@@ -161,8 +163,9 @@ def main():
     ap.add_argument("--small", action="store_true", help="tiny model for smoke testing")
     ap.add_argument("--impl", default="pallas", choices=["pallas", "xla"])
     ap.add_argument("--fused", action="store_true",
-                    help="measure ONLY the fused QKV + gate-up layout "
-                         "(default: measure both layouts, report the best)")
+                    help="measure ONLY the scan strategy (default: measure "
+                         "scan AND unrolled execution strategies over the "
+                         "same fused weights, report the best)")
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--ctx", type=int, default=1024)
     ap.add_argument("--decode-steps", type=int, default=48)
@@ -299,7 +302,8 @@ def main():
 
     from prima_tpu.models.llama import forward, init_kv_caches
 
-    kv_unrolled = init_kv_caches(cfg, B, T)
+    need_unrolled = any(s == "unrolled" for _n, _f, s in variants)
+    kv_unrolled = init_kv_caches(cfg, B, T) if need_unrolled else None
 
     @jax.jit
     def decode_many_unrolled(params, kv, token, pos0):
@@ -320,19 +324,22 @@ def main():
 
     token = jnp.ones((B, 1), jnp.int32)
     pos0 = jnp.ones((B,), jnp.int32)
+    # ONE device-side weight synthesis, shared by every variant: the
+    # unrolled layout is a jitted unstack VIEW-COPY of the same stacked
+    # tree (peak = 2 weight copies, never 3)
+    p_stacked = jax.jit(functools.partial(
+        synth_params_device_stacked, cfg, GGMLType.Q4_K, fused=True))()
+    jax.block_until_ready(jax.tree.leaves(p_stacked)[0])
     variant_params = {}
     variant_fn = {}
     variant_kv = {}
     for name, fused, strategy in list(variants):
-        p = jax.jit(functools.partial(
-            synth_params_device_stacked, cfg, GGMLType.Q4_K,
-            fused=fused))()
-        jax.block_until_ready(jax.tree.leaves(p)[0])
         try:
             if strategy == "unrolled":
-                p = jax.jit(unstack)(p)
+                p = jax.jit(unstack)(p_stacked)
                 fn, kvv = decode_many_unrolled, kv_unrolled
             else:
+                p = p_stacked
                 fn, kvv = decode_many, kv
             out = fn(p, kvv, token, pos0)  # compile + warm
             _ = int(out[1][0, 0])  # sync
@@ -344,6 +351,16 @@ def main():
         variant_params[name] = p
         variant_fn[name] = fn
         variant_kv[name] = kvv
+
+    if not variants:
+        # every layout failed warm-up: emit the parseable failure line
+        # instead of crashing on max() over nothing
+        print(json.dumps({
+            "metric": "llama3_8b_q4k_decode_throughput", "value": 0.0,
+            "unit": "tok/s", "vs_baseline": 0.0,
+            "error": "all decode variants failed warm-up (see stderr)"}),
+            flush=True)
+        return 2
 
     # the tunneled runtime adds a ~25ms round-trip to every synchronized
     # call; measure it and subtract so short runs aren't skewed
@@ -425,6 +442,51 @@ def main():
         for leaf in jax.tree.leaves(variant_params[best]))
     eff_gbs = weight_bytes * tok_s / 1e9
 
+    # prompt-processing headline (the llama-bench pp512 analogue): one
+    # full-width prefill pass through the scan layout; wide batches route
+    # to the XLA dequant+GEMM path (PRIMA_QMM_XLA_MIN_B)
+    pp_n = 128 if (args.small or not on_tpu) else 512
+    pp_tok_s = None
+    try:
+        from prima_tpu.models.llama import forward_scan as _fs
+
+        pp_tokens = jnp.ones((B, pp_n), jnp.int32)
+        pp_pos = jnp.tile(jnp.arange(pp_n, dtype=jnp.int32)[None], (B, 1))
+
+        @jax.jit
+        def prefill_once(params, kv, tokens):
+            logits, _kv2 = _fs(params, cfg, tokens, pp_pos, kv,
+                               jnp.zeros((B,), jnp.int32), opts)
+            return logits[:, -1].sum()
+
+        _ = float(prefill_once(p_stacked, kv, pp_tokens))  # compile+warm
+        best_pp = float("inf")
+        for _i in range(3):
+            t0 = time.perf_counter()
+            _ = float(prefill_once(p_stacked, kv, pp_tokens))
+            d = time.perf_counter() - t0
+            best_pp = min(best_pp, max(d - rtt, d * 0.5))
+        pp_tok_s = round(pp_n * B / best_pp, 1)
+    except Exception as e:  # noqa: BLE001 — pp is auxiliary, never fatal
+        print(f"bench: pp{pp_n} measurement failed ({e})", file=sys.stderr)
+
+    # per-component HBM budget for one decode token (VERDICT r2 task 1a):
+    # what must stream for each token at this config
+    layer_w = sum(leaf.size * leaf.dtype.itemsize for leaf in
+                  jax.tree.leaves(variant_params[best]["layers"]))
+    # the lm head streams per token; tok_embd is a 1-row gather (not counted)
+    head_w = sum(leaf.size * leaf.dtype.itemsize for leaf in jax.tree.leaves(
+        {"output": variant_params[best].get("output"),
+         "norm": variant_params[best].get("output_norm")}))
+    kv_cell = 2 * cfg.n_kv_heads * cfg.head_dim * 2  # bf16 write/layer
+    traffic = {
+        "weights_layers": round(layer_w / 1e9, 3),
+        "weights_head": round(head_w / 1e9, 3),
+        "kv_read_full_T": round(cfg.n_layers * T * kv_cell / 1e9, 3),
+        "kv_write": round(cfg.n_layers * kv_cell / 1e9, 6),
+        "logits_row_f32": round(B * cfg.n_vocab * 4 / 1e9, 6),
+    }
+
     print(json.dumps({
         "metric": "llama3_8b_q4k_decode_throughput" if not (args.small or not on_tpu)
         else "tiny_q4k_decode_throughput",
@@ -444,6 +506,9 @@ def main():
         "trial_tok_s": {name: [round(steps * B / max(t - rtt, t * 0.5), 1)
                                for t in ts] for name, ts in trials.items()},
         "sync_rtt_ms": round(rtt * 1e3, 1),
+        "pp512_tok_s": pp_tok_s,
+        "pp_n": pp_n,
+        "traffic_gb_per_tok": traffic,
     }))
     return 0
 

@@ -8,8 +8,11 @@ cd "$(dirname "$0")/.."
 echo "== native build =="
 make native
 
-echo "== test suite (virtual 8-device CPU mesh) =="
+echo "== test suite: default tier (virtual 8-device CPU mesh) =="
 python -m pytest tests/ -q
+
+echo "== test suite: slow tier (multi-process ring/server e2e) =="
+python -m pytest tests/ -q --runslow -m slow
 
 echo "== e2e smoke: model build + quantize + ppl + cli =="
 TMP=$(mktemp -d)

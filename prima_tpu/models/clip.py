@@ -20,8 +20,9 @@ Faithful behavioral details (clip.cpp build graph @582-815):
   dropped (@785-792); `mlp_norm`: mm.0 -> LN mm.1 -> gelu -> mm.3 ->
   LN mm.4 (@793-813)
 
-Unsupported (clearly rejected): the MobileVLM `ldp`/`ldpv2` conv
-projectors and the minicpmv resampler.
+Also supported: the MobileVLM `ldp`/`ldpv2` conv projectors
+(clip.cpp:1409-1480) and the minicpmv perceiver resampler (@734-783);
+unknown projector types are clearly rejected at load.
 """
 
 from __future__ import annotations

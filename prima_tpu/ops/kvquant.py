@@ -102,16 +102,32 @@ def quantize_kv(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     return q, scale
 
 
+def _write(cache: jax.Array, new: jax.Array, cache_pos: jax.Array):
+    """Per-row dynamic write. On TPU this MUST be the in-place Pallas DMA:
+    the XLA route (vmap of dynamic_update_slice) lowers to a select fusion
+    that rewrites the whole cache buffer plus carry copies — ~3 full-buffer
+    passes per cache per layer per decode token (see ops/kv_pallas.py)."""
+    from .kv_pallas import kv_write, kv_write_eligible
+
+    if kv_write_eligible(cache):
+        return kv_write(cache, new, cache_pos)
+    upd = jax.vmap(
+        lambda c, u, p: jax.lax.dynamic_update_slice(
+            c, u, (p,) + (0,) * (c.ndim - 1)))
+    return upd(cache, new.astype(cache.dtype), cache_pos)
+
+
 def update_kv(cache, new: jax.Array, cache_pos: jax.Array):
     """Write `new` (B, S, H, D) at per-row positions; dense, KVQ8 or KVQ4."""
-    upd = jax.vmap(lambda c, u, p: jax.lax.dynamic_update_slice(c, u, (p, 0, 0)))
     if isinstance(cache, KVQ8):
         q, s = quantize_kv(new)
-        return KVQ8(upd(cache.qs, q, cache_pos), upd(cache.scale, s, cache_pos))
+        return KVQ8(_write(cache.qs, q, cache_pos),
+                    _write(cache.scale, s, cache_pos))
     if isinstance(cache, KVQ4):
         q, s = quantize_kv4(new)
-        return KVQ4(upd(cache.qs, q, cache_pos), upd(cache.scale, s, cache_pos))
-    return upd(cache, new.astype(cache.dtype), cache_pos)
+        return KVQ4(_write(cache.qs, q, cache_pos),
+                    _write(cache.scale, s, cache_pos))
+    return _write(cache, new.astype(cache.dtype), cache_pos)
 
 
 def kv_seq_len(cache) -> int:

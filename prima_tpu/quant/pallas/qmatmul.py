@@ -403,8 +403,10 @@ def qmatmul_pallas(x: jax.Array, qt: QTensor, out_dtype=None, fast: bool | None 
     b = int(np.prod(lead)) if lead else 1
     # wide prompts are compute-bound, not weight-bandwidth-bound: past this
     # row count, dequant-once + one MXU GEMM (the XLA path) beats the
-    # streaming kernel. 0 disables the fallback (decode always streams).
-    xla_min_b = int(os.environ.get("PRIMA_QMM_XLA_MIN_B", "0"))
+    # streaming kernel — and the streaming kernel's whole-row x block
+    # (b, K) f32 would blow VMEM past ~b=256 anyway. 0 disables the
+    # fallback (decode always streams regardless of width).
+    xla_min_b = int(os.environ.get("PRIMA_QMM_XLA_MIN_B", "32"))
     if xla_min_b and b >= xla_min_b:
         return qmatmul_xla(x, qt, out_dtype)
     x2 = permute_x(x.reshape(b, k).astype(jnp.float32), qt.sub, qt.gsub)

@@ -220,8 +220,7 @@ class Engine:
                 caches = jax.tree.map(lambda c, r: c.at[slot].set(r[0]), caches, row)
             return caches
 
-        @jax.jit
-        def _decode(params, caches, tokens, cache_pos, rope_pos):
+        def _decode_raw(params, caches, tokens, cache_pos, rope_pos):
             # tokens: (B, 1); cache_pos: (B,) — batched one-token step.
             # RoPE uses the (possibly Self-Extend-compressed) logical
             # positions; causal visibility follows the physical write index.
@@ -229,6 +228,9 @@ class Engine:
             logits, caches = _fwd(params, caches, tokens, positions, cache_pos,
                                   mask_positions=cache_pos[:, None])
             return logits[:, -1], caches
+
+        _decode = jax.jit(_decode_raw)
+        self._decode_raw = _decode_raw
 
         @functools.partial(jax.jit, static_argnames=("s_len",))
         def _verify(params, caches, tokens, pos0, slot, s_len):
@@ -454,6 +456,107 @@ class Engine:
                 slot.stop_reason = reason
             events.append(StepEvent(slot.id, slot.request_id, tok, done, reason,
                                     logprobs=lp))
+        return events
+
+    # -- fused on-device decode+sample (runtime/generate.py) --------------------
+
+    def _fused_ready(self) -> list | None:
+        """Return the active-decode slots when every condition for the
+        chunked on-device path holds, else None (-> host step())."""
+        from .generate import fused_eligible
+
+        if any(s.state == SlotState.PREFILL for s in self.slots):
+            return None
+        active = [s for s in self.slots if s.state == SlotState.DECODE]
+        if not active:
+            return []
+        if self.grp_attn_n > 1:  # Self-Extend mutates positions per token
+            return None
+        if any(s.n_probs > 0 for s in active):  # logprobs need host logits
+            return None
+        if not all(fused_eligible(s.sampler) for s in active):
+            return None
+        bias0 = active[0].sampler.p.logit_bias
+        if any(s.sampler.p.logit_bias != bias0 for s in active):
+            return None
+        # a context-shift would trigger mid-chunk: let step() handle it
+        if any(self.kv.used(s.id) >= self.max_seq - 1 for s in active):
+            return None
+        return active
+
+    def step_fused(self, max_chunk: int | None = None) -> list[StepEvent]:
+        """Chunked decode: up to `chunk` tokens per host round-trip, sampled
+        ON DEVICE (runtime/generate.py) — the TPU analogue of the
+        reference's zero-transfer-cost local sampling (common/sampling.cpp).
+        Falls back to step() whenever any slot needs the host chain."""
+        import time as _time
+
+        active = self._fused_ready()
+        if active is None:
+            return self.step()
+        if not active:
+            return []
+        from .generate import FusedGenerator, SlotSampleParams
+
+        if getattr(self, "_fused_gen", None) is None:
+            self._fused_gen = FusedGenerator(self._decode_raw,
+                                             self.cfg.n_vocab)
+            self._fused_step = 0
+
+        B = self.n_slots
+        chunk = max_chunk or self._fused_gen.chunk
+        token = np.zeros((B, 1), np.int32)
+        rope_delta = np.zeros(B, np.int32)
+        n_left = np.zeros(B, np.int32)
+        slot_params: list = [None] * B
+        recent: list = [[] for _ in range(B)]
+        for s in active:
+            token[s.id, 0] = (s.generated[-1] if s.generated
+                              else s.prompt[-1])
+            rope_delta[s.id] = s.pos_delta
+            room = self.max_seq - self.kv.used(s.id)
+            want = (s.n_predict - len(s.generated)
+                    if s.n_predict >= 0 else chunk)
+            n_left[s.id] = max(min(want, room, chunk), 1)
+            slot_params[s.id] = SlotSampleParams.from_sampler(s.sampler)
+            recent[s.id] = list(s.sampler.prev)
+        # parked rows write one scratch KV cell per step: a FULL idle
+        # slot would clamp onto its last valid cell — drop its reusable
+        # prefix instead (it re-prefills on reuse)
+        cache_pos = self.kv.cache_pos.copy()
+        for s in self.slots:
+            if slot_params[s.id] is None and cache_pos[s.id] >= self.max_seq:
+                cache_pos[s.id] = 0
+                s.prompt = []
+
+        t0 = _time.perf_counter()
+        caches, toks, new_pos = self._fused_gen.generate(
+            self.params, self.kv.caches, token, cache_pos, rope_delta,
+            slot_params, recent, n_left, self._fused_step,
+            logit_bias=active[0].sampler.p.logit_bias, chunk=chunk,
+            eog_ids=sorted(self.eog_ids))
+        self.kv.caches = caches
+        self._fused_step += 1
+        self.n_decode_calls += 1
+        self.perf["t_decode_s"] += _time.perf_counter() - t0
+
+        events: list[StepEvent] = []
+        for s in active:
+            kept = [int(t) for t in toks[s.id] if t >= 0]
+            self.kv.cache_pos[s.id] = int(new_pos[s.id])
+            for j, tok_ in enumerate(kept):
+                s.generated.append(tok_)
+                s.sampler.accept(tok_)
+                self.perf["n_decode"] += 1
+                # the device loop stops rows exactly at eog/length/room, so
+                # stop conditions are only meaningful on the last token
+                done, reason = (self._check_stop(s, tok_)
+                                if j == len(kept) - 1 else (False, None))
+                if done:
+                    s.state = SlotState.IDLE
+                    s.stop_reason = reason
+                events.append(StepEvent(s.id, s.request_id, tok_, done,
+                                        reason))
         return events
 
     def _check_stop(self, slot: Slot, tok: int) -> tuple[bool, str | None]:

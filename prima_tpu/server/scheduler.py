@@ -288,7 +288,12 @@ class EngineWorker:
                 self._wake.wait(timeout=0.2)
                 self._wake.clear()
                 continue
-            events = self.engine.step()
+            # chunked on-device sampling when every active slot qualifies
+            # (falls back to the host chain transparently; see
+            # runtime/generate.py). Chunk 8 keeps admission latency low.
+            events = (self.engine.step_fused(max_chunk=8)
+                      if hasattr(self.engine, "step_fused")
+                      else self.engine.step())
             for ev in events:
                 with self._lock:
                     req = self.active.get(ev.request_id)

@@ -174,8 +174,10 @@ def _stream_generate(eng, model, sampler, prompt_tokens, n_predict, reverse: lis
     slot = eng.submit(prompt_tokens, sampler=sampler, n_predict=n_predict)
     buf = b""
     text_out = ""
+    step = (lambda: eng.step_fused(max_chunk=8)) \
+        if hasattr(eng, "step_fused") else eng.step
     while slot.state != SlotState.IDLE:
-        for ev in eng.step():
+        for ev in step():
             if ev.token is None:
                 continue
             buf += model.tokenizer.decode_token_bytes(ev.token)

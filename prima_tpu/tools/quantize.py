@@ -54,15 +54,41 @@ FTYPES: dict[str, tuple[GGMLType, GGMLType]] = {
 }
 
 
-def _target_type(name: str, ne, default: GGMLType, out_type: GGMLType) -> GGMLType:
-    if len([d for d in ne if d > 1]) < 2:
-        return GGMLType.F32  # norms / biases stay f32
-    if name in ("output.weight", "token_embd.weight"):
-        return out_type
-    # Q4_K_M-style bump: attn_v and ffn_down are quality-critical
-    if default == GGMLType.Q4_K and (".attn_v." in name or ".ffn_down." in name):
-        return GGMLType.Q6_K
-    return default
+def build_planner(src: GGUFModel, ftype: str, has_imatrix: bool):
+    """Derive quantize_state_internal fields from the GGUF metadata +
+    tensor stream (llama_model_quantize_internal @19660-19690)."""
+    from ..quant.type_rules import QuantPlanner
+
+    md = src.metadata
+    arch = md.get("general.architecture", "llama")
+
+    def kv(suffix, default=0):
+        return int(md.get(f"{arch}.{suffix}", default))
+
+    n_layer = kv("block_count", 1)
+    n_head = kv("attention.head_count", 1)
+    n_head_kv = kv("attention.head_count_kv", n_head) or n_head
+    n_expert = kv("expert_count", 0)
+    n_wv = sum(1 for n in src.tensors if "attn_v.weight" in n)
+    n_down = sum(1 for n in src.tensors if "ffn_down" in n)
+    has_output = "output.weight" in src.tensors
+    # MODEL_70B heuristic: 80 layers + 8-way GQA (llm_load_hparams)
+    model_70b = n_layer == 80 and n_head_kv and n_head // n_head_kv == 8
+    return QuantPlanner(
+        ftype=ftype, n_layer=n_layer,
+        n_gqa=n_head // n_head_kv if n_head_kv else 1,
+        n_expert=n_expert, arch=arch, has_imatrix=has_imatrix,
+        has_output=has_output, model_70b=model_70b,
+        n_attention_wv=n_wv or n_layer, n_ffn_down=n_down or n_layer)
+
+
+def _target_type(planner, name: str, ne) -> GGMLType:
+    # the reference quantizes only 2-D ".weight" tensors (@19753-19783);
+    # norms/biases/1-D stay f32
+    if len([d for d in ne if d > 1]) < 2 or not name.endswith(".weight"):
+        return GGMLType.F32
+    # numpy row-major shape: (rows, ne0) — get_type keys on ne[0]
+    return planner.get_type(name, (int(ne[-1]), int(ne[0])))
 
 
 def _encode(x: np.ndarray, t: GGMLType,
@@ -87,8 +113,12 @@ def quantize_gguf(src_path: str, dst_path: str, ftype: str,
     """imatrix: name -> per-column importance (from quantize_imatrix.
     load_imatrix) — enables activation-weighted encoding for K-quants, the
     analogue of llama-quantize --imatrix."""
-    default_t, out_t = FTYPES[ftype.upper()]
+    from ..quant.type_rules import FTYPE_DEFAULT
+
+    ftype = ftype.upper()
+    default_t = FTYPE_DEFAULT.get(ftype, FTYPES[ftype][0])
     src = GGUFModel.open(src_path)
+    planner = build_planner(src, ftype, has_imatrix=imatrix is not None)
     w = GGUFWriter(dst_path)
     for key, val in src.metadata.items():
         if key == "general.file_type":
@@ -100,7 +130,7 @@ def quantize_gguf(src_path: str, dst_path: str, ftype: str,
     t0 = time.time()
     for name, ti in src.tensors.items():
         x = dequantize_tensor(ti).astype(np.float32)
-        t = _target_type(name, ti.ne, default_t, out_t)
+        t = _target_type(planner, name, ti.ne)
         qw = imatrix.get(name) if imatrix else None
         if qw is not None and len(qw) != ti.ne[0]:
             qw = None  # shape mismatch (e.g. different model): ignore
@@ -124,7 +154,10 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="prima-quantize", description=__doc__)
     ap.add_argument("src")
     ap.add_argument("dst")
-    ap.add_argument("ftype", choices=sorted(FTYPES), help="target ftype")
+    from ..quant.type_rules import FTYPE_DEFAULT
+
+    ap.add_argument("ftype", choices=sorted(set(FTYPES) | set(FTYPE_DEFAULT)),
+                    help="target ftype (incl. _S/_M/_L size mixes)")
     ap.add_argument("--imatrix", help="importance matrix file (prima-imatrix)")
     args = ap.parse_args(argv)
     imatrix = None

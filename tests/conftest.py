@@ -24,6 +24,28 @@ jax.config.update("jax_platforms", "cpu")
 import pytest  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run tests marked slow (multi-process ring/server e2e tiers)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: >30s multi-process/e2e tests (run with --runslow "
+        "or PRIMA_SLOW_TESTS=1; CI runs both tiers, see ci/run.sh)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get("PRIMA_SLOW_TESTS"):
+        return
+    skip = pytest.mark.skip(reason="slow tier: pass --runslow (or "
+                            "PRIMA_SLOW_TESTS=1) — ci/run.sh runs it")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def cpu_devices():
     import jax

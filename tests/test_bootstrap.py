@@ -10,6 +10,8 @@ import pytest
 from prima_tpu.profiler.device import DeviceProfile
 from prima_tpu.profiler.model_cost import ModelCost
 
+pytestmark = pytest.mark.slow  # multi-process/e2e tier (ci/run.sh --runslow)
+
 GiB = 1 << 30
 
 

@@ -9,6 +9,8 @@ import pytest
 from prima_tpu.gguf.constants import GGMLType
 from prima_tpu.tools.make_tiny_gguf import make_tiny_gguf
 
+pytestmark = pytest.mark.slow  # multi-process/e2e tier (ci/run.sh --runslow)
+
 
 @pytest.fixture(scope="module")
 def tiny_model(tmp_path_factory):

@@ -17,6 +17,8 @@ from prima_tpu.parallel.mesh import make_mesh
 from prima_tpu.parallel.pipeline import PipeSpec, build_pipe_model
 from prima_tpu.runtime.engine import Engine, SlotState
 
+pytestmark = pytest.mark.slow  # multi-process/e2e tier (ci/run.sh --runslow)
+
 OPTS = ForwardOptions(matmul_impl="xla", dtype=jnp.float32)
 
 

@@ -1,0 +1,422 @@
+"""Fused on-device generation (runtime/generate.py).
+
+The device sampler's kept-candidate SET and pre-draw masked logits must
+match the host Sampler chain (sampling/__init__.py) for every eligible
+config; greedy must match exactly token-for-token; the chunked loop must
+drive a real model forward identically to Engine.step's token path.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from prima_tpu.runtime.generate import (MAX_TOPK, FusedGenerator,
+                                        SlotSampleParams, device_sample,
+                                        fused_eligible)
+from prima_tpu.sampling import Sampler, SamplerParams
+
+
+def _host_candidates(logits: np.ndarray, p: SamplerParams,
+                     prev: list[int]) -> np.ndarray:
+    """Run the host chain up to (not including) the dist draw; return the
+    kept candidate ids, sorted descending by (post-penalty) logit."""
+    from prima_tpu.sampling import (apply_min_p, apply_penalties, apply_top_k,
+                                    apply_top_p)
+
+    lg = logits.astype(np.float32).copy()
+    for t, b in p.logit_bias.items():
+        lg[t] += b
+    apply_penalties(lg, prev, p.penalty_last_n, p.penalty_repeat,
+                    p.penalty_freq, p.penalty_present)
+    ids = apply_top_k(lg, p.top_k)
+    ids = apply_top_p(lg, ids, p.top_p, p.min_keep)
+    ids = apply_min_p(lg, ids, p.min_p, p.min_keep)
+    return ids
+
+
+def _device_keep_set(logits: np.ndarray, sp_list, recent_rows,
+                     top_k: int) -> list[set]:
+    """Recompute the device chain's keep mask by running device_sample with
+    a probe: instead of sampling, recover the mask via many draws is flaky —
+    so mirror its arithmetic in numpy on the device-identical path."""
+    # run the actual device code but capture the masked values by calling
+    # the internals with temp=1 and comparing categorical support via the
+    # mask reconstruction below (pure-jax re-derivation)
+    b, v = logits.shape
+    sp = {
+        "temp": jnp.asarray([p.temp for p in sp_list], jnp.float32),
+        "top_p": jnp.asarray([p.top_p for p in sp_list], jnp.float32),
+        "min_p": jnp.asarray([p.min_p for p in sp_list], jnp.float32),
+        "top_k": jnp.asarray(
+            [p.top_k if 0 < p.top_k <= MAX_TOPK else MAX_TOPK + 1
+             for p in sp_list], jnp.int32),
+        "min_keep": jnp.asarray([p.min_keep for p in sp_list], jnp.int32),
+        "penalty_repeat": jnp.asarray(
+            [p.penalty_repeat for p in sp_list], jnp.float32),
+        "penalty_freq": jnp.asarray(
+            [p.penalty_freq for p in sp_list], jnp.float32),
+        "penalty_present": jnp.asarray(
+            [p.penalty_present for p in sp_list], jnp.float32),
+        "eff_last_n": jnp.asarray(
+            [max(p.penalty_last_n, 1) for p in sp_list], jnp.int32),
+    }
+    lg = jnp.asarray(logits)
+    recent = jnp.asarray(recent_rows)
+    # penalties (device arithmetic)
+    valid = recent >= 0
+    ids = jnp.where(valid, recent, 0)
+    counts = jax.vmap(lambda i, o: jnp.zeros((v,), jnp.float32).at[i].add(o))(
+        ids, valid.astype(jnp.float32))
+    rep = sp["penalty_repeat"][:, None]
+    hit = counts > 0
+    scaled = jnp.where(lg > 0, lg / rep, lg * rep)
+    lg = jnp.where(hit, scaled, lg)
+    lg = lg - counts * sp["penalty_freq"][:, None]
+    lg = lg - hit.astype(jnp.float32) * sp["penalty_present"][:, None]
+
+    vals, idx = jax.lax.top_k(lg, top_k)
+    rank = jnp.arange(top_k)[None]
+    in_k = rank < sp["top_k"][:, None]
+    vals = jnp.where(in_k, vals, np.float32(-1e30))
+    probs = jax.nn.softmax(vals, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep_tp = ((cum - probs) < sp["top_p"][:, None]) & in_k
+    keep_tp |= (rank < sp["min_keep"][:, None]) & in_k
+    keep_mp = probs >= sp["min_p"][:, None] * probs[:, :1]
+    keep = keep_tp & keep_mp
+    tp_rank = jnp.cumsum(keep_tp.astype(jnp.int32), axis=-1)
+    fallback = keep_tp & (tp_rank <= sp["min_keep"][:, None])
+    enough = keep.sum(axis=-1, keepdims=True) >= sp["min_keep"][:, None]
+    keep = np.asarray(jnp.where(enough, keep, fallback))
+    idx = np.asarray(idx)
+    return [set(idx[i][keep[i]].tolist()) for i in range(b)]
+
+
+@pytest.mark.parametrize("cfg", [
+    dict(top_k=8, top_p=0.9, min_p=0.05, temp=0.8),
+    dict(top_k=40, top_p=1.0, min_p=0.0, temp=1.0),
+    dict(top_k=5, top_p=0.5, min_p=0.0, temp=0.7, min_keep=3),
+    dict(top_k=16, top_p=0.95, min_p=0.2, temp=1.2),
+    dict(top_k=12, top_p=0.9, min_p=0.05, temp=0.9,
+         penalty_last_n=8, penalty_repeat=1.3, penalty_freq=0.1,
+         penalty_present=0.2),
+])
+def test_candidate_set_matches_host(cfg):
+    rng = np.random.default_rng(42)
+    v = 256
+    logits = rng.standard_normal(v).astype(np.float32) * 3
+    prev = [int(t) for t in rng.integers(0, v, size=20)]
+
+    p = SamplerParams(**cfg)
+    host_ids = set(int(t) for t in _host_candidates(logits, p, prev))
+
+    sp = SlotSampleParams(
+        temp=p.temp, top_k=p.top_k, top_p=p.top_p, min_p=p.min_p,
+        min_keep=p.min_keep, penalty_last_n=p.penalty_last_n,
+        penalty_repeat=p.penalty_repeat, penalty_freq=p.penalty_freq,
+        penalty_present=p.penalty_present)
+    ln = max(p.penalty_last_n, 1)
+    recent = np.full((1, 64), -1, np.int32)
+    if sp.penalties_active():
+        for a in range(max(0, len(prev) - ln), len(prev)):
+            recent[0, a % ln] = prev[a]
+    dev_ids = _device_keep_set(logits[None], [sp], recent, top_k=p.top_k)[0]
+    assert dev_ids == host_ids
+
+
+def test_greedy_matches_host_exactly():
+    rng = np.random.default_rng(0)
+    v = 512
+    logits = rng.standard_normal((4, v)).astype(np.float32) * 4
+    prev = [int(t) for t in rng.integers(0, v, size=30)]
+    p = SamplerParams(temp=0.0, penalty_last_n=16, penalty_repeat=1.4,
+                      penalty_freq=0.2, penalty_present=0.1)
+
+    sp_arrays = {
+        "temp": jnp.zeros((4,), jnp.float32),
+        "top_p": jnp.ones((4,), jnp.float32),
+        "min_p": jnp.zeros((4,), jnp.float32),
+        "top_k": jnp.zeros((4,), jnp.int32),
+        "min_keep": jnp.ones((4,), jnp.int32),
+        "penalty_repeat": jnp.full((4,), 1.4, jnp.float32),
+        "penalty_freq": jnp.full((4,), 0.2, jnp.float32),
+        "penalty_present": jnp.full((4,), 0.1, jnp.float32),
+        "eff_last_n": jnp.full((4,), 16, jnp.int32),
+    }
+    recent = np.full((4, 64), -1, np.int32)
+    for b in range(4):
+        for a in range(max(0, len(prev) - 16), len(prev)):
+            recent[b, a % 16] = prev[a]
+    toks = device_sample(jnp.asarray(logits), jnp.asarray(recent),
+                         jax.vmap(jax.random.PRNGKey)(np.arange(4, dtype=np.uint32)),
+                         sp_arrays, top_k=0, has_pen=True, has_dist=False,
+                         has_free=False)
+    for b in range(4):
+        s = Sampler(p)
+        for t in prev:
+            s.accept(t, accept_grammar=False)
+        assert int(toks[b]) == s.sample(logits[b])
+
+
+def test_fused_eligibility():
+    assert fused_eligible(Sampler(SamplerParams(temp=0.0)))
+    assert fused_eligible(Sampler(SamplerParams(temp=0.8, top_k=40)))
+    assert fused_eligible(Sampler(SamplerParams(temp=1.0, top_k=0,
+                                                top_p=1.0, min_p=0.0)))
+    assert not fused_eligible(Sampler(SamplerParams(temp=0.8, top_k=0)))
+    assert not fused_eligible(Sampler(SamplerParams(mirostat=2)))
+    assert not fused_eligible(Sampler(SamplerParams(tfs_z=0.9)))
+    assert not fused_eligible(Sampler(SamplerParams(typ_p=0.5)))
+    assert not fused_eligible(Sampler(SamplerParams(dynatemp_range=0.5)))
+    assert not fused_eligible(
+        Sampler(SamplerParams(temp=0.0), grammar=object()))
+    # greedy trumps everything else in the chain
+    assert fused_eligible(Sampler(SamplerParams(temp=0.0, tfs_z=0.5)))
+
+
+def test_chunk_loop_greedy_matches_engine(tiny_engine_factory=None):
+    """The FusedGenerator chunk loop over a real tiny model must produce
+    the same greedy tokens as Engine.step's per-token host path."""
+    from prima_tpu.gguf.constants import GGMLType
+    from prima_tpu.models.config import tiny_config
+    from prima_tpu.models.llama import synth_params
+    from prima_tpu.runtime.engine import Engine
+
+    cfg = tiny_config(n_layers=2, n_embd=64, n_heads=4, n_kv_heads=2,
+                      head_dim=16, n_ff=128, n_vocab=97)
+    params = synth_params(cfg, GGMLType.Q8_0)
+    eng = Engine(cfg, params, n_slots=2, max_seq=64, n_batch=16)
+    prompt = [3, 14, 15, 9, 26]
+    s = eng.submit(prompt, sampler=Sampler(SamplerParams(temp=0.0)),
+                   n_predict=12)
+    want = []
+    while s.state.name != "IDLE":
+        for ev in eng.step():
+            if ev.token is not None:
+                want.append(ev.token)
+
+    eng2 = Engine(cfg, synth_params(cfg, GGMLType.Q8_0), n_slots=2,
+                  max_seq=64, n_batch=16)
+    s2 = eng2.submit(prompt, sampler=Sampler(SamplerParams(temp=0.0)),
+                     n_predict=12)
+    eng2.prefill_only(s2)
+
+    def fwd(params, caches, token, cache_pos, rope_pos):
+        logits, caches = eng2._decode.__wrapped__(
+            params, caches, token, cache_pos, rope_pos)
+        return logits, caches
+
+    gen = FusedGenerator(fwd, cfg.n_vocab, chunk=5)
+    got = []
+    step_index = 0
+    while len(got) < 12:
+        B = eng2.n_slots
+        token = np.zeros((B, 1), np.int32)
+        token[s2.id, 0] = (s2.generated[-1] if s2.generated
+                           else s2.prompt[-1])
+        slot_params = [None] * B
+        slot_params[s2.id] = SlotSampleParams.from_sampler(s2.sampler)
+        n_left = np.zeros((B,), np.int32)
+        n_left[s2.id] = 12 - len(got)
+        caches, toks, new_pos = gen.generate(
+            eng2.params, eng2.kv.caches, token,
+            eng2.kv.cache_pos.copy(), np.zeros((B,), np.int32),
+            slot_params, [list(s2.prompt) + got, []], n_left, step_index)
+        eng2.kv.caches = caches
+        valid = [int(t) for t in toks[s2.id] if t >= 0]
+        got.extend(valid)
+        s2.generated.extend(valid)
+        eng2.kv.cache_pos[:] = new_pos
+        step_index += 1
+    assert got == want
+
+
+def test_chunk_loop_parked_rows_untouched():
+    """Parked rows must not advance cache_pos nor emit tokens."""
+    from prima_tpu.gguf.constants import GGMLType
+    from prima_tpu.models.config import tiny_config
+    from prima_tpu.models.llama import synth_params
+    from prima_tpu.runtime.engine import Engine
+
+    cfg = tiny_config(n_layers=2, n_embd=64, n_heads=4, n_kv_heads=2,
+                      head_dim=16, n_ff=128, n_vocab=97)
+    eng = Engine(cfg, synth_params(cfg, GGMLType.Q8_0), n_slots=3,
+                 max_seq=64, n_batch=16)
+    s = eng.submit([5, 6, 7], sampler=Sampler(SamplerParams(temp=0.0)),
+                   n_predict=4)
+    eng.prefill_only(s)
+
+    def fwd(params, caches, token, cache_pos, rope_pos):
+        return eng._decode.__wrapped__(params, caches, token, cache_pos,
+                                       rope_pos)
+
+    gen = FusedGenerator(fwd, cfg.n_vocab, chunk=4)
+    B = eng.n_slots
+    token = np.zeros((B, 1), np.int32)
+    token[s.id, 0] = s.prompt[-1]
+    slot_params = [None] * B
+    slot_params[s.id] = SlotSampleParams.from_sampler(s.sampler)
+    n_left = np.zeros((B,), np.int32)
+    n_left[s.id] = 4
+    pos_before = eng.kv.cache_pos.copy()
+    _, toks, new_pos = gen.generate(
+        eng.params, eng.kv.caches, token, eng.kv.cache_pos.copy(),
+        np.zeros((B,), np.int32), slot_params,
+        [[], [], []], n_left, 0)
+    for b in range(B):
+        if b == s.id:
+            assert (toks[b] >= 0).sum() == 4
+            assert new_pos[b] == pos_before[b] + 4
+        else:
+            assert (toks[b] == -1).all()
+            assert new_pos[b] == pos_before[b]
+
+
+def test_dist_sampling_respects_candidate_set():
+    """Sampled tokens must always land inside the host candidate set."""
+    rng = np.random.default_rng(7)
+    v = 128
+    logits = rng.standard_normal((1, v)).astype(np.float32) * 3
+    p = SamplerParams(temp=0.9, top_k=6, top_p=0.8, min_p=0.1)
+    host_ids = set(int(t) for t in _host_candidates(logits[0], p, []))
+
+    sp_arrays = {
+        "temp": jnp.full((1,), p.temp, jnp.float32),
+        "top_p": jnp.full((1,), p.top_p, jnp.float32),
+        "min_p": jnp.full((1,), p.min_p, jnp.float32),
+        "top_k": jnp.full((1,), p.top_k, jnp.int32),
+        "min_keep": jnp.ones((1,), jnp.int32),
+        "penalty_repeat": jnp.ones((1,), jnp.float32),
+        "penalty_freq": jnp.zeros((1,), jnp.float32),
+        "penalty_present": jnp.zeros((1,), jnp.float32),
+        "eff_last_n": jnp.ones((1,), jnp.int32),
+    }
+    recent = jnp.full((1, 8), -1, jnp.int32)
+    seen = set()
+    for i in range(64):
+        keys = jax.vmap(jax.random.PRNGKey)(
+            np.asarray([i], np.uint32))
+        tok = device_sample(jnp.asarray(logits), recent, keys, sp_arrays,
+                            top_k=p.top_k, has_pen=False, has_dist=True,
+                            has_free=False)
+        seen.add(int(tok[0]))
+    assert seen <= host_ids
+    assert len(seen) > 1  # it actually samples
+
+
+def _tiny_engine(n_slots=2, **kw):
+    from prima_tpu.gguf.constants import GGMLType
+    from prima_tpu.models.config import tiny_config
+    from prima_tpu.models.llama import synth_params
+    from prima_tpu.runtime.engine import Engine
+
+    cfg = tiny_config(n_layers=2, n_embd=64, n_heads=4, n_kv_heads=2,
+                      head_dim=16, n_ff=128, n_vocab=97)
+    return Engine(cfg, synth_params(cfg, GGMLType.Q8_0), n_slots=n_slots,
+                  max_seq=64, n_batch=16, **kw)
+
+
+def test_engine_step_fused_matches_step_greedy():
+    eng = _tiny_engine()
+    prompt = [3, 14, 15, 9, 26, 5]
+    s = eng.submit(prompt, sampler=Sampler(SamplerParams(temp=0.0)),
+                   n_predict=11)
+    want = []
+    while s.state.name != "IDLE":
+        for ev in eng.step():
+            want.append(ev.token)
+
+    eng2 = _tiny_engine()
+    s2 = eng2.submit(prompt, sampler=Sampler(SamplerParams(temp=0.0)),
+                     n_predict=11)
+    got, reasons = [], []
+    for _ in range(40):
+        if s2.state.name == "IDLE":
+            break
+        for ev in eng2.step_fused(max_chunk=4):
+            got.append(ev.token)
+            if ev.done:
+                reasons.append(ev.reason)
+    assert got == want
+    assert reasons == ["length"]
+    assert eng2.kv.cache_pos[s2.id] == eng.kv.cache_pos[s.id]
+
+
+def test_engine_step_fused_eog_stops_on_device():
+    eng = _tiny_engine()
+    # discover the greedy token stream first, then mark one token as eog
+    s = eng.submit([3, 14, 15], sampler=Sampler(SamplerParams(temp=0.0)),
+                   n_predict=10)
+    stream = []
+    while s.state.name != "IDLE":
+        for ev in eng.step():
+            stream.append(ev.token)
+    eog = stream[4]
+
+    eng2 = _tiny_engine()
+    eng2.eog_ids = {eog}
+    s2 = eng2.submit([3, 14, 15], sampler=Sampler(SamplerParams(temp=0.0)),
+                     n_predict=10)
+    got = []
+    reason = None
+    for _ in range(20):
+        if s2.state.name == "IDLE":
+            break
+        for ev in eng2.step_fused(max_chunk=8):
+            got.append(ev.token)
+            if ev.done:
+                reason = ev.reason
+    first_eog = stream.index(eog)
+    assert got == stream[:first_eog + 1]
+    assert reason == "eog"
+    # cache_pos counts ingested tokens (prompt-1 prefilled + decode steps)
+    assert eng2.kv.cache_pos[s2.id] == 2 + len(got)
+
+
+def test_engine_step_fused_fallbacks():
+    eng = _tiny_engine()
+    # mirostat is host-only -> step_fused must transparently fall back
+    s = eng.submit([3, 14, 15], sampler=Sampler(
+        SamplerParams(mirostat=2, seed=1), n_vocab=97), n_predict=3)
+    toks = []
+    while s.state.name != "IDLE":
+        for ev in eng.step_fused():
+            toks.append(ev.token)
+    assert len(toks) == 3
+
+
+def test_engine_step_fused_multi_slot():
+    eng = _tiny_engine(n_slots=3)
+    s1 = eng.submit([3, 14, 15], sampler=Sampler(SamplerParams(temp=0.0)),
+                    n_predict=6)
+    s2 = eng.submit([40, 2, 9, 9], sampler=Sampler(
+        SamplerParams(temp=0.9, top_k=8, seed=7)), n_predict=4)
+    done = set()
+    per_slot = {s1.id: [], s2.id: []}
+    for _ in range(30):
+        if len(done) == 2:
+            break
+        evs = eng.step_fused(max_chunk=4)
+        if not evs and not any(
+                sl.state.name != "IDLE" for sl in eng.slots):
+            break
+        for ev in evs:
+            per_slot[ev.slot_id].append(ev.token)
+            if ev.done:
+                done.add(ev.slot_id)
+    assert len(per_slot[s1.id]) == 6
+    assert len(per_slot[s2.id]) == 4
+    assert all(0 <= t < 97 for t in per_slot[s2.id])
+
+    # greedy slot must match the host single-step engine exactly
+    ref = _tiny_engine(n_slots=3)
+    r1 = ref.submit([3, 14, 15], sampler=Sampler(SamplerParams(temp=0.0)),
+                    n_predict=6)
+    want = []
+    while r1.state.name != "IDLE":
+        for ev in ref.step():
+            if ev.slot_id == r1.id:
+                want.append(ev.token)
+    assert per_slot[s1.id] == want

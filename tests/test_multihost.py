@@ -9,6 +9,8 @@ import socket
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-process/e2e tier (ci/run.sh --runslow)
+
 
 def _free_port():
     s = socket.socket()

@@ -11,6 +11,8 @@ import pytest
 
 from prima_tpu.tools.make_tiny_gguf import make_tiny_gguf
 
+pytestmark = pytest.mark.slow  # multi-process/e2e tier (ci/run.sh --runslow)
+
 
 def _free_port():
     s = socket.socket()

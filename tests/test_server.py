@@ -16,6 +16,8 @@ from prima_tpu.runtime.engine import Engine
 from prima_tpu.server.app import serve
 from prima_tpu.tools.make_tiny_gguf import make_tiny_gguf
 
+pytestmark = pytest.mark.slow  # multi-process/e2e tier (ci/run.sh --runslow)
+
 OPTS = ForwardOptions(matmul_impl="xla")
 
 

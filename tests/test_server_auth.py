@@ -14,6 +14,8 @@ from prima_tpu.runtime.engine import Engine
 from prima_tpu.server.app import serve
 from prima_tpu.tools.make_tiny_gguf import make_tiny_gguf
 
+pytestmark = pytest.mark.slow  # multi-process/e2e tier (ci/run.sh --runslow)
+
 
 @pytest.fixture(scope="module")
 def auth_server(tmp_path_factory):

@@ -10,6 +10,8 @@ from prima_tpu.runtime.engine import Engine
 from prima_tpu.runtime.speculative import SpeculativeDecoder
 from prima_tpu.sampling import Sampler, SamplerParams
 
+pytestmark = pytest.mark.slow  # multi-process/e2e tier (ci/run.sh --runslow)
+
 OPTS = ForwardOptions(matmul_impl="xla", dtype=jnp.float32)
 
 

@@ -21,6 +21,8 @@ from prima_tpu.parallel.streamed_pipe import (StreamedPipeRunner,
                                               build_streamed_pipe_model)
 from prima_tpu.quant.dequant_jax import QTensor
 
+pytestmark = pytest.mark.slow  # multi-process/e2e tier (ci/run.sh --runslow)
+
 GG = GGMLType.Q4_K
 OPTS = ForwardOptions(matmul_impl="xla", dtype=jnp.float32)
 

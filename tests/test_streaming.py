@@ -10,6 +10,8 @@ from prima_tpu.models.llama import ForwardOptions, synth_host_head, synth_host_l
 from prima_tpu.runtime.engine import Engine
 from prima_tpu.runtime.streaming import StreamedRunner, build_streamed_model
 
+pytestmark = pytest.mark.slow  # multi-process/e2e tier (ci/run.sh --runslow)
+
 OPTS = ForwardOptions(matmul_impl="xla", dtype=jnp.float32)
 
 
