@@ -45,6 +45,13 @@ class DeviceProfile:
     disk_seq_bw: float = 0.0
     disk_rand_bw: float = 0.0
     ici_bw: float = 0.0  # inter-chip (0 when single device)
+    # interconnect hop characteristics feeding the scheduler's comm term
+    # (the reference measures device-to-device copy delay,
+    # common/profiler.cpp:1216, and folds it into the MILP cost)
+    ici_hop_gbs: float = 0.0  # ppermute neighbor-exchange bandwidth
+    ici_hop_lat_s: float = 0.0  # per-hop fixed latency (small payload)
+    tcp_hop_gbs: float = 0.0  # wire-plane (ring_tcp) hop bandwidth
+    tcp_hop_lat_s: float = 0.0  # wire-plane per-hop latency
     # memory (bytes)
     hbm_total: int = 0
     hbm_free: int = 0
@@ -198,6 +205,99 @@ def _bench_disk(path: str = None, mb: int = 64) -> tuple[float, float]:
             pass
 
 
+def _bench_ici_hop(sizes_mb=(1, 16)) -> tuple[float, float]:
+    """ppermute neighbor-exchange microbench over all local devices:
+    returns (GB/s per hop at the large payload, per-hop latency from the
+    small one). The mesh analogue of the reference's device-to-device
+    copy-delay bench (common/profiler.cpp:1216). 0s when single-device."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    devs = jax.devices()
+    n = len(devs)
+    if n < 2:
+        return 0.0, 0.0
+    mesh = Mesh(np.asarray(devs), ("x",))
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def run(bytes_total):
+        elems = max(bytes_total // 4 // n, 256)
+
+        @jax.jit
+        def fn(x):
+            def body(x):
+                def step(i, y):
+                    return jax.lax.ppermute(y, "x", perm) + 1.0
+                return jax.lax.fori_loop(0, 8, step, x)
+            return shard_map(body, mesh=mesh, in_specs=P("x"),
+                             out_specs=P("x"))(x).sum()
+
+        x = jnp.ones((n * elems,), jnp.float32)
+        _sync(fn(x))
+        t0 = time.perf_counter()
+        _sync(fn(x))
+        dt = (time.perf_counter() - t0) / 8
+        return elems * 4, dt
+
+    small_bytes, small_dt = run(sizes_mb[0] * 2**20)
+    big_bytes, big_dt = run(sizes_mb[1] * 2**20)
+    lat = max(small_dt - small_bytes / max(big_bytes / big_dt, 1e-9), 0.0)
+    return big_bytes / big_dt / 1e9, lat
+
+
+def _bench_tcp_hop(payload_mb: int = 8) -> tuple[float, float]:
+    """Loopback TCP hop bench for the wire plane (ring_tcp): (GB/s, lat_s).
+    Loopback is the upper bound of the local NIC path; multi-host rings
+    re-measure against the real peer at bootstrap."""
+    import socket
+    import threading
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    got = {}
+
+    def serve():
+        conn, _ = srv.accept()
+        conn.settimeout(10)
+        total = 0
+        while True:
+            b = conn.recv(1 << 20)
+            if not b:
+                break
+            total += len(b)
+            if b[-1:] == b"\x01":  # echo marker for latency pings
+                conn.sendall(b"\x01")
+        got["total"] = total
+        conn.close()
+
+    th = threading.Thread(target=serve, daemon=True)
+    th.start()
+    cli = socket.create_connection(("127.0.0.1", port), timeout=10)
+    cli.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+    # latency: 16 x 1-byte ping-pong
+    lats = []
+    for _ in range(16):
+        t0 = time.perf_counter()
+        cli.sendall(b"\x01")
+        assert cli.recv(1) == b"\x01"
+        lats.append(time.perf_counter() - t0)
+    lat = sorted(lats)[len(lats) // 2] / 2  # one-way
+    # bandwidth: one big streamed payload
+    payload = b"\x00" * (payload_mb * 2**20)
+    t0 = time.perf_counter()
+    cli.sendall(payload)
+    cli.shutdown(socket.SHUT_WR)
+    th.join(timeout=10)
+    dt = time.perf_counter() - t0
+    cli.close()
+    srv.close()
+    return len(payload) / dt / 1e9, lat
+
+
 def _mem_info() -> dict:
     """Host memory, swap; cgroup-aware like the reference's Docker handling
     (profiler.cpp:459-683)."""
@@ -288,6 +388,14 @@ def profile_device(full: bool = True, bench_disk: bool = True) -> DeviceProfile:
         for _ in range(5):
             _sync(f(one))
         p.dispatch_latency_s = (time.perf_counter() - t0) / 5
+        try:
+            p.ici_hop_gbs, p.ici_hop_lat_s = _bench_ici_hop()
+        except Exception:
+            p.ici_hop_gbs = p.ici_hop_lat_s = 0.0
+        try:
+            p.tcp_hop_gbs, p.tcp_hop_lat_s = _bench_tcp_hop()
+        except Exception:
+            p.tcp_hop_gbs = p.tcp_hop_lat_s = 0.0
     return p
 
 
@@ -307,6 +415,10 @@ def print_device_props(p: DeviceProfile) -> str:
         ("host RAM total/avail", f"{p.host_ram_total / 2**30:6.1f} / {p.host_ram_avail / 2**30:.1f} GiB"),
         ("swap", f"{p.host_swap_total / 2**30:6.1f} GiB"),
         ("dispatch latency", f"{p.dispatch_latency_s * 1e3:8.2f} ms"),
+        ("ICI hop bw/lat", f"{p.ici_hop_gbs:6.2f} GB/s / "
+                           f"{p.ici_hop_lat_s * 1e6:.0f} us"),
+        ("TCP hop bw/lat", f"{p.tcp_hop_gbs:6.2f} GB/s / "
+                           f"{p.tcp_hop_lat_s * 1e6:.0f} us"),
     ]
     w = max(len(k) for k, _ in rows)
     return "\n".join(f"| {k:<{w}} | {v} |" for k, v in rows)

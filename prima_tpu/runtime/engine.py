@@ -155,9 +155,20 @@ class Engine:
         self.n_batch = n_batch
         # scan mode: uniform-layer models run forward_scan (one compiled
         # layer body + stacked KV) — ~n_layers x faster compilation and far
-        # fewer per-token dispatches. Auto-enabled when eligible.
+        # fewer per-token dispatches. On TPU the UNROLLED per-layer path
+        # wins ~1.6x at decode instead (XLA copies each scan iteration's
+        # weight slice before the Pallas kernel can stream it, tripling
+        # weight traffic — measured in BENCH_r03), so scan auto-enables
+        # only off-TPU; PRIMA_ENGINE_SCAN=1/0 overrides.
         if scan is None:
-            scan = _scan_eligible(cfg, params)
+            import os as _os
+
+            env = _os.environ.get("PRIMA_ENGINE_SCAN")
+            if env is not None:
+                scan = env == "1"
+            else:
+                scan = (_scan_eligible(cfg, params)
+                        and jax.default_backend() != "tpu")
         self.use_scan = bool(scan)
         if self.use_scan:
             params = dict(params)

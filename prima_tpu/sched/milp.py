@@ -209,7 +209,20 @@ def assign_layers(
     models the mesh pipeline's vocab-sharded output head."""
     M = len(profiles)
     L = cost.n_layers
-    xi = [p.dispatch_latency_s for p in profiles]  # per-hop latency proxy
+    # per-hop comm term xi[m]: the measured activation-transfer cost of the
+    # hop LEAVING device m (the reference's device-to-device copy delay,
+    # common/profiler.cpp:1216). act_bytes = one f32 hidden row; the wire
+    # plane (TCP ring) dominates the mesh plane whenever it is present.
+    act_bytes = max(cost.n_embd, 1) * 4
+
+    def _hop_cost(p) -> float:
+        if p.tcp_hop_gbs > 0:
+            return act_bytes / (p.tcp_hop_gbs * 1e9) + p.tcp_hop_lat_s
+        if p.ici_hop_gbs > 0:
+            return act_bytes / (p.ici_hop_gbs * 1e9) + p.ici_hop_lat_s
+        return p.dispatch_latency_s  # unmeasured: dispatch-latency proxy
+
+    xi = [_hop_cost(p) for p in profiles]
 
     if force_k:
         ks = [force_k]

@@ -172,3 +172,34 @@ def test_compute_buf_bound_scales_with_model():
     # master adds the vocab logits buffer
     assert small.compute_buf_bytes(4096, is_master=True) > \
         small.compute_buf_bytes(4096, is_master=False)
+
+
+def test_measured_hop_cost_feeds_xi():
+    """VERDICT r2 #6: the comm term must come from measured interconnect
+    figures, and a slower hop must shift the schedule toward fewer ring
+    cycles (each cycle pays one more round of hops)."""
+    cost = _cost(32, layer_mb=400)
+
+    def prof_with_hop(gbs, lat):
+        p = _prof(hbm_free=4 * GiB)  # model does NOT fit: k > 1 is useful
+        p.tcp_hop_gbs = gbs
+        p.tcp_hop_lat_s = lat
+        return p
+
+    fast = [prof_with_hop(10.0, 20e-6) for _ in range(4)]
+    slow = [prof_with_hop(0.001, 0.25) for _ in range(4)]  # 250 ms/hop
+    res_fast = assign_layers(fast, cost, n_ctx=2048)
+    res_slow = assign_layers(slow, cost, n_ctx=2048)
+    # the slow interconnect must not choose MORE cycles than the fast one,
+    # and with 250ms hops a single cycle must win outright
+    assert res_slow.k <= res_fast.k
+    assert res_slow.k == 1
+    # objective reflects the measured hop cost (4 hops * 250 ms minimum)
+    assert res_slow.objective >= 1.0
+
+
+def test_hop_cost_falls_back_to_dispatch_proxy():
+    p = _prof()
+    assert p.tcp_hop_gbs == 0 and p.ici_hop_gbs == 0
+    res = assign_layers([p for _ in range(2)], _cost(32), n_ctx=2048)
+    assert sum(res.w) * res.k == 32  # proxy path still schedules

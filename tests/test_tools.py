@@ -45,8 +45,13 @@ def test_quantize_q4km_rules(tiny, tmp_path):
     quantize_gguf(tiny, dst, "Q4_K_M", logfile=open(os.devnull, "w"))
     m = GGUFModel.open(dst)
     assert m.tensors["blk.0.attn_q.weight"].ggml_type == GGMLType.Q4_K
-    assert m.tensors["blk.0.attn_v.weight"].ggml_type == GGMLType.Q6_K  # bumped
-    assert m.tensors["blk.0.ffn_down.weight"].ggml_type == GGMLType.Q6_K
+    # llama_tensor_get_type bumps attn_v/ffn_down by LAYER POSITION
+    # (use_more_bits @19278): for n_layer=2, layer 0 stays Q4_K and
+    # layer 1 (>= 7n/8) is promoted to Q6_K
+    assert m.tensors["blk.0.attn_v.weight"].ggml_type == GGMLType.Q4_K
+    assert m.tensors["blk.1.attn_v.weight"].ggml_type == GGMLType.Q6_K
+    assert m.tensors["blk.0.ffn_down.weight"].ggml_type == GGMLType.Q4_K
+    assert m.tensors["blk.1.ffn_down.weight"].ggml_type == GGMLType.Q6_K
     assert m.tensors["output.weight"].ggml_type == GGMLType.Q6_K
 
 
@@ -294,7 +299,8 @@ def test_passkey_prompt_and_run(tiny, capsys):
 def test_quantize_ternary_tq(tiny, tmp_path):
     """TQ1_0/TQ2_0 ternary re-quantization (llama_model_quantize
     LLAMA_FTYPE_MOSTLY_TQ*, @19640-19641): weights become ternary blocks,
-    token_embd/output fall back to Q4_K (@19331-19333), and the model
+    token_embd falls back to Q4_K (llama_tensor_get_type @19331-19333),
+    output takes the generic Q6_K output rule (@19308), and the model
     still loads and decodes."""
     for ft, gt in (("TQ1_0", GGMLType.TQ1_0), ("TQ2_0", GGMLType.TQ2_0)):
         dst = str(tmp_path / f"{ft.lower()}.gguf")
@@ -302,7 +308,8 @@ def test_quantize_ternary_tq(tiny, tmp_path):
         assert stats["n_tensors"] > 0
         m = GGUFModel.open(dst)
         assert m.tensors["blk.0.attn_q.weight"].ggml_type == gt
-        assert m.tensors["output.weight"].ggml_type == GGMLType.Q4_K
+        assert m.tensors["token_embd.weight"].ggml_type == GGMLType.Q4_K
+        assert m.tensors["output.weight"].ggml_type == GGMLType.Q6_K
         assert m.tensors["blk.0.attn_norm.weight"].ggml_type == GGMLType.F32
         # each 256-block dequantizes to scale * {-1, 0, 1}
         from prima_tpu.quant.dequant_np import dequantize_tensor
