@@ -780,6 +780,11 @@ class ForwardOptions:
     # are row-sharded (local heads / local FFN columns), wo/down are
     # column-sharded, and their partial outputs are psum'd over this axis.
     tp_axis: str | None = None
+    # sequence parallelism inside shard_map: the KV cache's T axis is
+    # sharded over this mesh axis; attention runs blockwise per shard and
+    # combines with a log-sum-exp psum (ops/layers.gqa_attention_sp) —
+    # the TPU long-context axis (SURVEY §5.7)
+    sp_axis: str | None = None
 
 
 def model_norm(x, w, b, cfg: ModelConfig) -> jax.Array:
@@ -865,11 +870,19 @@ def attention_block(
         q = apply_rope(q, positions, inv_freq, cfg.rope_type, mscale)
         k = apply_rope(k, positions, inv_freq, cfg.rope_type, mscale)
 
-    from ..ops.kvquant import update_kv
+    from ..ops.kvquant import kv_seq_len, update_kv, update_kv_sp
 
     k_cache, v_cache = kv
-    k_cache = update_kv(k_cache, k, cache_pos)
-    v_cache = update_kv(v_cache, v, cache_pos)
+    if opts.sp_axis is not None:
+        # each shard owns global cells [offset, offset + T_loc)
+        t_loc = kv_seq_len(k_cache)
+        sp_offset = (jax.lax.axis_index(opts.sp_axis) * t_loc
+                     ).astype(jnp.int32)
+        k_cache = update_kv_sp(k_cache, k, cache_pos, sp_offset)
+        v_cache = update_kv_sp(v_cache, v, cache_pos, sp_offset)
+    else:
+        k_cache = update_kv(k_cache, k, cache_pos)
+        v_cache = update_kv(v_cache, v, cache_pos)
 
     scale = cfg.attn_scale or 1.0 / np.sqrt(hd)
     slopes = None
@@ -877,7 +890,20 @@ def attention_block(
         from ..ops.layers import alibi_slopes
 
         slopes = jnp.asarray(alibi_slopes(h, cfg.alibi_max_bias))
-    if (opts.attn_impl == "pallas" and not cfg.attn_logit_softcap
+    if opts.sp_axis is not None:
+        from ..ops.layers import gqa_attention_sp
+
+        # shard-local causal mask: global column j is visible iff
+        # j <= mpos, i.e. local column j' <= mpos - offset
+        mp = positions if mask_pos is None else mask_pos
+        mask_sp = causal_mask(mp - sp_offset, t_loc)
+        if cfg.attn_logit_softcap or slopes is not None:
+            raise NotImplementedError(
+                "sequence parallelism with softcap/ALiBi attention")
+        out = gqa_attention_sp(q, k_cache.astype(q.dtype),
+                               v_cache.astype(q.dtype), mask_sp, scale,
+                               opts.sp_axis)
+    elif (opts.attn_impl == "pallas" and not cfg.attn_logit_softcap
             and not cfg.swa_window and slopes is None):
         from ..ops.attention_pallas import flash_attention
 

@@ -132,3 +132,29 @@ def update_kv(cache, new: jax.Array, cache_pos: jax.Array):
 
 def kv_seq_len(cache) -> int:
     return cache.qs.shape[1] if isinstance(cache, (KVQ8, KVQ4)) else cache.shape[1]
+
+
+def update_kv_sp(cache, new: jax.Array, cache_pos: jax.Array, offset):
+    """Sequence-parallel write: `cache` holds THIS shard's (B, T_loc, H, D)
+    slice covering global cells [offset, offset + T_loc); positions outside
+    the shard are dropped (scatter mode='drop'), so a prefill chunk that
+    straddles two shards writes each part on its owner. cache_pos (B,) is
+    the GLOBAL write position."""
+    s = new.shape[1]
+    idx = (cache_pos[:, None] + jnp.arange(s, dtype=cache_pos.dtype)
+           - offset)  # (B, S) shard-local rows, OOB = not ours
+    # negative indices would WRAP under jax indexing — push them far out
+    # of range so mode='drop' discards them
+    idx = jnp.where(idx < 0, jnp.iinfo(jnp.int32).max, idx)
+
+    def upd(c, n):
+        return jax.vmap(
+            lambda cr, nr, ir: cr.at[ir].set(nr, mode="drop"))(c, n, idx)
+
+    if isinstance(cache, KVQ8):
+        q, sc = quantize_kv(new)
+        return KVQ8(upd(cache.qs, q), upd(cache.scale, sc))
+    if isinstance(cache, KVQ4):
+        q, sc = quantize_kv4(new)
+        return KVQ4(upd(cache.qs, q), upd(cache.scale, sc))
+    return upd(cache, new.astype(cache.dtype))

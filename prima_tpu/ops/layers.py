@@ -205,3 +205,38 @@ def causal_mask(pos_q: jax.Array, t: int, seq_lens: jax.Array | None = None,
     if seq_lens is not None:
         visible &= cols < seq_lens[:, None, None]
     return jnp.where(visible, 0.0, -jnp.inf).astype(jnp.float32)[:, None]  # (b,1,s,t)
+
+
+def gqa_attention_sp(
+    q: jax.Array,  # (b, s, n_heads, hd)
+    k: jax.Array,  # (b, t_loc, n_kv, hd) — THIS shard's slice of the cache
+    v: jax.Array,
+    mask: jax.Array,  # (b, 1, s, t_loc) additive, shard-local columns
+    scale: float,
+    axis: str,  # mesh axis the sequence is sharded over
+) -> jax.Array:
+    """Sequence-parallel GQA: each shard attends over its local KV block,
+    then the softmax combines across `axis` with the log-sum-exp trick
+    (blockwise / ring attention over the mesh — the long-context scaling
+    axis the reference handles only via context-shift/Self-Extend,
+    SURVEY §5.7). Numerically identical to gqa_attention over the
+    concatenated cache."""
+    b, s, n_heads, hd = q.shape
+    n_kv = k.shape[2]
+    group = n_heads // n_kv
+    qg = q.reshape(b, s, n_kv, group, hd)
+    scores = jnp.einsum("bsngh,btnh->bngst", qg, k,
+                        preferred_element_type=jnp.float32) * scale
+    scores = scores + mask[:, None]
+    m_loc = jnp.max(scores, axis=-1, keepdims=True)  # (b,n,g,s,1)
+    m = jax.lax.pmax(m_loc, axis)
+    # a shard whose whole block is masked contributes exp(-inf - m) = 0;
+    # position 0 is always visible somewhere so m is finite
+    p = jnp.exp(scores - m)
+    l = jax.lax.psum(jnp.sum(p, axis=-1, keepdims=True), axis)
+    acc = jax.lax.psum(
+        jnp.einsum("bngst,btnh->bsngh", p.astype(v.dtype), v,
+                   preferred_element_type=jnp.float32), axis)
+    l_t = jnp.maximum(l[..., 0], 1e-30).transpose(0, 3, 1, 2)  # (b,s,n,g)
+    out = acc / l_t[..., None].astype(jnp.float32)
+    return out.reshape(b, s, n_heads, hd).astype(q.dtype)

@@ -6,6 +6,9 @@ named axes:
 
   dp — data parallel (batch / server slots)
   pp — pipeline parallel (layer windows, the piped-ring axis)
+  sp — sequence parallel (KV cache sharded over the context axis;
+       blockwise attention combined with a log-sum-exp psum — the
+       long-context axis the reference lacks, SURVEY §5.7)
   tp — tensor parallel (attention heads / FFN columns within a window)
 
 The ZMQ TCP ring is replaced by XLA collectives over ICI/DCN: the per-window
@@ -22,20 +25,23 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-AXES = ("dp", "pp", "tp")
+AXES = ("dp", "pp", "sp", "tp")
 
 
-def make_mesh(dp: int = 1, pp: int = 1, tp: int = 1, devices=None) -> Mesh:
-    """Mesh with (dp, pp, tp) axes over the first dp*pp*tp devices.
+def make_mesh(dp: int = 1, pp: int = 1, tp: int = 1, sp: int = 1,
+              devices=None) -> Mesh:
+    """Mesh with (dp, pp, sp, tp) axes over the first dp*pp*sp*tp devices.
 
     Axis order puts `tp` innermost so tensor-parallel collectives ride the
-    fastest links (ICI neighbours), `dp` outermost (DCN-tolerant).
+    fastest links (ICI neighbours), `dp` outermost (DCN-tolerant); `sp`
+    sits next to tp because the blockwise-attention psum is per-token.
     """
     devices = devices if devices is not None else jax.devices()
-    n = dp * pp * tp
+    n = dp * pp * sp * tp
     if len(devices) < n:
-        raise ValueError(f"need {n} devices (dp={dp} pp={pp} tp={tp}), have {len(devices)}")
-    dev = np.array(devices[:n]).reshape(dp, pp, tp)
+        raise ValueError(f"need {n} devices (dp={dp} pp={pp} sp={sp} "
+                         f"tp={tp}), have {len(devices)}")
+    dev = np.array(devices[:n]).reshape(dp, pp, sp, tp)
     return Mesh(dev, AXES)
 
 

@@ -52,6 +52,7 @@ class PipeSpec:
     k_cycles: int  # ring cycles per token (the reference's k, common.cpp:1133)
     window: int  # layers per window (w)
     microbatches: int  # in-flight microbatches M (≤ n_pp)
+    n_sp: int = 1  # sequence-parallel shards of the KV context axis
 
     @property
     def n_layers(self) -> int:
@@ -67,7 +68,9 @@ class PipeSpec:
 
     @staticmethod
     def for_model(cfg: ModelConfig, n_pp: int, n_tp: int = 1, n_dp: int = 1,
-                  k_cycles: int | None = None, microbatches: int | None = None) -> "PipeSpec":
+                  k_cycles: int | None = None,
+                  microbatches: int | None = None,
+                  n_sp: int = 1) -> "PipeSpec":
         L = cfg.n_layers
         if k_cycles is None:
             k_cycles = 1
@@ -76,7 +79,8 @@ class PipeSpec:
         m = microbatches if microbatches is not None else n_pp
         if m > n_pp:
             raise ValueError(f"microbatches {m} > n_pp {n_pp}")
-        return PipeSpec(n_pp, n_tp, n_dp, k_cycles, L // (n_pp * k_cycles), m)
+        return PipeSpec(n_pp, n_tp, n_dp, k_cycles, L // (n_pp * k_cycles),
+                        m, n_sp)
 
 
 # ---------------------------------------------------------------------------
@@ -164,7 +168,7 @@ def build_pipe_model(
             and n_dev > 1 and out.shape[0] % (n_dev * 8) == 0):
         shards = shard_uq_rows(out, n_dev)
         output_sharded = put_stacked_qtensor(
-            [shards], mesh, (None, ("dp", "pp", "tp")), pallas=pallas)
+            [shards], mesh, (None, ("dp", "pp", "sp", "tp")), pallas=pallas)
         out = None
 
     return {
@@ -177,17 +181,27 @@ def build_pipe_model(
 
 
 def init_pipe_kv(cfg: ModelConfig, spec: PipeSpec, mesh: Mesh, batch_per_micro: int,
-                 max_seq: int, dtype=jnp.bfloat16) -> tuple:
+                 max_seq: int, dtype=jnp.bfloat16,
+                 seq_shards: int | None = None) -> tuple:
     """KV caches (PP, K, W, M*B, T, KVH, HD): layer dims sharded over pp,
     batch over dp, heads over tp — rank-filtered KV init, the TPU way.
     dtype "q8_0"/"q4_0" stores quantized KVQ8/KVQ4 pytrees (int8 / packed
     int4 quants + f32 per-(cell, head) scales, ops/kvquant.py) — the
     distributed analogue of the reference's -ctk/-ctv cache types."""
+    n_sp = spec.n_sp if seq_shards is None else seq_shards
+    if n_sp != spec.n_sp:
+        raise ValueError(f"seq_shards={n_sp} != spec.n_sp={spec.n_sp}")
+    if max_seq % n_sp:
+        raise ValueError(f"max_seq={max_seq} not divisible by "
+                         f"seq shards n_sp={n_sp}")
     shape = (
         spec.n_pp, spec.k_cycles, spec.window,
         spec.microbatches * batch_per_micro, max_seq, cfg.n_kv_heads, cfg.head_dim,
     )
-    sh = NamedSharding(mesh, P("pp", None, None, "dp", None, "tp", None))
+    # T sharded over "sp": each device holds max_seq/n_sp cells — the
+    # per-device KV memory shrinks linearly with seq shards
+    sh = NamedSharding(mesh, P("pp", None, None, "dp",
+                               "sp" if spec.n_sp > 1 else None, "tp", None))
     if isinstance(dtype, str) and dtype in ("q8_0", "q4_0"):
         from ..ops.kvquant import KVQ4, KVQ8
 
@@ -331,13 +345,16 @@ def make_pipe_forward(
     """
     opts = opts or ForwardOptions()
     cfg_local = tp_local_config(cfg, spec.n_tp)
-    # forward ALL option fields (attn_impl etc.), only overriding tp_axis
+    # forward ALL option fields (attn_impl etc.), only overriding the
+    # in-shard-map parallel axes
     opts_local = dataclasses.replace(
-        opts, tp_axis="tp" if spec.n_tp > 1 else None)
+        opts, tp_axis="tp" if spec.n_tp > 1 else None,
+        sp_axis="sp" if spec.n_sp > 1 else None)
 
     body = functools.partial(_pipe_body, cfg_local=cfg_local, spec=spec, opts=opts_local)
     data_spec = P(None, "dp", None, None)
-    kv_spec = P("pp", None, None, "dp", None, "tp", None)
+    kv_spec = P("pp", None, None, "dp",
+                "sp" if spec.n_sp > 1 else None, "tp", None)
 
     def fwd(params, tokens, positions, cache_pos, kv, mask_positions=None):
         """params: dict with 'pipe' (stacked layers), 'tok_embd',
@@ -377,7 +394,7 @@ def make_pipe_forward(
             # vocab-row-sharded head: every device computes its logits
             # slice; the gather happens at the shard_map boundary
             w_sh = params["output_sharded"]
-            w_specs = jax.tree.map(lambda _: P(None, ("dp", "pp", "tp")),
+            w_specs = jax.tree.map(lambda _: P(None, ("dp", "pp", "sp", "tp")),
                                    w_sh)
 
             def head_body(w, hloc):
@@ -387,7 +404,7 @@ def make_pipe_forward(
             logits = jax.shard_map(
                 head_body, mesh=mesh,
                 in_specs=(w_specs, P()),
-                out_specs=P(None, None, None, ("dp", "pp", "tp")),
+                out_specs=P(None, None, None, ("dp", "pp", "sp", "tp")),
                 check_vma=False,
             )(w_sh, h).astype(opts.logits_dtype)
         else:

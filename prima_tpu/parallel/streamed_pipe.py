@@ -76,6 +76,7 @@ class _DiagonalStore:
         self.mesh = mesh
         ax = dict(zip(mesh.axis_names, mesh.devices.shape))
         self.n_dp, self.n_pp, self.n_tp = ax["dp"], ax["pp"], ax["tp"]
+        self.n_sp = ax.get("sp", 1)  # windows replicate over seq shards
         leaves, self.treedef = jax.tree.flatten(window_template)
         self.leaf_shapes = [l.shape for l in leaves]
         self.leaf_dtypes = [l.dtype for l in leaves]
@@ -84,8 +85,9 @@ class _DiagonalStore:
         self.row_cycle = [None] * self.n_pp
 
     def _devices(self, d: int, t: int):
-        # mesh.devices has shape (dp, pp, tp) — parallel.mesh.AXES order
-        return [self.mesh.devices[r, d, t] for r in range(self.n_dp)]
+        # mesh.devices has shape (dp, pp, sp, tp) — parallel.mesh.AXES order
+        return [self.mesh.devices[r, d, s, t]
+                for r in range(self.n_dp) for s in range(self.n_sp)]
 
     def upload_row(self, d: int, host_windows_tp: list) -> list:
         """Async-enqueue host->device transfers of stage d's next window.
@@ -118,7 +120,7 @@ class _DiagonalStore:
                 self.rows[d][t][li][r]
                 for d in range(self.n_pp)
                 for t in range(self.n_tp)
-                for r in range(self.n_dp)
+                for r in range(self.n_dp * self.n_sp)
             ]
             globals_.append(jax.make_array_from_single_device_arrays(
                 shape, NamedSharding(self.mesh, spec), arrays))

@@ -24,7 +24,7 @@ import numpy as np
 
 from ..gguf.constants import GGMLType
 from ..gguf.writer import GGUFWriter
-from .quantize import FTYPES, _encode, _target_type
+from .quantize import FTYPES, _encode, _target_type_simple
 
 Emit = Iterable[tuple]  # (gguf_name, np.ndarray) or (gguf_name, arr, ne)
 
@@ -164,7 +164,7 @@ def convert_extra(src_dir: str, dst_path: str, hf: dict, ftype: str,
 
     def emit(name, data, ne=None):
         nonlocal n
-        t = _target_type(name, ne or tuple(reversed(data.shape)),
+        t = _target_type_simple(name, ne or tuple(reversed(data.shape)),
                          default_t, out_t)
         flat = data.reshape(-1, data.shape[-1])
         enc, t = _encode(flat, t)

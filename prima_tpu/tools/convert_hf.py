@@ -22,7 +22,7 @@ import numpy as np
 
 from ..gguf.constants import GGMLType
 from ..gguf.writer import GGUFWriter
-from .quantize import FTYPES, _encode, _target_type
+from .quantize import FTYPES, _encode, _target_type_simple
 
 # HF name -> GGUF name (llama/qwen2 share the mapping)
 _MAP = [
@@ -252,7 +252,7 @@ def _convert_bert(src_dir: str, dst_path: str, hf: dict, ftype: str,
 
 def _bert_emit(w, name, data, default_t, out_t, logfile, n) -> int:
     """Encode + add one bert tensor; returns 1 (emitted)."""
-    t = _target_type(name, tuple(reversed(data.shape)), default_t, out_t)
+    t = _target_type_simple(name, tuple(reversed(data.shape)), default_t, out_t)
     if name in ("token_types.weight", "position_embd.weight"):
         t = GGMLType.F32
     enc, t = _encode(data, t)
@@ -596,7 +596,7 @@ def convert_hf_to_gguf(src_dir: str, dst_path: str, ftype: str = "F16",
 
     def emit(name, data, ne=None):
         nonlocal n
-        t = _target_type(name, ne or tuple(reversed(data.shape)), default_t, out_t)
+        t = _target_type_simple(name, ne or tuple(reversed(data.shape)), default_t, out_t)
         flat = data.reshape(-1, data.shape[-1])
         enc, t = _encode(flat, t)
         if t in (GGMLType.F32, GGMLType.F16):

@@ -82,6 +82,18 @@ def build_planner(src: GGUFModel, ftype: str, has_imatrix: bool):
         n_attention_wv=n_wv or n_layer, n_ffn_down=n_down or n_layer)
 
 
+def _target_type_simple(name: str, ne, default: GGMLType,
+                        out_type: GGMLType) -> GGMLType:
+    """Stateless per-tensor rule for the HF converter's direct-quantized
+    outputs (convert_hf_to_gguf.py supports F32/F16/BF16/Q8_0, where the
+    full planner's layer-aware mixes don't apply)."""
+    if len([d for d in ne if d > 1]) < 2:
+        return GGMLType.F32  # norms / biases stay f32
+    if name in ("output.weight", "token_embd.weight"):
+        return out_type
+    return default
+
+
 def _target_type(planner, name: str, ne) -> GGMLType:
     # the reference quantizes only 2-D ".weight" tensors (@19753-19783);
     # norms/biases/1-D stay f32

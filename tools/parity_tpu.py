@@ -113,11 +113,56 @@ def main() -> int:
 
         t0 = time.perf_counter()
         # reference: true f32 on the HOST CPU backend (exact IEEE matmuls;
-        # the dequant itself is bit-exact vs the compiled reference oracle)
-        cpu0 = jax.devices("cpu")[0]
-        os.environ["PRIMA_PALLAS_INTERPRET"] = os.environ.get(
-            "PRIMA_PALLAS_INTERPRET", "0")
-        ref_logits, ref_ppl = run("xla", jnp.float32, device=cpu0)
+        # the dequant itself is bit-exact vs the compiled reference
+        # oracle). Tunneled runtimes expose only the accelerator platform,
+        # so the CPU reference runs in a SUBPROCESS with JAX_PLATFORMS=cpu.
+        try:
+            cpu0 = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu0 = None
+        if cpu0 is not None:
+            os.environ["PRIMA_PALLAS_INTERPRET"] = os.environ.get(
+                "PRIMA_PALLAS_INTERPRET", "0")
+            ref_logits, ref_ppl = run("xla", jnp.float32, device=cpu0)
+        else:
+            import subprocess
+
+            ref_npy = os.path.join(d, "ref_logits.npy")
+            toks_npy = os.path.join(d, "toks.npy")
+            np.save(toks_npy, toks)
+            code = (
+                "import os, sys, json\n"
+                "import numpy as np\n"
+                "import jax, jax.numpy as jnp\n"
+                "jax.config.update('jax_platforms', 'cpu')\n"
+                "sys.path.insert(0, %r)\n"
+                "from prima_tpu.models.loader import load_model\n"
+                "from prima_tpu.models.llama import (ForwardOptions,"
+                " forward, init_kv_caches)\n"
+                "toks = jnp.asarray(np.load(%r))\n"
+                "lm = load_model(%r)\n"
+                "opts = ForwardOptions(matmul_impl='xla', dtype=jnp.float32)\n"
+                "n = %d\n"
+                "kv = init_kv_caches(lm.cfg, 1, n + 8, jnp.float32)\n"
+                "pos = jnp.arange(n, dtype=jnp.int32)[None]\n"
+                "logits, _ = jax.jit(lambda p, kv, t, pos: forward(\n"
+                "    p, lm.cfg, t, pos, kv, jnp.zeros(1, jnp.int32), opts)\n"
+                ")(lm.params, kv, toks[None, :n], pos)\n"
+                "np.save(%r, np.asarray(logits[0], np.float64))\n"
+            ) % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 toks_npy, q4, n_eval, ref_npy)
+            env = dict(os.environ, JAX_PLATFORMS="cpu",
+                       PRIMA_PALLAS_INTERPRET="1")
+            r = subprocess.run([sys.executable, "-c", code], env=env,
+                               capture_output=True, timeout=1200)
+            if r.returncode != 0:
+                print(r.stderr.decode()[-2000:], file=sys.stderr)
+                raise RuntimeError("CPU reference subprocess failed")
+            ref_logits = np.load(ref_npy)
+            lse = np.log(np.exp(ref_logits - ref_logits.max(-1, keepdims=True)
+                                ).sum(-1)) + ref_logits.max(-1)
+            nll = lse - ref_logits[np.arange(n_eval), toks[1 : n_eval + 1]]
+            ref_ppl = float(np.exp(nll.mean()))
         print(f"[cpu-ref] ppl={ref_ppl:.4f} ({time.perf_counter()-t0:.1f}s)",
               file=sys.stderr, flush=True)
 
