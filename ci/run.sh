@@ -14,6 +14,9 @@ python -m pytest tests/ -q
 echo "== test suite: slow tier (multi-process ring/server e2e) =="
 python -m pytest tests/ -q --runslow -m slow
 
+echo "== sanitizer tier (native TSan) =="
+make native-tsan
+
 echo "== e2e smoke: model build + quantize + ppl + cli =="
 TMP=$(mktemp -d)
 trap 'rm -rf "$TMP"' EXIT

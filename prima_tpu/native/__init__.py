@@ -44,12 +44,15 @@ def get_lib():
         _tried = True
         if os.environ.get("PRIMA_NO_NATIVE") == "1":
             return None
-        if not os.path.exists(_LIB) or any(
-                os.path.getmtime(_LIB) < os.path.getmtime(s) for s in _SRCS):
+        # PRIMA_NATIVE_LIB: load a prebuilt (e.g. TSan/ASan-instrumented)
+        # library instead — the sanitizer tier (make native-tsan)
+        lib_path = os.environ.get("PRIMA_NATIVE_LIB", _LIB)
+        if lib_path == _LIB and (not os.path.exists(_LIB) or any(
+                os.path.getmtime(_LIB) < os.path.getmtime(s) for s in _SRCS)):
             if not _build():
                 return None
         try:
-            lib = ctypes.CDLL(_LIB)
+            lib = ctypes.CDLL(lib_path)
         except OSError:
             return None
         i64, u8p, i8p, f32p, ci = (ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),

@@ -191,9 +191,12 @@ class FusedGenerator:
 
         @jax.jit
         def loop(params, caches, token, cache_pos, rope_delta, recent,
-                 recent_n, keys, done0, sp, n_left, bias_idx, bias_val,
-                 eog):
+                 recent_n, chunk_seed, done0, sp, n_left, bias_idx,
+                 bias_val, eog):
             b = token.shape[0]
+            # per-row keys built ON DEVICE: the tunneled runtime charges a
+            # full round-trip for every eager host-side op
+            keys = jax.vmap(jax.random.PRNGKey)(chunk_seed)
             out0 = jnp.full((b, chunk), -1, jnp.int32)
 
             def cond(c):
@@ -322,19 +325,19 @@ class FusedGenerator:
             bias_val = np.fromiter((float(x) for x in logit_bias.values()),
                                    np.float32)
 
-        # per-row keys; chunk index folded in so chunks draw fresh streams
-        chunk_seed = (seeds + np.uint64(0x9E3779B9) * np.uint64(step_index)
-                      ) & np.uint64(0xFFFFFFFF)
-        keys = jax.vmap(jax.random.PRNGKey)(chunk_seed.astype(np.uint32))
+        # per-row seeds; chunk index folded in so chunks draw fresh streams
+        chunk_seed = ((seeds + np.uint64(0x9E3779B9) * np.uint64(step_index)
+                       ) & np.uint64(0xFFFFFFFF)).astype(np.uint32)
         loop = self._loop(chunk, max_k, has_pen, has_dist, has_free,
                           has_bias)
         eog = (np.fromiter(eog_ids, np.int32) if eog_ids
                else np.asarray([-2], np.int32))
+        # ONE dispatch: numpy operands ride the jit call; outputs come back
+        # in ONE device_get (per-array np.asarray would each pay the ~28 ms
+        # tunnel round-trip, dominating the chunk)
         caches, toks, new_pos = loop(
-            params, caches, jnp.asarray(token.astype(np.int32)),
-            jnp.asarray(cache_pos), jnp.asarray(rope_delta.astype(np.int32)),
-            jnp.asarray(recent), jnp.asarray(recent_n), keys,
-            jnp.asarray(done0), {k: jnp.asarray(v) for k, v in sp.items()},
-            jnp.asarray(n_left.astype(np.int32)),
-            jnp.asarray(bias_idx), jnp.asarray(bias_val), jnp.asarray(eog))
-        return caches, np.asarray(toks), np.asarray(new_pos)
+            params, caches, token.astype(np.int32), cache_pos,
+            rope_delta.astype(np.int32), recent, recent_n, chunk_seed,
+            done0, sp, n_left.astype(np.int32), bias_idx, bias_val, eog)
+        toks, new_pos = jax.device_get((toks, new_pos))
+        return caches, toks, new_pos

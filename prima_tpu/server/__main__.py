@@ -101,6 +101,9 @@ def main(argv=None) -> int:
     ap.add_argument("--data-port", type=int, default=9337)
     ap.add_argument("-lw", "--n-layer-window", default=None,
                     help="CSV layer windows per rank (manual mode)")
+    from ..utils.args import apply_env_defaults
+
+    apply_env_defaults(ap)  # PRIMA_ARG_*/LLAMA_ARG_* fallbacks
     args = ap.parse_args(argv)
 
     from ..gguf.reader import GGUFModel

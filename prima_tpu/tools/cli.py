@@ -196,7 +196,11 @@ def _stream_generate(eng, model, sampler, prompt_tokens, n_predict, reverse: lis
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    from ..utils.args import apply_env_defaults
+
+    apply_env_defaults(parser)  # PRIMA_ARG_*/LLAMA_ARG_* fallbacks
+    args = parser.parse_args(argv)
 
     if args.world > 1 or args.n_gpu_layers >= 0:
         # -ngl on one process runs the degenerate single-process ring:
