@@ -16,6 +16,8 @@ from prima_tpu.models.config import tiny_config
 from prima_tpu.models.llama import ForwardOptions, forward, init_kv_caches, synth_params
 from prima_tpu.quant.dequant_jax import dequant
 
+pytestmark = pytest.mark.slow  # arch-zoo/e2e tier (ci/run.sh runs it)
+
 OPTS = ForwardOptions(matmul_impl="xla", dtype=jnp.float32)
 
 

@@ -6,6 +6,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # arch-zoo/e2e tier (ci/run.sh runs it)
+
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 

@@ -4,6 +4,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # arch-zoo/e2e tier (ci/run.sh runs it)
+
 pytest.importorskip("transformers")
 
 

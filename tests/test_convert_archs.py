@@ -11,6 +11,8 @@ transformers = pytest.importorskip("transformers")
 
 from test_convert_hf import _write_tokenizer_json  # noqa: E402
 
+pytestmark = pytest.mark.slow  # arch-zoo/e2e tier (ci/run.sh runs it)
+
 
 def _roundtrip(tmp_path, hf_cfg, model_cls, tokens, rtol=3e-4, atol=3e-4,
                expect_arch=None):

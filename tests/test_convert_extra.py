@@ -30,6 +30,8 @@ from prima_tpu.tools.convert_extra import _permute_qk
 
 from test_convert_hf import _write_tokenizer_json  # noqa: E402
 
+pytestmark = pytest.mark.slow  # arch-zoo/e2e tier (ci/run.sh runs it)
+
 F32_OPTS = ForwardOptions(dtype=jnp.float32, logits_dtype=jnp.float32,
                           matmul_impl="xla")
 

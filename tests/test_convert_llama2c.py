@@ -7,6 +7,8 @@ import struct
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # arch-zoo/e2e tier (ci/run.sh runs it)
+
 DIM, HID, L, H, KV, VOCAB, SEQ = 32, 48, 2, 4, 2, 64, 16
 HEAD = DIM // H
 KV_DIM = DIM * KV // H

@@ -12,6 +12,8 @@ transformers = pytest.importorskip("transformers")
 
 from test_convert_hf import _write_tokenizer_json  # noqa: E402
 
+pytestmark = pytest.mark.slow  # arch-zoo/e2e tier (ci/run.sh runs it)
+
 VOCAB, EMBD, VIS_H, N_IMG_TOK = 512, 64, 32, 16  # 32/8 -> 4x4 patches
 
 

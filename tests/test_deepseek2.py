@@ -13,6 +13,8 @@ if not hasattr(transformers, "DeepseekV2ForCausalLM"):
 
 from test_convert_hf import _write_tokenizer_json  # noqa: E402
 
+pytestmark = pytest.mark.slow  # arch-zoo/e2e tier (ci/run.sh runs it)
+
 
 @pytest.fixture(scope="module")
 def ds2_gguf(tmp_path_factory):

@@ -6,6 +6,8 @@ import pytest
 
 from prima_tpu.tools.make_tiny_gguf import make_tiny_gguf
 
+pytestmark = pytest.mark.slow  # arch-zoo/e2e tier (ci/run.sh runs it)
+
 
 @pytest.fixture(scope="module")
 def tiny_model(tmp_path_factory):

@@ -9,6 +9,8 @@ from prima_tpu.quant.dequant_np import DEQUANT_FNS
 from prima_tpu.quant.quantize_np import quantize
 from prima_tpu.tools.make_tiny_gguf import make_tiny_gguf
 
+pytestmark = pytest.mark.slow  # arch-zoo/e2e tier (ci/run.sh runs it)
+
 ROWS, K = 16, 512
 
 

@@ -12,6 +12,8 @@ from prima_tpu.runtime.engine import Engine
 from prima_tpu.runtime.lookahead import LookaheadDecoder
 from prima_tpu.sampling import Sampler, SamplerParams
 
+pytestmark = pytest.mark.slow  # arch-zoo/e2e tier (ci/run.sh runs it)
+
 OPTS = ForwardOptions(matmul_impl="xla", dtype=jnp.float32)
 
 

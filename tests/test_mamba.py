@@ -10,6 +10,8 @@ transformers = pytest.importorskip("transformers")
 
 from test_convert_hf import _write_tokenizer_json  # noqa: E402
 
+pytestmark = pytest.mark.slow  # arch-zoo/e2e tier (ci/run.sh runs it)
+
 
 @pytest.fixture(scope="module")
 def mamba_gguf(tmp_path_factory):

@@ -16,6 +16,8 @@ import pytest
 from prima_tpu.gguf.reader import GGUFModel
 from prima_tpu.gguf.writer import GGUFWriter
 
+pytestmark = pytest.mark.slow  # arch-zoo/e2e tier (ci/run.sh runs it)
+
 ARCH = "minicpm3"
 V, E, H, QK_NOPE, QK_ROPE, VDIM = 96, 48, 3, 8, 4, 8
 QLORA, KVLORA, FF, L = 24, 16, 64, 2

@@ -5,6 +5,8 @@ minicpmv-cli.cpp)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # arch-zoo/e2e tier (ci/run.sh runs it)
+
 from prima_tpu.models.clip import (ClipVisionConfig, _resampler,
                                    bucket_position_ids,
                                    get_2d_sincos_pos_embed, uhd_best_grid,
@@ -177,6 +179,7 @@ def test_minicpmv_mmproj_e2e(tmp_path):
         w.add_tensor(pre + "ffn_up.weight", r(vis, 48))
         w.add_tensor(pre + "ffn_up.bias", r(vis))
     for k, arr in _rand_resampler_params(rng, vis, hidden, out,
+
                                          num_query).items():
         w.add_tensor(k, arr)
     w.write()

@@ -19,6 +19,8 @@ from prima_tpu.models.llama import (ForwardOptions, forward, init_kv_caches,
                                     load_params)
 from prima_tpu.models.ref_numpy import forward_np
 
+pytestmark = pytest.mark.slow  # arch-zoo/e2e tier (ci/run.sh runs it)
+
 F32_OPTS = ForwardOptions(dtype=jnp.float32, logits_dtype=jnp.float32,
                           matmul_impl="xla")
 

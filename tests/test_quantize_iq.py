@@ -10,6 +10,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # arch-zoo/e2e tier (ci/run.sh runs it)
+
 from prima_tpu.gguf.constants import GGMLType
 from prima_tpu.quant.dequant_np import dequantize
 from prima_tpu.quant.quantize_iq import (quantize_iq1_m, quantize_iq1_s,
@@ -117,6 +119,7 @@ def test_quantize_gguf_iq_ftype(tmp_path):
     m.close()
     lm = load_model(dst)
     eng = Engine(lm.cfg, lm.params, n_slots=1, max_seq=64,
+
                  opts=ForwardOptions(matmul_impl="xla"))
     out = eng.run_to_completion([3, 5, 7], n_predict=4)
     assert len(out) == 4

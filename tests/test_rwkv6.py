@@ -14,6 +14,8 @@ import pytest
 from prima_tpu.gguf.reader import GGUFModel
 from prima_tpu.gguf.writer import GGUFWriter
 
+pytestmark = pytest.mark.slow  # arch-zoo/e2e tier (ci/run.sh runs it)
+
 ARCH = "rwkv6"
 V, E, HS, FF, L = 96, 32, 8, 48, 2  # 4 wkv heads
 TMX, TDX = 8, 12
