@@ -134,6 +134,14 @@ def build_pipeline_params(
     return out
 
 
+def _head_axes(mesh: Mesh) -> tuple[str, ...]:
+    """Mesh axes the vocab-row-sharded output head spans — every standard
+    axis THIS mesh actually has. Meshes built without an `sp` (or `dp`)
+    axis — e.g. the raw two-process multihost mesh — must not see that
+    name in a PartitionSpec (jax raises 'Resource axis not found')."""
+    return tuple(a for a in ("dp", "pp", "sp", "tp") if a in mesh.axis_names)
+
+
 def build_pipe_model(
     get_layer: Callable[[int], dict],
     head_host: dict,
@@ -168,7 +176,7 @@ def build_pipe_model(
             and n_dev > 1 and out.shape[0] % (n_dev * 8) == 0):
         shards = shard_uq_rows(out, n_dev)
         output_sharded = put_stacked_qtensor(
-            [shards], mesh, (None, ("dp", "pp", "sp", "tp")), pallas=pallas)
+            [shards], mesh, (None, _head_axes(mesh)), pallas=pallas)
         out = None
 
     return {
@@ -394,8 +402,8 @@ def make_pipe_forward(
             # vocab-row-sharded head: every device computes its logits
             # slice; the gather happens at the shard_map boundary
             w_sh = params["output_sharded"]
-            w_specs = jax.tree.map(lambda _: P(None, ("dp", "pp", "sp", "tp")),
-                                   w_sh)
+            head_axes = _head_axes(mesh)
+            w_specs = jax.tree.map(lambda _: P(None, head_axes), w_sh)
 
             def head_body(w, hloc):
                 wq = jax.tree.map(lambda a: a[0, 0], w)
@@ -404,7 +412,7 @@ def make_pipe_forward(
             logits = jax.shard_map(
                 head_body, mesh=mesh,
                 in_specs=(w_specs, P()),
-                out_specs=P(None, None, None, ("dp", "pp", "sp", "tp")),
+                out_specs=P(None, None, None, head_axes),
                 check_vma=False,
             )(w_sh, h).astype(opts.logits_dtype)
         else:

@@ -449,9 +449,25 @@ class Engine:
         for slot in active:
             self.kv.cache_pos[slot.id] += 1
 
+        from .generate import fused_eligible, sample_one
+
         for slot in active:
             row = logits_all[slot.id]
-            tok = slot.sampler.sample_and_accept(row)
+            # fused-eligible dist slots ALWAYS draw with the device key
+            # schedule (seed, token index) — even on this host path — so a
+            # request's sampled stream never depends on whether the engine
+            # routed a given step through step() or step_fused()
+            # (same-seed reproducibility, results.feature analogue)
+            if slot.sampler.p.temp > 0 and fused_eligible(slot.sampler):
+                from .generate import SlotSampleParams
+
+                tok = sample_one(
+                    row, SlotSampleParams.from_sampler(slot.sampler),
+                    list(slot.sampler.prev), len(slot.generated),
+                    logit_bias=slot.sampler.p.logit_bias)
+                slot.sampler.accept(tok)
+            else:
+                tok = slot.sampler.sample_and_accept(row)
             slot.generated.append(tok)
             lp = None
             if slot.n_probs > 0:
@@ -512,13 +528,13 @@ class Engine:
         if getattr(self, "_fused_gen", None) is None:
             self._fused_gen = FusedGenerator(self._decode_raw,
                                              self.cfg.n_vocab)
-            self._fused_step = 0
 
         B = self.n_slots
         chunk = max_chunk or self._fused_gen.chunk
         token = np.zeros((B, 1), np.int32)
         rope_delta = np.zeros(B, np.int32)
         n_left = np.zeros(B, np.int32)
+        gen_count = np.zeros(B, np.int32)
         slot_params: list = [None] * B
         recent: list = [[] for _ in range(B)]
         for s in active:
@@ -529,6 +545,7 @@ class Engine:
             want = (s.n_predict - len(s.generated)
                     if s.n_predict >= 0 else chunk)
             n_left[s.id] = max(min(want, room, chunk), 1)
+            gen_count[s.id] = len(s.generated)
             slot_params[s.id] = SlotSampleParams.from_sampler(s.sampler)
             recent[s.id] = list(s.sampler.prev)
         # parked rows write one scratch KV cell per step: a FULL idle
@@ -543,11 +560,10 @@ class Engine:
         t0 = _time.perf_counter()
         caches, toks, new_pos = self._fused_gen.generate(
             self.params, self.kv.caches, token, cache_pos, rope_delta,
-            slot_params, recent, n_left, self._fused_step,
+            slot_params, recent, n_left, gen_count,
             logit_bias=active[0].sampler.p.logit_bias, chunk=chunk,
             eog_ids=sorted(self.eog_ids))
         self.kv.caches = caches
-        self._fused_step += 1
         self.n_decode_calls += 1
         self.perf["t_decode_s"] += _time.perf_counter() - t0
 

@@ -157,6 +157,81 @@ def device_sample(logits: jax.Array, recent: jax.Array, key: jax.Array,
                      dist_tok.astype(jnp.int32))
 
 
+def fill_recent_ring(row: np.ndarray, toks, ln: int) -> None:
+    """Write the last-`ln` history into the ring layout the device loop
+    uses: token a lives at a % ln, so the next device write (at
+    recent_n % ln) evicts the OLDEST window entry."""
+    n = len(toks)
+    for a in range(max(0, n - ln), n):
+        row[a % ln] = toks[a]
+
+
+_single_sample_cache: dict = {}
+
+
+def sample_one(row: np.ndarray, p: SlotSampleParams, recent_tokens,
+               gen_count: int, logit_bias: dict | None = None,
+               recent_cap: int = 256) -> int:
+    """Draw ONE token for one slot with exactly the chunked device loop's
+    semantics AND key schedule, given a host logits row.
+
+    Why this exists: a request's sampled stream must be a function of
+    (seed, token index) ONLY — never of which path the engine happened to
+    route the step through. Whenever the batched host path (Engine.step)
+    decodes a fused-eligible dist slot (first token after prefill, or a
+    batch that contains a grammar/mirostat slot), it draws through here so
+    the stream matches what step_fused would have produced (reference
+    guarantee: same seed -> same text, results.feature)."""
+    import jax
+
+    v = int(row.shape[-1])
+    has_dist = p.temp > 0
+    bounded = has_dist and 0 < p.top_k <= MAX_TOPK
+    has_free = has_dist and not bounded
+    top_k = MAX_TOPK if bounded else 0
+    has_pen = p.penalties_active()
+    has_bias = bool(logit_bias)
+
+    key_ = (top_k, has_pen, has_dist, has_free, has_bias, v)
+    fn = _single_sample_cache.get(key_)
+    if fn is None:
+        @jax.jit
+        def fn(logits, recent, seeds, count, sp, bias_idx, bias_val):
+            keys = jax.vmap(jax.random.PRNGKey)(seeds)
+            step_key = jax.vmap(jax.random.fold_in)(keys, count)
+            return device_sample(
+                logits, recent, step_key, sp, top_k=top_k, has_pen=has_pen,
+                has_dist=has_dist, has_free=has_free,
+                bias_idx=bias_idx if has_bias else None,
+                bias_val=bias_val if has_bias else None)
+
+        _single_sample_cache[key_] = fn
+
+    sp = {f: np.asarray([x], np.float32) for f, x in [
+        ("temp", p.temp), ("top_p", p.top_p), ("min_p", p.min_p),
+        ("penalty_repeat", p.penalty_repeat),
+        ("penalty_freq", p.penalty_freq),
+        ("penalty_present", p.penalty_present)]}
+    sp["top_k"] = np.asarray(
+        [p.top_k if bounded else MAX_TOPK + 1], np.int32)
+    sp["min_keep"] = np.asarray([max(p.min_keep, 1)], np.int32)
+    ln = recent_cap if p.penalty_last_n < 0 \
+        else min(p.penalty_last_n, recent_cap)
+    sp["eff_last_n"] = np.asarray([max(ln, 1)], np.int32)
+    recent = np.full((1, recent_cap), -1, np.int32)
+    if has_pen and recent_tokens:
+        fill_recent_ring(recent[0], list(recent_tokens), int(ln))
+    bias_idx = bias_val = np.zeros((1,), np.int32)
+    if has_bias:
+        bias_idx = np.fromiter(logit_bias.keys(), np.int32)
+        bias_val = np.fromiter((float(x) for x in logit_bias.values()),
+                               np.float32)
+    tok = fn(np.asarray(row, np.float32)[None], recent,
+             np.asarray([p.seed & 0xFFFFFFFF], np.uint32),
+             np.asarray([gen_count], np.uint32), sp, bias_idx, bias_val)
+    return int(np.asarray(tok)[0])
+
+
 class FusedGenerator:
     """Chunked on-device generation bound to a batched decode step.
 
@@ -191,12 +266,16 @@ class FusedGenerator:
 
         @jax.jit
         def loop(params, caches, token, cache_pos, rope_delta, recent,
-                 recent_n, chunk_seed, done0, sp, n_left, bias_idx,
+                 recent_n, seeds, gen_count, done0, sp, n_left, bias_idx,
                  bias_val, eog):
             b = token.shape[0]
             # per-row keys built ON DEVICE: the tunneled runtime charges a
-            # full round-trip for every eager host-side op
-            keys = jax.vmap(jax.random.PRNGKey)(chunk_seed)
+            # full round-trip for every eager host-side op. Keys derive from
+            # (seed, absolute token index in THIS sequence) only — never from
+            # engine-global state — so two identical seeded requests draw
+            # identical streams no matter how the engine chunked other work
+            # (reference guarantee: same seed -> same text).
+            keys = jax.vmap(jax.random.PRNGKey)(seeds)
             out0 = jnp.full((b, chunk), -1, jnp.int32)
 
             def cond(c):
@@ -210,8 +289,10 @@ class FusedGenerator:
                 rope_pos = cache_pos + rope_delta
                 logits, caches = fwd(params, caches, token, cache_pos,
                                      rope_pos)
+                # each live row generates exactly one token per iteration,
+                # so gen_count + i IS that row's absolute draw index
                 step_key = jax.vmap(jax.random.fold_in)(
-                    keys, jnp.full((b,), i, jnp.uint32))
+                    keys, (gen_count + i).astype(jnp.uint32))
                 tok = device_sample(
                     logits, recent, step_key, sp, top_k=top_k,
                     has_pen=has_pen, has_dist=has_dist, has_free=has_free,
@@ -252,7 +333,7 @@ class FusedGenerator:
     def generate(self, params, caches, token: np.ndarray,
                  cache_pos: np.ndarray, rope_delta: np.ndarray,
                  slot_params: list, recent_tokens: list,
-                 n_left: np.ndarray, step_index: int,
+                 n_left: np.ndarray, gen_count: np.ndarray,
                  logit_bias: dict | None = None, chunk: int | None = None,
                  eog_ids=()):
         """Run up to `chunk` decode+sample steps on-device.
@@ -261,6 +342,9 @@ class FusedGenerator:
         recent_tokens[b]: that slot's prior-token history (host keeps the
         authoritative list); only the penalty window is shipped.
         n_left[b]: tokens row b may still generate.
+        gen_count[b]: tokens row b has ALREADY generated in its sequence —
+        the per-slot draw counter that keeps seeded sampling reproducible
+        across chunk boundaries and engine state.
         Returns (new_caches, tokens (B, chunk) int32 with -1 on parked
         steps, new_cache_pos (B,)).
         """
@@ -294,7 +378,12 @@ class FusedGenerator:
             if p.temp > 0:
                 has_dist = True
                 if 0 < p.top_k <= MAX_TOPK:
-                    max_k = max(max_k, p.top_k)
+                    # static draw width is ALWAYS MAX_TOPK (not the batch
+                    # max): the categorical's gumbel vector shape must not
+                    # depend on which other slots happen to be co-scheduled,
+                    # or same-seed requests would draw differently under
+                    # different concurrent load
+                    max_k = MAX_TOPK
                     sp["top_k"][i] = p.top_k
                 else:  # bare categorical row
                     has_free = True
@@ -310,13 +399,8 @@ class FusedGenerator:
                 if p is None or not toks or not p.penalties_active():
                     continue
                 ln = int(sp["eff_last_n"][i])
-                n = len(toks)
-                # ring-consistent layout: history token a lives at a % ln,
-                # so the device's next write (at recent_n % ln) evicts the
-                # OLDEST window entry
-                for a in range(max(0, n - ln), n):
-                    recent[i, a % ln] = toks[a]
-                recent_n[i] = n
+                fill_recent_ring(recent[i], toks, ln)
+                recent_n[i] = len(toks)
 
         bias_idx = bias_val = np.zeros((1,), np.int32)
         has_bias = bool(logit_bias)
@@ -325,9 +409,6 @@ class FusedGenerator:
             bias_val = np.fromiter((float(x) for x in logit_bias.values()),
                                    np.float32)
 
-        # per-row seeds; chunk index folded in so chunks draw fresh streams
-        chunk_seed = ((seeds + np.uint64(0x9E3779B9) * np.uint64(step_index)
-                       ) & np.uint64(0xFFFFFFFF)).astype(np.uint32)
         loop = self._loop(chunk, max_k, has_pen, has_dist, has_free,
                           has_bias)
         eog = (np.fromiter(eog_ids, np.int32) if eog_ids
@@ -337,7 +418,8 @@ class FusedGenerator:
         # tunnel round-trip, dominating the chunk)
         caches, toks, new_pos = loop(
             params, caches, token.astype(np.int32), cache_pos,
-            rope_delta.astype(np.int32), recent, recent_n, chunk_seed,
+            rope_delta.astype(np.int32), recent, recent_n,
+            seeds.astype(np.uint32), gen_count.astype(np.int32),
             done0, sp, n_left.astype(np.int32), bias_idx, bias_val, eog)
         toks, new_pos = jax.device_get((toks, new_pos))
         return caches, toks, new_pos

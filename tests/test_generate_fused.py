@@ -210,7 +210,6 @@ def test_chunk_loop_greedy_matches_engine(tiny_engine_factory=None):
 
     gen = FusedGenerator(fwd, cfg.n_vocab, chunk=5)
     got = []
-    step_index = 0
     while len(got) < 12:
         B = eng2.n_slots
         token = np.zeros((B, 1), np.int32)
@@ -220,16 +219,17 @@ def test_chunk_loop_greedy_matches_engine(tiny_engine_factory=None):
         slot_params[s2.id] = SlotSampleParams.from_sampler(s2.sampler)
         n_left = np.zeros((B,), np.int32)
         n_left[s2.id] = 12 - len(got)
+        gen_count = np.zeros((B,), np.int32)
+        gen_count[s2.id] = len(got)
         caches, toks, new_pos = gen.generate(
             eng2.params, eng2.kv.caches, token,
             eng2.kv.cache_pos.copy(), np.zeros((B,), np.int32),
-            slot_params, [list(s2.prompt) + got, []], n_left, step_index)
+            slot_params, [list(s2.prompt) + got, []], n_left, gen_count)
         eng2.kv.caches = caches
         valid = [int(t) for t in toks[s2.id] if t >= 0]
         got.extend(valid)
         s2.generated.extend(valid)
         eng2.kv.cache_pos[:] = new_pos
-        step_index += 1
     assert got == want
 
 
@@ -264,7 +264,7 @@ def test_chunk_loop_parked_rows_untouched():
     _, toks, new_pos = gen.generate(
         eng.params, eng.kv.caches, token, eng.kv.cache_pos.copy(),
         np.zeros((B,), np.int32), slot_params,
-        [[], [], []], n_left, 0)
+        [[], [], []], n_left, np.zeros((B,), np.int32))
     for b in range(B):
         if b == s.id:
             assert (toks[b] >= 0).sum() == 4
