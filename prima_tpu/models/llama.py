@@ -431,6 +431,62 @@ def synth_params_device_stacked(cfg: ModelConfig,
     }
 
 
+def synth_params_device_unrolled(cfg: ModelConfig,
+                                 ggml_type: GGMLType = GGMLType.Q4_K,
+                                 seed: int = 0, fused: bool = False) -> dict:
+    """Device-synthesized params as a per-layer LIST (the forward() layout)
+    with O(one layer) peak extra HBM: ONE compiled single-layer program is
+    reused n_layers times. The stacked-synth + unstack route doubles peak
+    memory (two full weight copies), which rules it out for models near
+    HBM capacity — e.g. the 32B-class bench row on a 16 GB chip."""
+    key = jax.random.PRNGKey(seed)
+    e, h, kvh, hd, f = (cfg.n_embd, cfg.n_heads, cfg.n_kv_heads,
+                        cfg.head_dim, cfg.n_ff)
+    khead, klayers = jax.random.split(key)
+
+    @jax.jit
+    def one_layer(k):
+        ks = jax.random.split(k, 7)
+        if fused:
+            return {
+                "attn_norm": jnp.ones(e, jnp.float32),
+                "wqkv": synth_qtensor_device(ks[0], (h + 2 * kvh) * hd, e,
+                                             ggml_type),
+                "wo": synth_qtensor_device(ks[3], e, h * hd, ggml_type),
+                "ffn_norm": jnp.ones(e, jnp.float32),
+                "w_gateup": synth_qtensor_device(ks[4], 2 * f, e, ggml_type),
+                "w_down": synth_qtensor_device(ks[6], e, f, ggml_type),
+            }
+        return {
+            "attn_norm": jnp.ones(e, jnp.float32),
+            "wq": synth_qtensor_device(ks[0], h * hd, e, ggml_type),
+            "wk": synth_qtensor_device(ks[1], kvh * hd, e, ggml_type),
+            "wv": synth_qtensor_device(ks[2], kvh * hd, e, ggml_type),
+            "wo": synth_qtensor_device(ks[3], e, h * hd, ggml_type),
+            "ffn_norm": jnp.ones(e, jnp.float32),
+            "w_gate": synth_qtensor_device(ks[4], f, e, ggml_type),
+            "w_up": synth_qtensor_device(ks[5], f, e, ggml_type),
+            "w_down": synth_qtensor_device(ks[6], e, f, ggml_type),
+        }
+
+    layers = [one_layer(k) for k in jax.random.split(klayers, cfg.n_layers)]
+    k1, k2 = jax.random.split(khead)
+
+    @jax.jit
+    def head(k1, k2):
+        return (synth_qtensor_device(k1, cfg.n_vocab, e, ggml_type),
+                None if cfg.tie_embeddings
+                else synth_qtensor_device(k2, cfg.n_vocab, e, ggml_type))
+
+    tok_embd, output = head(k1, k2)
+    return {
+        "tok_embd": tok_embd,
+        "layers": layers,
+        "output_norm": jnp.ones(e, jnp.float32),
+        "output": output,
+    }
+
+
 def init_kv_stacked(cfg: ModelConfig, batch: int, max_seq: int,
                     dtype=jnp.bfloat16):
     """(k, v) with a leading layer axis — the forward_scan cache layout."""

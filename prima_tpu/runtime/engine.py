@@ -211,6 +211,10 @@ class Engine:
             return forward(params, cfg_, tokens, positions, caches,
                            cache_pos, opts_, mask_positions=mask_positions)
 
+        self._fwd_raw = _fwd  # (params, caches, tokens, positions,
+        #                        cache_pos, mask_positions) — the unjitted
+        #                        slot-sliceable forward (FusedSpeculative)
+
         slot_axis = 1 if self.use_scan else 0
 
         @functools.partial(jax.jit, static_argnames=("s_len",))
@@ -242,6 +246,25 @@ class Engine:
 
         _decode = jax.jit(_decode_raw)
         self._decode_raw = _decode_raw
+
+        @jax.jit
+        def _decode_topk(params, caches, tokens, cache_pos, rope_pos):
+            """Batched decode returning a per-row top-K shortlist instead of
+            the full vocab row: (vals, ids) ~2 KB/slot crosses the tunnel
+            instead of 512 KB, plus the row logsumexp (exact logprobs for
+            n_probs). The full logits stay ON DEVICE — fetched lazily only
+            for rare fallbacks (grammar dead-ends). The TPU answer to the
+            reference's zero-transfer local sampling (common/sampling.cpp)
+            for chains the fused loop can't take."""
+            logits, caches = _decode_raw(params, caches, tokens, cache_pos,
+                                         rope_pos)
+            lf = logits.astype(jnp.float32)
+            k = min(256, lf.shape[-1])
+            vals, idx = jax.lax.top_k(lf, k)
+            lse = jax.scipy.special.logsumexp(lf, axis=-1)
+            return vals, idx, lse, logits, caches
+
+        self._decode_topk = _decode_topk
 
         @functools.partial(jax.jit, static_argnames=("s_len",))
         def _verify(params, caches, tokens, pos0, slot, s_len):
@@ -438,12 +461,23 @@ class Engine:
             rope_delta[slot.id] = slot.pos_delta
         cache_pos = self.kv.cache_pos.copy()  # inactive rows park in place
 
-        logits_j, self.kv.caches = self._decode(
-            self.params, self.kv.caches, jnp.asarray(tokens), jnp.asarray(cache_pos),
-            jnp.asarray(cache_pos + rope_delta)
-        )
+        # ONE decode program regardless of transfer mode: routing through a
+        # second compiled graph would produce ulp-different logits and flip
+        # near-tie candidate cutoffs between the shortlist and full-row
+        # paths (path invariance is a correctness property here)
+        use_sl = all(self._slot_shortlist_ok(s) for s in active)
+        vals_j, idx_j, lse_j, logits_j, self.kv.caches = self._decode_topk(
+            self.params, self.kv.caches, jnp.asarray(tokens),
+            jnp.asarray(cache_pos), jnp.asarray(cache_pos + rope_delta))
+        if use_sl:
+            # ONE transfer of ~2 KB/slot; full rows stay in HBM
+            sl_vals, sl_idx, sl_lse = jax.device_get((vals_j, idx_j, lse_j))
+            sl_vals = np.asarray(sl_vals, np.float32)
+            sl_lse = np.asarray(sl_lse, np.float32)
+            logits_all = None
+        else:
+            logits_all = np.asarray(logits_j, dtype=np.float32)  # sync point
         self.n_decode_calls += 1
-        logits_all = np.asarray(logits_j, dtype=np.float32)  # sync point
         self.perf["t_decode_s"] += _time.perf_counter() - t0
         self.perf["n_decode"] += len(active)
         for slot in active:
@@ -451,8 +485,19 @@ class Engine:
 
         from .generate import fused_eligible, sample_one
 
+        V = self.cfg.n_vocab
+
+        def _full_row(sid: int) -> np.ndarray:
+            # rare lazy fetch (grammar dead-end on the shortlist)
+            return np.asarray(logits_j[sid], dtype=np.float32)
+
         for slot in active:
-            row = logits_all[slot.id]
+            sl = None
+            row = None
+            if logits_all is not None:
+                row = logits_all[slot.id]
+            else:
+                sl = (sl_vals[slot.id], sl_idx[slot.id])
             # fused-eligible dist slots ALWAYS draw with the device key
             # schedule (seed, token index) — even on this host path — so a
             # request's sampled stream never depends on whether the engine
@@ -464,19 +509,47 @@ class Engine:
                 tok = sample_one(
                     row, SlotSampleParams.from_sampler(slot.sampler),
                     list(slot.sampler.prev), len(slot.generated),
-                    logit_bias=slot.sampler.p.logit_bias)
+                    logit_bias=slot.sampler.p.logit_bias, shortlist=(
+                        None if sl is None else (sl[0], sl[1], V)))
                 slot.sampler.accept(tok)
             else:
-                tok = slot.sampler.sample_and_accept(row)
+                if row is None:
+                    # virtual full row: host chain runs UNCHANGED on it;
+                    # eligibility guarantees the true candidate set lives
+                    # inside the shortlist
+                    row = np.full(V, -1e30, np.float32)
+                    row[sl[1]] = sl[0]
+                tok = slot.sampler.sample(row)
+                g = slot.sampler.grammar
+                if (sl is not None and g is not None
+                        and tok not in map(int, sl[1])):
+                    # the grammar forced a token OUTSIDE the shortlist —
+                    # it was drawn off fake (-1e30) virtual values, not
+                    # real logits: redo on the true row (one extra
+                    # transfer, rare)
+                    row = _full_row(slot.id)
+                    tok = slot.sampler.sample(row)
+                slot.sampler.accept(tok)
             slot.generated.append(tok)
             lp = None
             if slot.n_probs > 0:
-                from ..sampling import softmax as _softmax
+                if sl is not None:
+                    # exact logprobs: shortlist logits minus the full-row
+                    # logsumexp shipped from device
+                    lpv = sl[0] - sl_lse[slot.id]
+                    ids = [int(t) for t in sl[1][: slot.n_probs]]
+                    where = np.nonzero(sl[1] == tok)[0]
+                    pairs = {t: float(lpv[i]) for i, t in enumerate(
+                        int(x) for x in sl[1])}
+                    ids = list(dict.fromkeys(ids + ([tok] if len(where) else [])))
+                    lp = [(t, pairs[t]) for t in ids]
+                else:
+                    from ..sampling import softmax as _softmax
 
-                probs = np.log(np.maximum(_softmax(row), 1e-30))
-                top = np.argsort(-row)[: slot.n_probs]
-                ids = list(dict.fromkeys([int(t) for t in top] + [tok]))
-                lp = [(int(t), float(probs[t])) for t in ids]
+                    probs = np.log(np.maximum(_softmax(row), 1e-30))
+                    top = np.argsort(-row)[: slot.n_probs]
+                    ids = list(dict.fromkeys([int(t) for t in top] + [tok]))
+                    lp = [(int(t), float(probs[t])) for t in ids]
             done, reason = self._check_stop(slot, tok)
             if done:
                 slot.state = SlotState.IDLE
@@ -484,6 +557,32 @@ class Engine:
             events.append(StepEvent(slot.id, slot.request_id, tok, done, reason,
                                     logprobs=lp))
         return events
+
+    def _slot_shortlist_ok(self, s: Slot) -> bool:
+        """True iff this slot's chain is EXACT on a device top-256 shortlist:
+        every candidate the true chain could keep is guaranteed inside the
+        pre-penalty top-256 (penalties only ever lower W window tokens, so
+        post-penalty top-k is within pre-penalty top-(k+W))."""
+        p = s.sampler.p
+        if p.mirostat != 0:
+            return False  # mu-threshold can keep an unbounded candidate set
+        if any(b > 0 for b in p.logit_bias.values()):
+            return False  # positive bias can promote any token into range
+        K = min(256, self.cfg.n_vocab)
+        W = 0
+        pen = p.penalty_last_n != 0 and (
+            p.penalty_repeat != 1.0 or p.penalty_freq != 0.0
+            or p.penalty_present != 0.0)
+        if pen:
+            if (p.penalty_repeat < 1.0 or p.penalty_freq < 0.0
+                    or p.penalty_present < 0.0):
+                return False  # anti-penalties RAISE logits out of range
+            n_prev = len(s.sampler.prev)
+            W = n_prev if p.penalty_last_n < 0 else min(p.penalty_last_n,
+                                                        n_prev)
+        if p.temp <= 0:
+            return W + 1 <= K
+        return 0 < p.top_k and p.top_k + W <= K
 
     # -- fused on-device decode+sample (runtime/generate.py) --------------------
 
@@ -497,10 +596,6 @@ class Engine:
         active = [s for s in self.slots if s.state == SlotState.DECODE]
         if not active:
             return []
-        if self.grp_attn_n > 1:  # Self-Extend mutates positions per token
-            return None
-        if any(s.n_probs > 0 for s in active):  # logprobs need host logits
-            return None
         if not all(fused_eligible(s.sampler) for s in active):
             return None
         bias0 = active[0].sampler.p.logit_bias
@@ -531,6 +626,19 @@ class Engine:
 
         B = self.n_slots
         chunk = max_chunk or self._fused_gen.chunk
+        # Self-Extend (grouped attention): apply any pending compression on
+        # the host, then cap the chunk so no slot CROSSES a ga boundary
+        # mid-chunk — between chunks the compression re-applies, so the
+        # fused path now covers --grp-attn-n (VERDICT r3 task 9)
+        if self.grp_attn_n > 1:
+            for s in active:
+                if s.pos_map is None:
+                    s.pos_map = np.arange(self.kv.max_seq, dtype=np.int64)
+                self._apply_self_extend(s)
+                n_past = self.kv.used(s.id) + s.pos_delta
+                to_boundary = (s.ga_i + self.grp_attn_w) - n_past
+                chunk = max(1, min(chunk, int(to_boundary)))
+        probs_k = max((s.n_probs for s in active), default=0)
         token = np.zeros((B, 1), np.int32)
         rope_delta = np.zeros(B, np.int32)
         n_left = np.zeros(B, np.int32)
@@ -558,11 +666,11 @@ class Engine:
                 s.prompt = []
 
         t0 = _time.perf_counter()
-        caches, toks, new_pos = self._fused_gen.generate(
+        caches, toks, new_pos, lp = self._fused_gen.generate(
             self.params, self.kv.caches, token, cache_pos, rope_delta,
             slot_params, recent, n_left, gen_count,
             logit_bias=active[0].sampler.p.logit_bias, chunk=chunk,
-            eog_ids=sorted(self.eog_ids))
+            eog_ids=sorted(self.eog_ids), probs_k=probs_k)
         self.kv.caches = caches
         self.n_decode_calls += 1
         self.perf["t_decode_s"] += _time.perf_counter() - t0
@@ -570,11 +678,24 @@ class Engine:
         events: list[StepEvent] = []
         for s in active:
             kept = [int(t) for t in toks[s.id] if t >= 0]
+            pos_before = int(cache_pos[s.id])
             self.kv.cache_pos[s.id] = int(new_pos[s.id])
+            if self.grp_attn_n > 1 and kept:
+                self._record_positions(s, pos_before, len(kept))
             for j, tok_ in enumerate(kept):
                 s.generated.append(tok_)
                 s.sampler.accept(tok_)
                 self.perf["n_decode"] += 1
+                lprobs = None
+                if s.n_probs > 0 and lp is not None:
+                    pv, pi, lse, tl = (lp[0][s.id, j], lp[1][s.id, j],
+                                       lp[2][s.id, j], lp[3][s.id, j])
+                    ids = [int(t) for t in pi[: s.n_probs]]
+                    pairs = {int(t): float(v - lse)
+                             for t, v in zip(pi, pv)}
+                    pairs.setdefault(tok_, float(tl - lse))
+                    order = list(dict.fromkeys(ids + [tok_]))
+                    lprobs = [(t, pairs[t]) for t in order]
                 # the device loop stops rows exactly at eog/length/room, so
                 # stop conditions are only meaningful on the last token
                 done, reason = (self._check_stop(s, tok_)
@@ -583,7 +704,7 @@ class Engine:
                     s.state = SlotState.IDLE
                     s.stop_reason = reason
                 events.append(StepEvent(s.id, s.request_id, tok_, done,
-                                        reason))
+                                        reason, logprobs=lprobs))
         return events
 
     def _check_stop(self, slot: Slot, tok: int) -> tuple[bool, str | None]:

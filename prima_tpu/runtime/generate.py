@@ -169,11 +169,12 @@ def fill_recent_ring(row: np.ndarray, toks, ln: int) -> None:
 _single_sample_cache: dict = {}
 
 
-def sample_one(row: np.ndarray, p: SlotSampleParams, recent_tokens,
+def sample_one(row: np.ndarray | None, p: SlotSampleParams, recent_tokens,
                gen_count: int, logit_bias: dict | None = None,
-               recent_cap: int = 256) -> int:
+               recent_cap: int = 256, shortlist=None) -> int:
     """Draw ONE token for one slot with exactly the chunked device loop's
-    semantics AND key schedule, given a host logits row.
+    semantics AND key schedule, given a host logits row OR a device top-k
+    shortlist (vals, ids, n_vocab).
 
     Why this exists: a request's sampled stream must be a function of
     (seed, token index) ONLY — never of which path the engine happened to
@@ -181,29 +182,50 @@ def sample_one(row: np.ndarray, p: SlotSampleParams, recent_tokens,
     decodes a fused-eligible dist slot (first token after prefill, or a
     batch that contains a grammar/mirostat slot), it draws through here so
     the stream matches what step_fused would have produced (reference
-    guarantee: same seed -> same text, results.feature)."""
-    import jax
+    guarantee: same seed -> same text, results.feature).
 
-    v = int(row.shape[-1])
+    The shortlist form reconstructs a virtual full row ON DEVICE (scatter
+    of MAX_TOPK values into a NEG_INF base), so only ~2 KB crosses the
+    wire instead of the 512 KB f32 vocab row: draws are identical to the
+    full-row form whenever the candidate set is inside the shortlist
+    (guaranteed by Engine's shortlist-eligibility rule)."""
+    import jax
+    import jax.numpy as jnp
+
+    v = int(row.shape[-1]) if shortlist is None else int(shortlist[2])
     has_dist = p.temp > 0
     bounded = has_dist and 0 < p.top_k <= MAX_TOPK
     has_free = has_dist and not bounded
     top_k = MAX_TOPK if bounded else 0
     has_pen = p.penalties_active()
     has_bias = bool(logit_bias)
+    sl_mode = shortlist is not None
 
-    key_ = (top_k, has_pen, has_dist, has_free, has_bias, v)
+    key_ = (top_k, has_pen, has_dist, has_free, has_bias, v, sl_mode)
     fn = _single_sample_cache.get(key_)
     if fn is None:
-        @jax.jit
-        def fn(logits, recent, seeds, count, sp, bias_idx, bias_val):
-            keys = jax.vmap(jax.random.PRNGKey)(seeds)
-            step_key = jax.vmap(jax.random.fold_in)(keys, count)
-            return device_sample(
-                logits, recent, step_key, sp, top_k=top_k, has_pen=has_pen,
-                has_dist=has_dist, has_free=has_free,
-                bias_idx=bias_idx if has_bias else None,
-                bias_val=bias_val if has_bias else None)
+        if sl_mode:
+            @jax.jit
+            def fn(vals, ids, recent, seeds, count, sp, bias_idx, bias_val):
+                logits = jnp.full((1, v), NEG_INF, jnp.float32
+                                  ).at[0, ids[0]].set(vals[0])
+                keys = jax.vmap(jax.random.PRNGKey)(seeds)
+                step_key = jax.vmap(jax.random.fold_in)(keys, count)
+                return device_sample(
+                    logits, recent, step_key, sp, top_k=top_k,
+                    has_pen=has_pen, has_dist=has_dist, has_free=has_free,
+                    bias_idx=bias_idx if has_bias else None,
+                    bias_val=bias_val if has_bias else None)
+        else:
+            @jax.jit
+            def fn(logits, recent, seeds, count, sp, bias_idx, bias_val):
+                keys = jax.vmap(jax.random.PRNGKey)(seeds)
+                step_key = jax.vmap(jax.random.fold_in)(keys, count)
+                return device_sample(
+                    logits, recent, step_key, sp, top_k=top_k,
+                    has_pen=has_pen, has_dist=has_dist, has_free=has_free,
+                    bias_idx=bias_idx if has_bias else None,
+                    bias_val=bias_val if has_bias else None)
 
         _single_sample_cache[key_] = fn
 
@@ -226,9 +248,16 @@ def sample_one(row: np.ndarray, p: SlotSampleParams, recent_tokens,
         bias_idx = np.fromiter(logit_bias.keys(), np.int32)
         bias_val = np.fromiter((float(x) for x in logit_bias.values()),
                                np.float32)
-    tok = fn(np.asarray(row, np.float32)[None], recent,
-             np.asarray([p.seed & 0xFFFFFFFF], np.uint32),
-             np.asarray([gen_count], np.uint32), sp, bias_idx, bias_val)
+    if sl_mode:
+        vals, ids = shortlist[0], shortlist[1]
+        tok = fn(np.asarray(vals, np.float32)[None],
+                 np.asarray(ids, np.int32)[None], recent,
+                 np.asarray([p.seed & 0xFFFFFFFF], np.uint32),
+                 np.asarray([gen_count], np.uint32), sp, bias_idx, bias_val)
+    else:
+        tok = fn(np.asarray(row, np.float32)[None], recent,
+                 np.asarray([p.seed & 0xFFFFFFFF], np.uint32),
+                 np.asarray([gen_count], np.uint32), sp, bias_idx, bias_val)
     return int(np.asarray(tok)[0])
 
 
@@ -258,8 +287,9 @@ class FusedGenerator:
     # -- compiled chunk loop (one per static sampler-config signature) -----
 
     def _loop(self, chunk: int, top_k: int, has_pen: bool, has_dist: bool,
-              has_free: bool, has_bias: bool):
-        key_ = (chunk, top_k, has_pen, has_dist, has_free, has_bias)
+              has_free: bool, has_bias: bool, probs_k: int = 0):
+        key_ = (chunk, top_k, has_pen, has_dist, has_free, has_bias,
+                probs_k)
         if key_ in self._loops:
             return self._loops[key_]
         fwd = self.fwd
@@ -277,6 +307,14 @@ class FusedGenerator:
             # (reference guarantee: same seed -> same text).
             keys = jax.vmap(jax.random.PRNGKey)(seeds)
             out0 = jnp.full((b, chunk), -1, jnp.int32)
+            # per-step top-N logprob capture (n_probs > 0 slots): values,
+            # ids, the row logsumexp and the SAMPLED token's logit ride the
+            # one chunk transfer — exact OpenAI logprobs at ~probs_k*8
+            # bytes/step instead of a 512 KB row fetch
+            lp0 = (jnp.zeros((b, chunk, probs_k), jnp.float32),
+                   jnp.zeros((b, chunk, probs_k), jnp.int32),
+                   jnp.zeros((b, chunk), jnp.float32),
+                   jnp.zeros((b, chunk), jnp.float32)) if probs_k else None
 
             def cond(c):
                 i = c[0]
@@ -285,7 +323,7 @@ class FusedGenerator:
 
             def body(c):
                 (i, caches, token, cache_pos, recent, recent_n, out, done,
-                 n_left) = c
+                 n_left, lp) = c
                 rope_pos = cache_pos + rope_delta
                 logits, caches = fwd(params, caches, token, cache_pos,
                                      rope_pos)
@@ -298,6 +336,13 @@ class FusedGenerator:
                     has_pen=has_pen, has_dist=has_dist, has_free=has_free,
                     bias_idx=bias_idx if has_bias else None,
                     bias_val=bias_val if has_bias else None)
+                if probs_k:
+                    lf = logits.astype(jnp.float32)
+                    pv, pi = jax.lax.top_k(lf, probs_k)
+                    lse = jax.scipy.special.logsumexp(lf, axis=-1)
+                    tl = jnp.take_along_axis(lf, tok[:, None], axis=1)[:, 0]
+                    lp = (lp[0].at[:, i].set(pv), lp[1].at[:, i].set(pi),
+                          lp[2].at[:, i].set(lse), lp[3].at[:, i].set(tl))
                 live = ~done
                 # parked rows keep their previous token and cache_pos: their
                 # KV write lands in one never-yet-used cell every step, which
@@ -318,12 +363,12 @@ class FusedGenerator:
                 is_eog = (tok[:, None] == eog[None, :]).any(axis=-1)
                 done = done | (n_left <= 0) | (live & is_eog)
                 return (i + 1, caches, token, cache_pos, recent, recent_n,
-                        out, done, n_left)
+                        out, done, n_left, lp)
 
             init = (jnp.int32(0), caches, token, cache_pos, recent,
-                    recent_n, out0, done0, n_left)
+                    recent_n, out0, done0, n_left, lp0)
             c = jax.lax.while_loop(cond, body, init)
-            return c[1], c[6], c[3]  # caches, tokens, cache_pos
+            return c[1], c[6], c[3], c[9]  # caches, tokens, cache_pos, lp
 
         self._loops[key_] = loop
         return loop
@@ -335,7 +380,7 @@ class FusedGenerator:
                  slot_params: list, recent_tokens: list,
                  n_left: np.ndarray, gen_count: np.ndarray,
                  logit_bias: dict | None = None, chunk: int | None = None,
-                 eog_ids=()):
+                 eog_ids=(), probs_k: int = 0):
         """Run up to `chunk` decode+sample steps on-device.
 
         slot_params[b]: SlotSampleParams or None (parked row).
@@ -345,8 +390,11 @@ class FusedGenerator:
         gen_count[b]: tokens row b has ALREADY generated in its sequence —
         the per-slot draw counter that keeps seeded sampling reproducible
         across chunk boundaries and engine state.
+        probs_k > 0 additionally captures per-step top-probs_k logprob data
+        (vals, ids, logsumexp, sampled-token logit) for OpenAI logprobs.
         Returns (new_caches, tokens (B, chunk) int32 with -1 on parked
-        steps, new_cache_pos (B,)).
+        steps, new_cache_pos (B,), lp) where lp is None or that 4-tuple of
+        numpy arrays.
         """
         b = token.shape[0]
         chunk = chunk or self.chunk
@@ -410,16 +458,20 @@ class FusedGenerator:
                                    np.float32)
 
         loop = self._loop(chunk, max_k, has_pen, has_dist, has_free,
-                          has_bias)
+                          has_bias, probs_k)
         eog = (np.fromiter(eog_ids, np.int32) if eog_ids
                else np.asarray([-2], np.int32))
         # ONE dispatch: numpy operands ride the jit call; outputs come back
         # in ONE device_get (per-array np.asarray would each pay the ~28 ms
         # tunnel round-trip, dominating the chunk)
-        caches, toks, new_pos = loop(
+        caches, toks, new_pos, lp = loop(
             params, caches, token.astype(np.int32), cache_pos,
             rope_delta.astype(np.int32), recent, recent_n,
             seeds.astype(np.uint32), gen_count.astype(np.int32),
             done0, sp, n_left.astype(np.int32), bias_idx, bias_val, eog)
-        toks, new_pos = jax.device_get((toks, new_pos))
-        return caches, toks, new_pos
+        if probs_k:
+            toks, new_pos, lp = jax.device_get((toks, new_pos, lp))
+        else:
+            toks, new_pos = jax.device_get((toks, new_pos))
+            lp = None
+        return caches, toks, new_pos, lp

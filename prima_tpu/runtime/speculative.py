@@ -94,6 +94,27 @@ class SpeculativeDecoder:
             out.extend(chunk)
         return out[:n_predict], stats
 
+    def _fused_spec(self, sampler: Sampler):
+        """The on-device fused pipeline (speculative_fused.py) when both
+        engines are plain single-host Engines and the chain is supported:
+        one dispatch per R draft+verify rounds instead of a host round-trip
+        per draft token. PRIMA_SPEC_FUSED=0 forces the host path."""
+        import os
+
+        if os.environ.get("PRIMA_SPEC_FUSED", "1") == "0":
+            return None
+        from .speculative_fused import FusedSpeculative, fused_spec_eligible
+
+        if type(self.target) is not Engine or type(self.draft) is not Engine:
+            return None
+        if not fused_spec_eligible(sampler):
+            return None
+        if getattr(self, "_fused_impl", None) is None:
+            self._fused_impl = FusedSpeculative(
+                self.target, self.draft, n_draft=max(self.n_draft, 1),
+                p_min=self.p_min)
+        return self._fused_impl
+
     def generate_stream(self, prompt_tokens: list[int],
                         sampler: Sampler | None = None, n_predict: int = 64,
                         stats: SpecStats | None = None):
@@ -102,6 +123,12 @@ class SpeculativeDecoder:
         both engines are released when the generator finishes."""
         sampler = sampler or Sampler(SamplerParams(temp=0.0))
         stats = stats if stats is not None else SpecStats()
+        if self.n_draft > 0:
+            fused = self._fused_spec(sampler)
+            if fused is not None:
+                yield from fused.generate_stream(prompt_tokens, sampler,
+                                                 n_predict, stats=stats)
+                return
         t, d = self.target, self.draft
 
         # ingest prompt[:-1] in both engines (slot 0 each); submit() accepts

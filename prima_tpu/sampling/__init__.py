@@ -59,13 +59,18 @@ def softmax(logits: np.ndarray) -> np.ndarray:
 
 
 def apply_top_k(logits: np.ndarray, k: int) -> np.ndarray:
-    """Returns candidate indices kept (unsorted semantics preserved via sort
-    descending like the reference)."""
+    """Returns candidate indices kept, sorted descending with ties broken
+    by LOWER INDEX FIRST (stable sort) — the same tie order as
+    jax.lax.top_k. Deterministic tie-breaking is load-bearing: the
+    engine's device-shortlist path must select the identical candidate set
+    whether it ranks the full row or the top-256 virtual row
+    (np.argpartition would pick an arbitrary member of a tied boundary
+    group depending on the rest of the array)."""
     n = logits.shape[0]
+    order = np.argsort(-logits, kind="stable")
     if k <= 0 or k >= n:
-        return np.argsort(-logits, kind="stable")
-    idx = np.argpartition(-logits, k)[:k]
-    return idx[np.argsort(-logits[idx], kind="stable")]
+        return order
+    return order[:k]
 
 
 def apply_top_p(logits: np.ndarray, ids: np.ndarray, p: float, min_keep: int) -> np.ndarray:

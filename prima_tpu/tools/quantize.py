@@ -51,6 +51,14 @@ FTYPES: dict[str, tuple[GGMLType, GGMLType]] = {
     "F16": (GGMLType.F16, GGMLType.F16),
     "BF16": (GGMLType.BF16, GGMLType.BF16),
     "F32": (GGMLType.F32, GGMLType.F32),
+    # ARM-repack ftype names (compat): the reference removed them from GGUF
+    # files — "use Q4_0 and runtime repack" (include/llama.h:187-189,
+    # ggml/include/ggml.h:388-390). We accept the names and emit plain
+    # Q4_0; the repack role (load-time interleaved relayout) lives in
+    # quant/device_format.py, applied when tensors reach the chip.
+    "Q4_0_4_4": (GGMLType.Q4_0, GGMLType.Q6_K),
+    "Q4_0_4_8": (GGMLType.Q4_0, GGMLType.Q6_K),
+    "Q4_0_8_8": (GGMLType.Q4_0, GGMLType.Q6_K),
 }
 
 
@@ -128,6 +136,12 @@ def quantize_gguf(src_path: str, dst_path: str, ftype: str,
     from ..quant.type_rules import FTYPE_DEFAULT
 
     ftype = ftype.upper()
+    if ftype.startswith("Q4_0_"):
+        print(f"{ftype}: ARM-repack types were removed from GGUF files "
+              "(reference llama.h:187-189) — emitting Q4_0; the "
+              "interleaved relayout happens at load time "
+              "(quant/device_format.py)", file=logfile)
+        ftype = "Q4_0"
     default_t = FTYPE_DEFAULT.get(ftype, FTYPES[ftype][0])
     src = GGUFModel.open(src_path)
     planner = build_planner(src, ftype, has_imatrix=imatrix is not None)

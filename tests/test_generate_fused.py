@@ -221,7 +221,7 @@ def test_chunk_loop_greedy_matches_engine(tiny_engine_factory=None):
         n_left[s2.id] = 12 - len(got)
         gen_count = np.zeros((B,), np.int32)
         gen_count[s2.id] = len(got)
-        caches, toks, new_pos = gen.generate(
+        caches, toks, new_pos, _lp = gen.generate(
             eng2.params, eng2.kv.caches, token,
             eng2.kv.cache_pos.copy(), np.zeros((B,), np.int32),
             slot_params, [list(s2.prompt) + got, []], n_left, gen_count)
@@ -261,7 +261,7 @@ def test_chunk_loop_parked_rows_untouched():
     n_left = np.zeros((B,), np.int32)
     n_left[s.id] = 4
     pos_before = eng.kv.cache_pos.copy()
-    _, toks, new_pos = gen.generate(
+    _, toks, new_pos, _lp = gen.generate(
         eng.params, eng.kv.caches, token, eng.kv.cache_pos.copy(),
         np.zeros((B,), np.int32), slot_params,
         [[], [], []], n_left, np.zeros((B,), np.int32))
