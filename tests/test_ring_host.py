@@ -19,7 +19,11 @@ from prima_tpu.runtime.engine import Engine
 OPTS = ForwardOptions(matmul_impl="xla", dtype=jnp.float32)
 
 
-@pytest.mark.parametrize("windows,k", [([3, 1], 1), ([1, 1], 2), ([2, 1, 1], 1)])
+@pytest.mark.parametrize("windows,k", [
+    ([3, 1], 1),
+    pytest.param([1, 1], 2, marks=pytest.mark.slow),
+    pytest.param([2, 1, 1], 1, marks=pytest.mark.slow),
+])
 def test_heterogeneous_ring_matches_reference(cpu_devices, windows, k):
     cfg = tiny_config(n_layers=sum(windows) * k)
     plan = RingPlan(windows=windows, k=k)

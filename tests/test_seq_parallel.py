@@ -52,7 +52,11 @@ def _pipe(cfg, mesh, spec, seed=0):
     return params, jax.jit(make_pipe_forward(cfg, spec, mesh, OPTS))
 
 
-@pytest.mark.parametrize("pp,sp,tp", [(2, 2, 2), (1, 4, 2), (2, 4, 1)])
+@pytest.mark.parametrize("pp,sp,tp", [
+    (2, 2, 2),
+    pytest.param(1, 4, 2, marks=pytest.mark.slow),
+    pytest.param(2, 4, 1, marks=pytest.mark.slow),
+])
 def test_seq_parallel_matches_dense(cpu_devices, pp, sp, tp):
     cfg = tiny_config(n_layers=2)
     mesh = make_mesh(dp=1, pp=pp, sp=sp, tp=tp)

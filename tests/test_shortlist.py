@@ -52,10 +52,13 @@ def force_full_row(eng):
     SamplerParams(temp=0.0, seed=3),
     SamplerParams(temp=0.9, top_k=40, top_p=0.9, min_p=0.05, seed=3),
     SamplerParams(temp=0.8, top_k=32, tfs_z=0.9, seed=3),
-    SamplerParams(temp=0.8, top_k=32, typ_p=0.8, seed=3),
-    SamplerParams(temp=0.7, top_k=24, dynatemp_range=0.4, seed=3),
-    SamplerParams(temp=0.9, top_k=40, penalty_last_n=16, penalty_repeat=1.3,
-                  penalty_freq=0.1, seed=3),
+    pytest.param(SamplerParams(temp=0.8, top_k=32, typ_p=0.8, seed=3),
+                 marks=pytest.mark.slow),
+    pytest.param(SamplerParams(temp=0.7, top_k=24, dynatemp_range=0.4,
+                               seed=3), marks=pytest.mark.slow),
+    pytest.param(SamplerParams(temp=0.9, top_k=40, penalty_last_n=16,
+                               penalty_repeat=1.3, penalty_freq=0.1,
+                               seed=3), marks=pytest.mark.slow),
 ], ids=["greedy", "topk_topp_minp", "tfs", "typical", "dynatemp",
         "penalties"])
 def test_shortlist_matches_full_row(params):

@@ -41,7 +41,8 @@ def plain_fused(eng, prompt, sampler, n):
 
 @pytest.mark.parametrize("sp", [
     SamplerParams(temp=0.0, seed=5),
-    SamplerParams(temp=0.9, top_k=40, top_p=0.92, min_p=0.02, seed=5),
+    pytest.param(SamplerParams(temp=0.9, top_k=40, top_p=0.92, min_p=0.02,
+                               seed=5), marks=pytest.mark.slow),
 ], ids=["greedy", "dist"])
 def test_fused_spec_matches_plain_fused(sp):
     import dataclasses
@@ -72,6 +73,7 @@ def test_fused_spec_lossless_with_bad_draft():
     assert stats.n_accepted <= stats.n_drafted
 
 
+@pytest.mark.slow
 def test_fused_spec_multiple_dispatches():
     """n_predict spanning several host dispatches (rounds=1, small chunk)
     keeps the stream identical — the cross-dispatch carry (cur token,
@@ -99,6 +101,7 @@ def test_fused_spec_eligibility():
         Sampler(SamplerParams(temp=0.9, top_k=40, logit_bias={3: 1.0})))
 
 
+@pytest.mark.slow
 def test_fused_spec_stops_at_eog():
     """EOG inside an accepted prefix truncates and stops, like plain."""
     eng_t, eng_d = mk_engine(), mk_engine()
