@@ -74,7 +74,7 @@ def test_pipeline_parity_with_pallas_matmul(cpu_devices, pp, tp, k):
     cfg = tiny_config(n_layers=4)
     dp = 8 // (pp * tp) if pp * tp < 8 else 1
     mesh = make_mesh(dp=dp, pp=pp, tp=tp)
-    M, B, S, T = pp, 2, 4, 16
+    M, B, S, T = pp, max(2, dp), 4, 16  # global batch must divide dp
     spec = PipeSpec.for_model(cfg, n_pp=pp, n_tp=tp, n_dp=dp, k_cycles=k,
                               microbatches=M)
     opts = ForwardOptions(matmul_impl="pallas", dtype=jnp.float32)
