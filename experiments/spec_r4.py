@@ -39,6 +39,16 @@ def main() -> int:
     ap.add_argument("--rounds", type=int, default=6)
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--accepts", default="")
+    ap.add_argument("--target-layers", type=int, default=32)
+    ap.add_argument("--target-scan", action="store_true",
+                    help="run the spec-loop target in scan layout: the "
+                         "tunneled remote-compile endpoint reproducibly "
+                         "drops larger unrolled-multi-layer programs "
+                         "mid-compile (broken pipe), and scan compiles one "
+                         "layer body. Costs ~3x target weight traffic "
+                         "(XLA copies each scan iteration's slice), so the "
+                         "speedup is ALSO reported against the faster "
+                         "unrolled plain baseline.")
     args = ap.parse_args()
 
     import jax
@@ -62,12 +72,14 @@ def main() -> int:
                             head_dim=64, n_ff=1024, n_vocab=32000,
                             rope_dim=64)
     else:
-        t_cfg = tiny_config(n_layers=32, n_embd=4096, n_heads=32,
-                            n_kv_heads=8, head_dim=128, n_ff=14336,
-                            n_vocab=128256, n_ctx_train=8192,
+        t_cfg = tiny_config(n_layers=args.target_layers, n_embd=4096,
+                            n_heads=32, n_kv_heads=8, head_dim=128,
+                            n_ff=14336, n_vocab=128256, n_ctx_train=8192,
                             rope_base=500000.0, rope_dim=128)
-        # 1B-class draft, same vocab (llama-3.2-1B shape)
-        d_cfg = tiny_config(n_layers=16, n_embd=2048, n_heads=32,
+        # 1B-class draft, same vocab (llama-3.2-1B shape), depth scaled
+        # with the target
+        d_cfg = tiny_config(n_layers=max(args.target_layers // 2, 2),
+                            n_embd=2048, n_heads=32,
                             n_kv_heads=8, head_dim=64, n_ff=8192,
                             n_vocab=128256, n_ctx_train=8192,
                             rope_base=500000.0, rope_dim=64)
@@ -83,32 +95,58 @@ def main() -> int:
                         "match comparison overridden (synthetic weights "
                         "cannot exhibit real agreement)"}
 
-    def mk_engine(cfg, seed):
-        p = synth_params_device_unrolled(cfg, GGMLType.Q4_K, fused=True,
-                                         seed=seed)
-        jax.block_until_ready(jax.tree.leaves(p)[0])
+    t_params = None
+
+    def mk_engine(cfg, seed, scan=False, params=None):
+        p = params
+        if p is None:
+            p = synth_params_device_unrolled(cfg, GGMLType.Q4_K, fused=True,
+                                             seed=seed)
+            jax.block_until_ready(jax.tree.leaves(p)[0])
         return Engine(cfg, p, n_slots=1, max_seq=512, n_batch=64,
-                      opts=opts, scan=False)
+                      opts=opts, scan=scan), p
 
-    t_eng = mk_engine(t_cfg, 0)
-    d_eng = mk_engine(d_cfg, 1)
+    t_eng, t_params = mk_engine(t_cfg, 0, scan=args.target_scan)
+    # draft runs the SCAN layout: its single compiled layer body keeps the
+    # fused round program small (unrolled-multi-layer programs break the
+    # remote-compile endpoint); the scan weight-copy penalty only touches
+    # the small draft's ~0.6 GB stream
+    d_eng, _dp = mk_engine(d_cfg, 1, scan=True)
 
-    # -- plain fused baseline ------------------------------------------------
-    s = t_eng.submit(prompt, sampler=Sampler(SamplerParams(temp=0.0)),
-                     n_predict=args.tokens)
-    t_eng.prefill_only(s)
-    t0 = time.perf_counter()
-    t_eng.step_fused(max_chunk=16)  # compile
-    report["plain_compile_s"] = round(time.perf_counter() - t0, 1)
-    t_eng.perf["n_decode"], t_eng.perf["t_decode_s"] = 0, 0.0
-    while s.state.name != "IDLE":
-        t_eng.step_fused(max_chunk=16)
-    plain_tok_s = t_eng.perf["n_decode"] / t_eng.perf["t_decode_s"]
-    report["plain_tok_s"] = round(plain_tok_s, 2)
-    print(f"[plain] {report['plain_tok_s']} tok/s", file=sys.stderr,
-          flush=True)
-    t_eng.kv.seq_rm(s.id)
-    s.prompt = []
+    # -- plain fused baselines ----------------------------------------------
+    def measure_plain(eng, name):
+        s = eng.submit(prompt, sampler=Sampler(SamplerParams(temp=0.0)),
+                       n_predict=args.tokens)
+        eng.prefill_only(s)
+        t0 = time.perf_counter()
+        eng.step_fused(max_chunk=16)  # compile
+        report[f"{name}_compile_s"] = round(time.perf_counter() - t0, 1)
+        eng.perf["n_decode"], eng.perf["t_decode_s"] = 0, 0.0
+        while s.state.name != "IDLE":
+            eng.step_fused(max_chunk=16)
+        tok_s = eng.perf["n_decode"] / eng.perf["t_decode_s"]
+        report[name] = round(tok_s, 2)
+        print(f"[{name}] {report[name]} tok/s", file=sys.stderr, flush=True)
+        eng.kv.seq_rm(s.id)
+        s.prompt = []
+        return tok_s
+
+    plain_tok_s = measure_plain(t_eng, "plain_tok_s")
+    plain_best = plain_tok_s
+    if args.target_scan:
+        # the faster unrolled plain layout is the HONEST denominator
+        # (spec must beat the best plain path, not just same-layout plain);
+        # shares the same unstacked weight arrays
+        try:
+            u_eng, _ = mk_engine(t_cfg, 0, scan=False, params=t_params)
+            plain_best = max(plain_best,
+                             measure_plain(u_eng, "plain_unrolled_tok_s"))
+            del u_eng
+            import gc as _gc
+
+            _gc.collect()
+        except Exception as e:  # noqa: BLE001
+            report["plain_unrolled_error"] = str(e)[:200]
 
     def reset():
         t_eng.kv.seq_rm(0)
@@ -140,6 +178,7 @@ def main() -> int:
         curve[name] = {
             "tok_s": round(tok_s, 2),
             "speedup_vs_plain": round(tok_s / plain_tok_s, 3),
+            "speedup_vs_best_plain": round(tok_s / plain_best, 3),
             "acceptance": round(stats.acceptance, 3),
             "n_tokens": len(out),
             "compile_s": round(compile_s, 1),
@@ -149,7 +188,7 @@ def main() -> int:
 
     report["curve"] = curve
     top = curve.get(f"accept_{k}", {})
-    report["spec_speedup"] = top.get("speedup_vs_plain", 0.0)
+    report["spec_speedup"] = top.get("speedup_vs_best_plain", 0.0)
     # break-even: smallest measured acceptance with speedup >= 1
     be = [n for n, r in curve.items()
           if n.startswith("accept_") and r["speedup_vs_plain"] >= 1.0]

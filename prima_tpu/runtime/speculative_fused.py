@@ -90,7 +90,6 @@ class FusedSpeculative:
             return self._loops[key_]
         k, R, p_min = self.n_draft, self.rounds, self.p_min
         t_fwd, d_fwd = self.t._fwd_raw, self.d._fwd_raw
-        t_params, d_params = self.t.params, self.d.params
         out_cap = R * (k + 1)
 
         def mk_take_put(eng, sid):
@@ -106,8 +105,12 @@ class FusedSpeculative:
         take_d, put_d = mk_take_put(self.d, sid_d)
 
         @jax.jit
-        def run(t_caches, d_caches, cur, t_pos, d_pos, catch_tok,
-                need_catch, n_left, n_out0, seed, sp, eog):
+        def run(t_params, d_params, t_caches, d_caches, cur, t_pos, d_pos,
+                catch_tok, need_catch, n_left, n_out0, seed, sp, eog):
+            # params are jit ARGUMENTS, never closure constants: closed-over
+            # device arrays get baked into the serialized program, and the
+            # tunneled remote-compile endpoint drops multi-GB payloads with
+            # a broken pipe
             # slot-row views: everything below is B=1
             tc = jax.tree.map(take_t, t_caches)
             dc = jax.tree.map(take_d, d_caches)
@@ -269,7 +272,7 @@ class FusedSpeculative:
                 (t.kv.caches, d.kv.caches, out, out_n, tpos, dpos, cur,
                  catch_tok, need_catch, n_rounds, n_drafted,
                  n_accepted) = run(
-                    t.kv.caches, d.kv.caches, cur,
+                    t.params, d.params, t.kv.caches, d.kv.caches, cur,
                     np.int32(t.kv.used(sid_t)), np.int32(d.kv.used(sid_d)),
                     catch_tok, need_catch, np.int32(n_left),
                     np.uint32(n_out), np.uint32(p.seed & 0xFFFFFFFF), sp,
