@@ -446,10 +446,12 @@ def run_scale_row(name, baseline_ms_tok, rtt, probe_once, time_left,
     cfg = model_shape(name)
     full_layers = cfg.n_layers
     full_bytes = q4k_bytes(cfg)
-    # KV (T=256 bf16) + logits + activation workspace reserve
+    # measured on the v5e: 12.4 GB of params + KV/workspace runs; 13.2 GB
+    # OOMs — so keep ~2.4 GB of reserve beyond KV/logits (fragmentation
+    # from earlier rows included)
     T = 256
     kv_bytes = (full_layers * 2 * T * cfg.n_kv_heads * cfg.head_dim * 2)
-    reserve = int(1.2e9) + kv_bytes + cfg.n_vocab * 4 * 8
+    reserve = int(2.4e9) + kv_bytes + cfg.n_vocab * 4 * 8
     per_layer = (full_bytes - 2 * cfg.n_vocab * cfg.n_embd * 0.5625) \
         / full_layers
     n_fit = int(min(full_layers,
@@ -463,17 +465,32 @@ def run_scale_row(name, baseline_ms_tok, rtt, probe_once, time_left,
         return row
     import dataclasses
 
-    cfg_fit = dataclasses.replace(cfg, n_layers=n_fit)
     steps = 32
     opts = ForwardOptions(matmul_impl="pallas")
-    params = synth_params_device_unrolled(cfg_fit, GGMLType.Q4_K, fused=True)
-    jax.block_until_ready(jax.tree.leaves(params)[0])
-    kv = init_kv_caches(cfg_fit, 1, T)
-    fn = build_decode_fn(cfg_fit, opts, steps)
     token = jnp.ones((1, 1), jnp.int32)
     pos0 = jnp.ones((1,), jnp.int32)
-    out = fn(params, kv, token, pos0)  # compile + warm
-    _ = int(out[1][0, 0])
+    params = kv = fn = None
+    while n_fit >= 4:
+        cfg_fit = dataclasses.replace(cfg, n_layers=n_fit)
+        try:
+            params = synth_params_device_unrolled(cfg_fit, GGMLType.Q4_K,
+                                                  fused=True)
+            jax.block_until_ready(jax.tree.leaves(params)[0])
+            kv = init_kv_caches(cfg_fit, 1, T)
+            fn = build_decode_fn(cfg_fit, opts, steps)
+            out = fn(params, kv, token, pos0)  # compile + warm
+            _ = int(out[1][0, 0])
+            break
+        except Exception as e:  # noqa: BLE001 — OOM: shed layers, retry
+            if "RESOURCE_EXHAUSTED" not in str(e) or n_fit - 4 < 4:
+                raise
+            print(f"bench: {name} OOM at {n_fit} layers, retrying with "
+                  f"{n_fit - 4}", file=sys.stderr, flush=True)
+            del params, kv, fn
+            params = kv = fn = None
+            gc.collect()
+            jax.clear_caches()
+            n_fit -= 4
     trials, probes = measure_loop(
         fn, params, kv, token, pos0, steps, 1, rtt, probe_once,
         n_trials=4, sleep_s=4.0,
@@ -482,6 +499,8 @@ def run_scale_row(name, baseline_ms_tok, rtt, probe_once, time_left,
         max_trials=10, time_left=time_left)
     tok_s = best_tok_s(trials, steps, 1, rtt)
     meas_bytes = tree_bytes(params)
+    # the embedding is a 1-row gather, not part of the per-token stream
+    embd_bytes = tree_bytes({"e": params.get("tok_embd")})
     row.update({
         "measured_layers": n_fit,
         "measured_tok_s": round(tok_s, 2),
@@ -490,14 +509,16 @@ def run_scale_row(name, baseline_ms_tok, rtt, probe_once, time_left,
         "trial_tok_s": [round(steps / max(t - rtt, t * 0.5), 1)
                         for t in trials],
         "probe_gbs": [round(p, 1) for p in probes],
-        "eff_gbs": round(meas_bytes * tok_s / 1e9, 1),
+        "eff_gbs": round((meas_bytes - embd_bytes) * tok_s / 1e9, 1),
     })
     if n_fit == full_layers:
         row["value"] = round(tok_s, 2)
     else:
         # decode is weight-stream-bound: full-model time scales with
-        # streamed bytes. Derived, and labeled as such.
-        derived = tok_s * meas_bytes / full_bytes
+        # STREAMED bytes (embedding gathers don't stream). Derived, and
+        # labeled as such.
+        full_embd = cfg.n_vocab * cfg.n_embd * 0.5625
+        derived = tok_s * (meas_bytes - embd_bytes) / (full_bytes - full_embd)
         row["value"] = round(derived, 2)
         row["derived"] = True
         row["derivation"] = "measured_tok_s * weight_gb_measured / " \
@@ -587,6 +608,8 @@ def run_gguf_row(rtt, time_left, probe_once):
     from prima_tpu.quant.quantize_np import quantize
 
     row = {}
+    gc.collect()
+    jax.clear_caches()  # drop buffers/executables pinned by earlier rows
     # measure tunnel upload bandwidth with a 4 MB put
     pbuf = np.ones((4 << 20,), np.uint8)
     t0 = time.perf_counter()
@@ -811,31 +834,40 @@ def main():
     token = jnp.ones((B, 1), jnp.int32)
     pos0 = jnp.ones((B,), jnp.int32)
 
+    # NOTE on lifetimes: no big tree may linger in a main() local — the
+    # scale/gguf rows need the HBM back, and a forgotten alias (p, out,
+    # kv_u) keeps gigabytes alive past variant_params.clear()
     variant_params, variant_fn, variant_kv = {}, {}, {}
     name = None
     try:
         name = "fused_unrolled"
-        p = jax.jit(unstack)(p_stacked)
-        kv_u = init_kv_caches(cfg, B, T)
-        fn = build_decode_fn(cfg, opts, steps)
-        out = fn(p, kv_u, token, pos0)  # compile + warm
+        variant_params[name] = jax.jit(unstack)(p_stacked)
+        variant_kv[name] = init_kv_caches(cfg, B, T)
+        variant_fn[name] = build_decode_fn(cfg, opts, steps)
+        out = variant_fn[name](variant_params[name], variant_kv[name],
+                               token, pos0)  # compile + warm
         _ = int(out[1][0, 0])
-        variant_params[name], variant_fn[name], variant_kv[name] = p, fn, kv_u
+        del out
     except Exception as e:  # noqa: BLE001
         print(f"bench: variant {name} failed ({e}); falling back to scan",
               file=sys.stderr, flush=True)
+        variant_params.pop(name, None)
+        variant_fn.pop(name, None)
+        variant_kv.pop(name, None)
     if not variant_params or os.environ.get("PRIMA_BENCH_SCAN") == "1":
         try:
             name = "fused"
-            kv_s = init_kv_stacked(cfg, B, T)
-            fn = build_decode_scan_fn(cfg, opts, steps)
-            out = fn(p_stacked, kv_s, token, pos0)
+            variant_kv[name] = init_kv_stacked(cfg, B, T)
+            variant_fn[name] = build_decode_scan_fn(cfg, opts, steps)
+            out = variant_fn[name](p_stacked, variant_kv[name], token, pos0)
             _ = int(out[1][0, 0])
+            del out
             variant_params[name] = p_stacked
-            variant_fn[name], variant_kv[name] = fn, kv_s
         except Exception as e:  # noqa: BLE001
             print(f"bench: variant {name} failed ({e})",
                   file=sys.stderr, flush=True)
+            variant_fn.pop(name, None)
+            variant_kv.pop(name, None)
 
     if not variant_params:
         print(json.dumps({
@@ -871,6 +903,7 @@ def main():
             out = variant_fn[nm](variant_params[nm], variant_kv[nm], token,
                                  pos0)
             _ = int(out[1][0, 0])
+            del out
             trials.setdefault(nm, []).append(time.perf_counter() - t0)
         probes.append(probe_once())
         t += 1
@@ -946,7 +979,7 @@ def main():
     if extra_rows:
         # free the stacked copy before memory-hungry rows
         if best != "fused":
-            del p_stacked
+            p_stacked = None
         gc.collect()
 
     if "engine" in extra_rows and "fused_unrolled" in variant_params:
@@ -957,11 +990,14 @@ def main():
             rows["engine"] = {"skipped": "bench time budget exhausted"}
 
     if ("14b" in extra_rows or "32b" in extra_rows):
-        # free the 8B weights: the scale rows need the HBM
+        # free the 8B weights: the scale rows need the HBM. clear_caches
+        # also drops compiled executables pinning donated/cached buffers.
         variant_params.clear()
         variant_fn.clear()
         variant_kv.clear()
+        p_stacked = None
         gc.collect()
+        jax.clear_caches()
     for nm, base_ms in [("14b", 23.0), ("32b", 89.0)]:
         if nm not in extra_rows:
             continue
@@ -975,6 +1011,7 @@ def main():
         except Exception as e:  # noqa: BLE001
             rows[key] = {"error": str(e)[:300]}
             gc.collect()
+            jax.clear_caches()
 
     if "gguf" in extra_rows:
         if time_left() < 300:

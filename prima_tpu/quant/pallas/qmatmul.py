@@ -262,6 +262,12 @@ def _pick_tiles(n: int, kb: int, s: int) -> tuple[int, int]:
     n_tile = min(n, 512)
     while n % n_tile or (n_tile > 8 and n_tile * kb_tile > 2 * 1024 * 1024):
         n_tile //= 2
+    # wide superblock rows add s-proportional scratch (code unpack, sc/mn
+    # expansion): at (n_tile=256, s=864) — the 32B-class down projection —
+    # Mosaic's scoped allocation lands 128 KB over the 16 MB limit. Cap the
+    # scale-row area; shapes with s <= 512 (8B/14B) keep their tiles.
+    while n_tile > 8 and n_tile * s > 128 * 1024:
+        n_tile //= 2
     return max(n_tile, 8), kb_tile
 
 
