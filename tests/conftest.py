@@ -20,6 +20,14 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the suite's wall time is dominated by XLA CPU
+# compilation of the same tiny-model programs every run — cache them across
+# runs (keyed by HLO hash; PRIMA_TEST_NO_CACHE=1 disables)
+if not os.environ.get("PRIMA_TEST_NO_CACHE"):
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("PRIMA_TEST_CACHE_DIR",
+                                     "/tmp/prima_test_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import pytest  # noqa: E402
 
