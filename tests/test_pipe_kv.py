@@ -110,8 +110,11 @@ def test_pipe_seq_cp_and_rm(cpu_devices):
 
 def test_pipe_seq_add_matches_reencode(cpu_devices):
     """PipeKV.seq_add(move) equals re-encoding the kept tokens at shifted
-    positions, layer by layer (the K re-rotation correctness check)."""
-    cfg, mesh, spec, params = _setup(cpu_devices, n_layers=4, pp=2, k=2)
+    positions, layer by layer (the K re-rotation correctness check).
+    k=1 here: the check compares layer-0 K/V cell-for-cell, which is
+    k-cycle-independent, and the k=2 schedule is covered by the other
+    tests in this module — halves this test's compile time."""
+    cfg, mesh, spec, params = _setup(cpu_devices, n_layers=2, pp=2, k=1)
     max_seq = 32
     fwd = make_pipe_forward(cfg, spec, mesh, OPTS)
     toks = [5, 9, 2, 33, 11, 7]
