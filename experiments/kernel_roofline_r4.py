@@ -87,14 +87,14 @@ def time_fn(f, *args, iters=3):
     return best
 
 
-def main():
+def run_shape(n, k):
     from prima_tpu.gguf.constants import GGMLType
     from prima_tpu.models.llama import synth_qtensor_device
     from prima_tpu.quant.pallas.qmatmul import qmatmul_pallas
 
-    n, k = 28672, 4096
     kb = k // 2
-    n_tile, kb_tile = 512, 2048
+    n_tile = 512 if n % 512 == 0 else 256
+    kb_tile = kb  # single k-tile for these ffn shapes
     qt = jax.jit(lambda: synth_qtensor_device(jax.random.PRNGKey(0), n, k,
                                               GGMLType.Q4_K))()
     jax.block_until_ready(qt.qs)
@@ -149,8 +149,14 @@ def main():
              (qt.qs, qt.scales, qt.mins, qt.d, qt.dmin) if a is not None)
     dt = time_fn(full, xf, qt.qs, qt.scales, qt.mins, qt.d, qt.dmin)
     report["full_gbs"] = round(qb * ITERS / dt / 1e9, 1)
+    return report
 
-    print(json.dumps(report))
+
+def main():
+    out = []
+    for n, k in ((28672, 4096), (27648, 5120)):
+        out.append(run_shape(n, k))
+        print(json.dumps(out[-1]), flush=True)
     return 0
 
 
