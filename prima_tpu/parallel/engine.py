@@ -337,9 +337,21 @@ class DistributedEngine:
         self.perf["t_decode_s"] += _time.perf_counter() - t0
         self.perf["n_decode"] += len(active)
 
+        from ..runtime.generate import (SlotSampleParams, fused_eligible,
+                                        sample_one)
+
         for s in active:
             row = logits[s.m, s.b, -1]
-            tok = s.sampler.sample_and_accept(row)
+            # same draw-path invariance as the single-chip engine: eligible
+            # dist slots use the (seed, token index) device key schedule on
+            # EVERY path, so streams never depend on engine routing
+            if s.sampler.p.temp > 0 and fused_eligible(s.sampler):
+                tok = sample_one(row, SlotSampleParams.from_sampler(s.sampler),
+                                 list(s.sampler.prev), len(s.generated),
+                                 logit_bias=s.sampler.p.logit_bias)
+                s.sampler.accept(tok)
+            else:
+                tok = s.sampler.sample_and_accept(row)
             s.generated.append(tok)
             lp = None
             if s.n_probs > 0:
@@ -355,6 +367,138 @@ class DistributedEngine:
                 s.stop_reason = reason
             events.append(StepEvent(s.id, s.request_id, tok, done, reason,
                                     logprobs=lp))
+        return events
+
+    # -- fused on-device decode+sample over the mesh pipeline -------------------
+
+    def _decode_raw_flat(self):
+        """(params, kv_arrays, token (F,1), cache_pos (F,), rope_pos (F,))
+        -> (logits (F,V), kv_arrays): the FusedGenerator-shaped body over
+        the piped-ring forward — the whole multi-chip pipeline runs inside
+        the chunk loop, so a multi-host serving step ships one (F, chunk)
+        token array per host round-trip instead of a 512 KB logits row per
+        token per slot."""
+        pipe_fwd = make_pipe_forward(self.cfg, self.spec, self.mesh,
+                                     self.opts)
+        M, B = self.M, self.B
+
+        def fwd(params, kv_arrays, token, cache_pos, rope_pos):
+            t = token.reshape(M, B, 1)
+            cp = cache_pos.reshape(M, B)
+            pos = rope_pos.reshape(M, B)[..., None]
+            logits, kv_arrays = pipe_fwd(params, t, pos, cp, kv_arrays,
+                                         mask_positions=cp[..., None])
+            return logits[:, :, -1].reshape(M * B, -1), kv_arrays
+
+        return fwd
+
+    def _fused_ready(self) -> list | None:
+        from ..runtime.generate import fused_eligible
+
+        if any(s.state == SlotState.PREFILL for s in self.slots):
+            return None
+        active = [s for s in self.slots if s.state == SlotState.DECODE]
+        if not active:
+            return []
+        if not all(fused_eligible(s.sampler) for s in active):
+            return None
+        bias0 = active[0].sampler.p.logit_bias
+        if any(s.sampler.p.logit_bias != bias0 for s in active):
+            return None
+        # a context-shift would trigger mid-chunk: let step() handle it
+        if any(self.kv.used(s.id) >= self._row_limit - 1 for s in active):
+            return None
+        return active
+
+    def step_fused(self, max_chunk: int | None = None) -> list[StepEvent]:
+        """Chunked decode over the distributed pipeline: same semantics and
+        key schedule as runtime.engine.Engine.step_fused (seeded draws
+        keyed by (seed, token index) only), with the piped-ring forward as
+        the loop body. Falls back to step() whenever any slot needs the
+        host chain."""
+        active = self._fused_ready()
+        if active is None:
+            return self.step()
+        if not active:
+            return []
+        from ..runtime.generate import FusedGenerator, SlotSampleParams
+
+        if getattr(self, "_fused_gen", None) is None:
+            self._fused_gen = FusedGenerator(self._decode_raw_flat(),
+                                             self.cfg.n_vocab)
+
+        F = self.n_slots
+        chunk = max_chunk or self._fused_gen.chunk
+        if self.grp_attn_n > 1:
+            for s in active:
+                if s.pos_map is None:
+                    s.pos_map = np.arange(self.max_seq, dtype=np.int64)
+                self._apply_self_extend(s)
+                n_past = self.kv.used(s.id) + s.pos_delta
+                to_boundary = (s.ga_i + self.grp_attn_w) - n_past
+                chunk = max(1, min(chunk, int(to_boundary)))
+        probs_k = max((s.n_probs for s in active), default=0)
+        token = np.zeros((F, 1), np.int32)
+        rope_delta = np.zeros(F, np.int32)
+        n_left = np.zeros(F, np.int32)
+        gen_count = np.zeros(F, np.int32)
+        slot_params: list = [None] * F
+        recent: list = [[] for _ in range(F)]
+        for s in active:
+            token[s.id, 0] = (s.generated[-1] if s.generated
+                              else s.prompt[-1])
+            rope_delta[s.id] = s.pos_delta
+            room = self._row_limit - self.kv.used(s.id)
+            want = (s.n_predict - len(s.generated)
+                    if s.n_predict >= 0 else chunk)
+            n_left[s.id] = max(min(want, room, chunk), 1)
+            gen_count[s.id] = len(s.generated)
+            slot_params[s.id] = SlotSampleParams.from_sampler(s.sampler)
+            recent[s.id] = list(s.sampler.prev)
+        cache_pos = self.kv.cache_pos.copy()
+        for s in self.slots:
+            if slot_params[s.id] is None and cache_pos[s.id] >= self.max_seq:
+                cache_pos[s.id] = 0
+                s.prompt = []
+
+        t0 = _time.perf_counter()
+        arrays, toks, new_pos, lp = self._fused_gen.generate(
+            self.params, self.kv.arrays, token, cache_pos, rope_delta,
+            slot_params, recent, n_left, gen_count,
+            logit_bias=active[0].sampler.p.logit_bias, chunk=chunk,
+            eog_ids=sorted(self.eog_ids), probs_k=probs_k)
+        self.kv.arrays = arrays
+        self.n_decode_calls += 1
+        self.perf["t_decode_s"] += _time.perf_counter() - t0
+
+        events: list[StepEvent] = []
+        for s in active:
+            kept = [int(t) for t in toks[s.id] if t >= 0]
+            pos_before = int(cache_pos[s.id])
+            self.kv.cache_pos[s.id] = int(new_pos[s.id])
+            if self.grp_attn_n > 1 and kept:
+                self._record_positions(s, pos_before, len(kept))
+            for j, tok_ in enumerate(kept):
+                s.generated.append(tok_)
+                s.sampler.accept(tok_)
+                self.perf["n_decode"] += 1
+                lprobs = None
+                if s.n_probs > 0 and lp is not None:
+                    pv, pi, lse, tl = (lp[0][s.id, j], lp[1][s.id, j],
+                                       lp[2][s.id, j], lp[3][s.id, j])
+                    ids = [int(t) for t in pi[: s.n_probs]]
+                    pairs = {int(t): float(v - lse)
+                             for t, v in zip(pi, pv)}
+                    pairs.setdefault(tok_, float(tl - lse))
+                    order = list(dict.fromkeys(ids + [tok_]))
+                    lprobs = [(t, pairs[t]) for t in order]
+                done, reason = (self._check_stop(s, tok_)
+                                if j == len(kept) - 1 else (False, None))
+                if done:
+                    s.state = SlotState.IDLE
+                    s.stop_reason = reason
+                events.append(StepEvent(s.id, s.request_id, tok_, done,
+                                        reason, logprobs=lprobs))
         return events
 
     def _check_stop(self, slot: DSlot, tok: int) -> tuple[bool, str | None]:

@@ -65,3 +65,68 @@ def test_distributed_continuous_batching(dist):
         ref.slots[0].prompt = []  # defeat prefix reuse between cases
         want = ref.run_to_completion(p, n_predict=6, reuse_prefix=False)
         assert s.generated == want, f"prompt {p}"
+
+
+def test_distributed_step_fused_matches_step(dist):
+    """The chunked on-device path over the mesh pipeline produces the same
+    greedy stream as the per-token host path (VERDICT r3 follow-through:
+    the multi-chip serving fast path)."""
+    cfg, eng, ref = dist
+    prompt = [5, 11, 23, 4]
+    want = eng.run_to_completion(prompt, n_predict=10, reuse_prefix=False)
+
+    s = eng.submit(prompt, n_predict=10, reuse_prefix=False)
+    got = []
+    while s.state != SlotState.IDLE:
+        for ev in eng.step_fused(max_chunk=4):
+            if ev.token is not None:
+                got.append(ev.token)
+    assert got == want
+
+
+def test_distributed_step_fused_seeded_dist(dist):
+    """Seeded dist sampling through the distributed fused path reproduces
+    and matches the distributed host path (device key schedule on both)."""
+    from prima_tpu.sampling import Sampler, SamplerParams
+
+    cfg, eng, ref = dist
+    prompt = [2, 7, 19]
+    p = SamplerParams(temp=0.9, top_k=24, top_p=0.9, seed=13)
+
+    def fused_run():
+        import dataclasses
+        s = eng.submit(prompt, sampler=Sampler(dataclasses.replace(p)),
+                       n_predict=8, reuse_prefix=False)
+        out = []
+        while s.state != SlotState.IDLE:
+            for ev in eng.step_fused(max_chunk=3):
+                if ev.token is not None:
+                    out.append(ev.token)
+        return out
+
+    a = fused_run()
+    b = fused_run()
+    assert a == b  # reproducible across runs / chunkings
+    import dataclasses
+    s = eng.submit(prompt, sampler=Sampler(dataclasses.replace(p)),
+                   n_predict=8, reuse_prefix=False)
+    host = []
+    while s.state != SlotState.IDLE:
+        for ev in eng.step():
+            if ev.token is not None:
+                host.append(ev.token)
+    assert host == a  # path invariance
+
+
+def test_distributed_step_fused_concurrent_slots(dist):
+    """Multiple slots advance together through the fused chunk loop."""
+    cfg, eng, ref = dist
+    prompts = [[3, 17, 42, 7], [100, 20, 8, 55, 21]]
+    slots = [eng.submit(p, n_predict=6, request_id=i, reuse_prefix=False)
+             for i, p in enumerate(prompts)]
+    while any(s.state != SlotState.IDLE for s in slots):
+        eng.step_fused(max_chunk=4)
+    for p, s in zip(prompts, slots):
+        ref.slots[0].prompt = []
+        want = ref.run_to_completion(p, n_predict=6, reuse_prefix=False)
+        assert s.generated == want, f"prompt {p}"
