@@ -487,10 +487,6 @@ class Engine:
 
         V = self.cfg.n_vocab
 
-        def _full_row(sid: int) -> np.ndarray:
-            # rare lazy fetch (grammar dead-end on the shortlist)
-            return np.asarray(logits_j[sid], dtype=np.float32)
-
         for slot in active:
             sl = None
             row = None
@@ -519,16 +515,10 @@ class Engine:
                     # inside the shortlist
                     row = np.full(V, -1e30, np.float32)
                     row[sl[1]] = sl[0]
+                # grammar slots never reach the virtual-row path
+                # (_slot_shortlist_ok excludes them), so the chain runs on
+                # real logits here in every case
                 tok = slot.sampler.sample(row)
-                g = slot.sampler.grammar
-                if (sl is not None and g is not None
-                        and tok not in map(int, sl[1])):
-                    # the grammar forced a token OUTSIDE the shortlist —
-                    # it was drawn off fake (-1e30) virtual values, not
-                    # real logits: redo on the true row (one extra
-                    # transfer, rare)
-                    row = _full_row(slot.id)
-                    tok = slot.sampler.sample(row)
                 slot.sampler.accept(tok)
             slot.generated.append(tok)
             lp = None
@@ -564,6 +554,13 @@ class Engine:
         pre-penalty top-256 (penalties only ever lower W window tokens, so
         post-penalty top-k is within pre-penalty top-(k+W))."""
         p = s.sampler.p
+        if s.sampler.grammar is not None:
+            # a grammar can force tokens from anywhere in the vocab; on the
+            # virtual row those hold -1e30, so a constrained re-sample would
+            # draw from a truncated distribution (and a host-side redo would
+            # advance the RNG, breaking same-seed parity with the full-row
+            # route). Grammar slots always take the full-row path.
+            return False
         if p.mirostat != 0:
             return False  # mu-threshold can keep an unbounded candidate set
         if any(b > 0 for b in p.logit_bias.values()):

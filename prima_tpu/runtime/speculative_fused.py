@@ -119,10 +119,15 @@ class FusedSpeculative:
             jpos = jnp.arange(k + 1)
 
             def draft_step(c, j):
-                dc, feed_tok, dpos, live, cur_ = c
+                # ctok_r/ncatch_r are the PER-ROUND catch-up values threaded
+                # through the carry — closing over run()'s catch_tok/
+                # need_catch here would freeze round 0's values for all R
+                # rounds, starving the draft KV of the missing token after
+                # every full-acceptance round (acceptance-rate decay)
+                dc, feed_tok, dpos, live, ctok_r, ncatch_r = c
                 is_catch = j == 0
-                feed = jnp.where(is_catch, catch_tok, feed_tok)
-                step_live = jnp.where(is_catch, need_catch, live)
+                feed = jnp.where(is_catch, ctok_r, feed_tok)
+                step_live = jnp.where(is_catch, ncatch_r, live)
                 logits, dc_new = d_fwd(
                     d_params, dc, feed[None, None],
                     dpos[None, None], dpos[None])
@@ -136,20 +141,23 @@ class FusedSpeculative:
                 # is always kept; later ones only at confidence >= p_min
                 append = jnp.where(is_catch, jnp.array(False),
                                    live & ((j == 1) | (maxp >= p_min)))
-                advance = jnp.where(is_catch, need_catch, append)
+                advance = jnp.where(is_catch, ncatch_r, append)
                 dpos = dpos + advance.astype(jnp.int32)
                 live_next = jnp.where(is_catch, live, append)
                 feed_next = jnp.where(is_catch, feed_tok,
                                       jnp.where(append, nxt, feed_tok))
                 d_tok = jnp.where(append, nxt, -1)
-                return (dc, feed_next, dpos, live_next, cur_), d_tok
+                return (dc, feed_next, dpos, live_next, ctok_r,
+                        ncatch_r), d_tok
 
             def round_body(c):
                 (r, tc, dc, cur_, tpos, dpos, ctok, ncatch, out, out_n,
                  nleft, done, n_drafted, n_accepted) = c
                 # -- draft phase: catch-up + k draft steps ------------------
-                (dc, _f, dpos, _l, _c), dtoks = jax.lax.scan(
-                    draft_step, (dc, cur_, dpos, jnp.array(True), cur_),
+                (dc, _f, dpos, _l, _ct, _nc), dtoks = jax.lax.scan(
+                    draft_step,
+                    (dc, cur_, dpos, jnp.array(True), ctok,
+                     jnp.asarray(ncatch)),
                     jnp.arange(k + 1))
                 dtoks = dtoks[1:]  # drop the catch-up step's slot
                 n_valid = jnp.sum((dtoks >= 0).astype(jnp.int32))

@@ -42,6 +42,36 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers", "slow: >30s multi-process/e2e tests (run with --runslow "
         "or PRIMA_SLOW_TESTS=1; CI runs both tiers, see ci/run.sh)")
+    config.addinivalue_line(
+        "markers", "timeout(seconds): hard wall-clock cap, enforced via "
+        "SIGALRM (pytest-timeout is not installed in this image); a hung "
+        "multi-process test fails instead of wedging CI")
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_call(item):
+    """Enforce @pytest.mark.timeout(N) with SIGALRM (main-thread only).
+    Blocking syscalls (queue.get, socket recv, subprocess join) are
+    interrupted; the test fails with a TimeoutError."""
+    import signal
+
+    marker = item.get_closest_marker("timeout")
+    if marker is None or not marker.args or not hasattr(signal, "SIGALRM"):
+        yield
+        return
+    seconds = int(marker.args[0])
+
+    def _on_alarm(signum, frame):
+        raise TimeoutError(
+            f"test exceeded the {seconds}s @pytest.mark.timeout cap")
+
+    old = signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(seconds)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 
 def pytest_collection_modifyitems(config, items):

@@ -80,7 +80,7 @@ def _rank_main(pid, port, q):
     q.put((pid, err))
 
 
-@pytest.mark.timeout(600) if hasattr(pytest.mark, "timeout") else pytest.mark.filterwarnings("ignore")
+@pytest.mark.timeout(600)  # enforced by the SIGALRM hook in conftest.py
 def test_two_process_spmd_pipeline():
     ctx = mp.get_context("spawn")
     port = _free_port()

@@ -119,3 +119,22 @@ def test_fused_spec_stops_at_eog():
     got, _ = spec.generate([3, 14, 15], Sampler(SamplerParams(temp=0.0)),
                            n_predict=12)
     assert got == want
+
+
+def test_fused_spec_catchup_carries_per_round():
+    """With draft == target and p_min=0, greedy drafts must be accepted at
+    ~100% across MANY rounds within one dispatch. Regression: draft_step
+    once closed over the dispatch-level catch_tok/need_catch instead of the
+    per-round carry, so after the first full-acceptance round the draft KV
+    history went (and stayed) one token short, silently degrading
+    acceptance for the rest of the dispatch."""
+    prompt = [3, 14, 15, 9, 26]
+    spec = FusedSpeculative(mk_engine(), mk_engine(), n_draft=3, rounds=6,
+                            p_min=0.0)
+    got, stats = spec.generate(prompt, Sampler(SamplerParams(temp=0.0)),
+                               n_predict=24)
+    assert stats.n_target_calls >= 4  # several rounds actually ran
+    # identical weights + greedy + p_min=0 => every draft should match
+    # (the last round may be clipped by n_left)
+    assert stats.n_accepted >= stats.n_drafted - spec.n_draft
+    assert stats.n_accepted / max(stats.n_drafted, 1) > 0.85
