@@ -33,15 +33,26 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def make_real_checkpoint(d: str, seed: int = 0) -> None:
+    """Random-init HF LlamaForCausalLM (transformers + safetensors + real
+    tokenizer.json). Shape scales via env for the large-model parity run
+    (PRIMA_PARITY_LAYERS/HIDDEN/FFN/HEADS/KV/VOCAB); defaults match the
+    historical 18 MB report. No TRAINED HF checkpoint exists in this
+    zero-egress image (full-filesystem search) — for trained-weight parity
+    point PRIMA_PARITY_GGUF at a tools/train_tiny_pair.py output."""
     import torch
     import transformers
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     from tests.test_convert_hf import _write_tokenizer_json
 
+    env = os.environ.get
     cfg = transformers.LlamaConfig(
-        vocab_size=4096, hidden_size=512, intermediate_size=1408,
-        num_hidden_layers=8, num_attention_heads=8, num_key_value_heads=4,
+        vocab_size=int(env("PRIMA_PARITY_VOCAB", "4096")),
+        hidden_size=int(env("PRIMA_PARITY_HIDDEN", "512")),
+        intermediate_size=int(env("PRIMA_PARITY_FFN", "1408")),
+        num_hidden_layers=int(env("PRIMA_PARITY_LAYERS", "8")),
+        num_attention_heads=int(env("PRIMA_PARITY_HEADS", "8")),
+        num_key_value_heads=int(env("PRIMA_PARITY_KV", "4")),
         max_position_embeddings=512, rms_norm_eps=1e-5, rope_theta=10000.0,
         tie_word_embeddings=False,
     )
@@ -67,22 +78,55 @@ def main() -> int:
         os.environ.setdefault("PRIMA_PALLAS_INTERPRET", "1")
 
     with tempfile.TemporaryDirectory() as d:
-        src = os.path.join(d, "hf")
-        os.makedirs(src)
-        t0 = time.perf_counter()
-        make_real_checkpoint(src)
-        f16 = os.path.join(d, "m-f16.gguf")
-        q4 = os.path.join(d, "m-q4km.gguf")
-        convert_hf_to_gguf(src, f16, "F16", logfile=open(os.devnull, "w"))
-        quantize_gguf(f16, q4, "Q4_K_M")
-        q4_mb = os.path.getsize(q4) / 1e6
-        print(f"[pipeline] hf->f16->Q4_K_M in {time.perf_counter()-t0:.1f}s "
-              f"({q4_mb:.1f} MB)", file=sys.stderr, flush=True)
+        src_gguf = os.environ.get("PRIMA_PARITY_GGUF")
+        if src_gguf:
+            # existing GGUF (e.g. the TRAINED tiny-pair target: real
+            # learned weights + real text below)
+            q4 = src_gguf
+            q4_mb = os.path.getsize(q4) / 1e6
+            source = f"existing GGUF {os.path.basename(q4)}"
+        else:
+            src = os.path.join(d, "hf")
+            os.makedirs(src)
+            t0 = time.perf_counter()
+            make_real_checkpoint(src)
+            f16 = os.path.join(d, "m-f16.gguf")
+            q4 = os.path.join(d, "m-q4km.gguf")
+            convert_hf_to_gguf(src, f16, "F16",
+                               logfile=open(os.devnull, "w"))
+            quantize_gguf(f16, q4, "Q4_K_M")
+            os.remove(f16)  # the large-parity F16 would double disk use
+            q4_mb = os.path.getsize(q4) / 1e6
+            source = "random-init HF LlamaForCausalLM -> convert_hf -> " \
+                     "quantize Q4_K_M"
+            print(f"[pipeline] hf->f16->Q4_K_M in "
+                  f"{time.perf_counter()-t0:.1f}s ({q4_mb:.1f} MB)",
+                  file=sys.stderr, flush=True)
 
-        # deterministic pseudo-text token stream for perplexity
+        from prima_tpu.gguf.reader import GGUFModel
+        from prima_tpu.models.config import ModelConfig
+
+        _m = GGUFModel.open(q4)
+        _cfg = ModelConfig.from_gguf(_m)
+        _m.close()
+        n_vocab = _cfg.n_vocab
+        n_eval = int(os.environ.get("PRIMA_PARITY_EVAL", "512"))
         rng = np.random.default_rng(42)
-        n_eval = 512
-        toks = rng.integers(3, 4000, size=n_eval + 1).astype(np.int32)
+        from prima_tpu.tools.train_tiny_pair import N_VOCAB as _BYTE_V
+
+        if n_vocab == _BYTE_V:
+            # byte-vocab trained model: evaluate on REAL held-out text so
+            # the reported ppl is a meaningful language-model perplexity
+            from prima_tpu.tools.train_tiny_pair import (encode_bytes,
+                                                         gather_corpus)
+
+            hold = encode_bytes(gather_corpus(4 << 20))[-(n_eval + 1):]
+            toks = hold.astype(np.int32)
+            eval_src = "held-out corpus text"
+        else:
+            toks = rng.integers(3, min(4000, n_vocab - 1),
+                                size=n_eval + 1).astype(np.int32)
+            eval_src = "pseudo-text token stream"
 
         def run(matmul: str, dtype, device=None,
                 fuse: bool = False) -> tuple[np.ndarray, float]:
@@ -220,27 +264,37 @@ def main() -> int:
             "ppl_fused": round(fused_ppl, 4),
             "model_mb_q4km": round(q4_mb, 1),
             "n_eval_tokens": n_eval,
+            "model_shape": f"{_cfg.n_layers}L/{_cfg.n_embd}e/"
+                           f"{_cfg.n_ff}f/v{n_vocab}",
+            "weights_source": source,
+            "eval_tokens_source": eval_src,
         }
 
     md = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "PARITY_TPU.md")
-    with open(md, "w") as f:
-        f.write(
-            "# Real-model TPU parity report\n\n"
-            "Generated by `python -m tools.parity_tpu` on "
-            f"backend `{jax.default_backend()}`.\n\n"
-            "Pipeline: real HF LlamaForCausalLM checkpoint -> "
-            "tools/convert_hf (F16 GGUF) -> tools/quantize (Q4_K_M) -> "
-            "greedy decode via the fused Pallas dequant-GEMV path.\n\n"
-            "| metric | value |\n|---|---|\n"
-            + "".join(f"| {k} | {v} |\n" for k, v in report.items()
-                      if k not in ("metric", "value", "unit"))
-            + f"| ppl delta (target < 0.01) | {report['value']} |\n\n"
-            "Anchor chain: dequant bit-exact vs compiled reference oracle "
-            "(tests/test_dequant_bitexact.py); CPU forward matches "
-            "transformers logits (tests/test_convert_hf.py); this report "
-            "closes the hardware link.\n"
-        )
+    section = (
+        f"## {source}\n\n"
+        f"Generated by `python -m tools.parity_tpu` on backend "
+        f"`{jax.default_backend()}`; eval on {eval_src}.\n\n"
+        "| metric | value |\n|---|---|\n"
+        + "".join(f"| {k} | {v} |\n" for k, v in report.items()
+                  if k not in ("metric", "value", "unit"))
+        + f"| ppl delta (target < 0.01) | {report['value']} |\n\n")
+    header = (
+        "# Real-model TPU parity report\n\n"
+        "Pipeline: model weights -> Q4_K GGUF -> greedy decode via the "
+        "fused Pallas dequant-GEMV path on the TPU, vs the CPU XLA f32 "
+        "forward of the SAME GGUF.\n\n"
+        "Anchor chain: dequant bit-exact vs compiled reference oracle "
+        "(tests/test_dequant_bitexact.py); CPU forward matches "
+        "transformers logits (tests/test_convert_hf.py); these reports "
+        "close the hardware link.\n\n")
+    if os.environ.get("PRIMA_PARITY_APPEND") == "1" and os.path.exists(md):
+        with open(md, "a") as f:
+            f.write(section)
+    else:
+        with open(md, "w") as f:
+            f.write(header + section)
     print(json.dumps(report))
     return 0 if ok else 1
 
