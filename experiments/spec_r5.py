@@ -158,6 +158,26 @@ def main():
         out["spec_speedup_measured"] = round(
             float(np.median(spec_rates)) / float(np.median(plain_rates)), 3)
 
+    if os.environ.get("PRIMA_SPEC_R5_SWEEP") == "1":
+        # acceptance/speedup vs draft depth (k): deeper drafts amortize
+        # more verify cost but accept less of the tail
+        sweep = {}
+        for k in (2, 4, 8):
+            sp_k = FusedSpeculative(t_eng, d_eng, n_draft=k, p_min=0.5,
+                                    rounds=6)
+            accs, rates = [], []
+            for prompt in prompts[:3]:
+                got, r, st = spec_decode(sp_k, prompt, n_predict)
+                accs.append(st.n_accepted / max(st.n_drafted, 1))
+                if r:
+                    rates.append(r)
+            sweep[f"k{k}"] = {
+                "acceptance": round(float(np.mean(accs)), 3),
+                "spec_tok_s_median": round(float(np.median(rates)), 1)
+                if rates else None,
+            }
+        out["ndraft_sweep"] = sweep
+
     # composition with the round-4 ON-CHIP forced-acceptance cost curve:
     # speedup(acceptance) is ~linear in accepted-per-round; interpolate at
     # the measured natural acceptance. Explicitly a composition, not an
