@@ -14,6 +14,12 @@ rows, each with its own vs_baseline:
                  reports a derived full-model figure scaled by streamed
                  bytes (decode is weight-stream-bound); the row records
                  measured layers, measured tok/s, and the derivation.
+  llama3_70b   — Llama-3-70B north-star row vs 674 ms/tok (README.md:46),
+                 largest-prefix measured + derived like the 32B row.
+                 Prefix-limited rows also re-measure at a second smaller
+                 prefix and record `derived_check` (the two derived
+                 figures must agree for the stream-bound derivation to
+                 hold).
   engine       — serving-path (Engine.step_fused) decode tok/s on the 8B
                  model: the llama-bench/server analogue. Target >= 0.9x of
                  the raw fori_loop headline.
@@ -38,6 +44,11 @@ lax.fori_loop) and a VALUE readback synchronizes — on tunneled TPU
 runtimes, block_until_ready alone does not wait for remote execution.
 A global time budget (PRIMA_BENCH_BUDGET_S, default 1500 s) bounds the
 suite; rows that would exceed it are skipped with a recorded reason.
+
+Persistence: every completed row (and the headline, immediately) is
+flushed to BENCH_partial.json; the final JSON merges the current run with
+the last-good file, so tunnel flakes/crashes emit stale-marked real
+numbers (with their capture timestamp) instead of value 0.0.
 """
 
 from __future__ import annotations
