@@ -177,6 +177,25 @@ def main():
                 if rates else None,
             }
         out["ndraft_sweep"] = sweep
+        # p_min gates draft depth on model confidence (reference default
+        # 0.75, speculative.py:78): on high-entropy text it cuts rounds to
+        # 2-3 tokens; p_min=0 always drafts k deep at lower acceptance
+        psweep = {}
+        for pm in (0.0, 0.3, 0.75):
+            sp_p = FusedSpeculative(t_eng, d_eng, n_draft=n_draft,
+                                    p_min=pm, rounds=6)
+            accs, rates = [], []
+            for prompt in prompts[:4]:
+                got, r, st = spec_decode(sp_p, prompt, n_predict)
+                accs.append(st.n_accepted / max(st.n_drafted, 1))
+                if r:
+                    rates.append(r)
+            psweep[f"p{pm}"] = {
+                "acceptance": round(float(np.mean(accs)), 3),
+                "spec_tok_s_median": round(float(np.median(rates)), 1)
+                if rates else None,
+            }
+        out["pmin_sweep"] = psweep
 
     # composition with the round-4 ON-CHIP forced-acceptance cost curve:
     # speedup(acceptance) is ~linear in accepted-per-round; interpolate at
