@@ -58,6 +58,11 @@ def variant_kernel(x_ref, qs_ref, o_ref, *, mode):
 
 
 def build_variant(n, kb, n_tile, kb_tile, mode):
+    # cap the tile byte area like the production kernel (qmatmul._pick_tiles)
+    # or Mosaic blows scoped VMEM on the down shapes (512 x 7168 tile + two
+    # bf16 nibble intermediates)
+    while n_tile > 8 and n_tile * kb_tile > 2 * 1024 * 1024:
+        n_tile //= 2
     grid = (n // n_tile, kb // kb_tile)
     return pl.pallas_call(
         functools.partial(variant_kernel, mode=mode),
@@ -101,7 +106,7 @@ def run_shape(n, k):
     qs = qt.qs  # (n, kb) u8 kernel-packed
     x8 = jnp.ones((8, kb), jnp.bfloat16)
     xf = jnp.ones((1, k), jnp.float32)
-    ITERS = 64
+    ITERS = int(os.environ.get("PRIMA_ROOFLINE_ITERS", "64"))
 
     report = {"shape": [n, k], "iters": ITERS}
 

@@ -54,10 +54,31 @@ def _interpret() -> bool:
 
 
 def _tile_repeat(sc: jax.Array, reps: int) -> jax.Array:
-    """[c0..cS-1] -> [c0..cS-1, c0..cS-1, ...] along axis 1."""
+    """[c0..cS-1] -> [c0..cS-1, c0..cS-1, ...] along axis 1.
+
+    When S (the scale-row length) is not a multiple of the 128-lane VPU
+    width, a direct reps-fold repeat pays a cross-lane shuffle per output
+    lane-tile (roofline_r5.json: 20-30% of the whole kernel on the
+    14B/K=5120 and down/K=13824 shapes, whose S = 160/432/448 are
+    misaligned — the round-4 14B deficit). Repeating in two steps bounds
+    the misaligned shuffle work at lcm(S, 128) lanes; the second repeat
+    reads a lane-aligned array and is plain tile copies."""
     if reps == 1:
         return sc
-    return pltpu.repeat(sc, reps, axis=1) if not _interpret() else jnp.tile(sc, (1, reps))
+    if _interpret():
+        return jnp.tile(sc, (1, reps))
+    strat = os.environ.get("PRIMA_QMM_REPEAT", "twostep")
+    s = sc.shape[-1]
+    if strat == "twostep" and s % 128:
+        r1 = 128 // np.gcd(s, 128)
+        if r1 > 1 and reps % r1 == 0:
+            return pltpu.repeat(pltpu.repeat(sc, r1, axis=1),
+                                reps // r1, axis=1)
+    if strat == "bcast":
+        n = sc.shape[0]
+        return jax.lax.broadcast_in_dim(
+            sc, (n, reps, s), (0, 2)).reshape(n, reps * s)
+    return pltpu.repeat(sc, reps, axis=1)
 
 
 def permute_cols_np(a: np.ndarray, sub: int, gsub: int = 1) -> np.ndarray:
@@ -143,9 +164,17 @@ def _f16_bits_to_f32(bits: jax.Array) -> jax.Array:
 
 def _group_expand(base: jax.Array, s: int) -> jax.Array:
     """(N_T, G) group bases -> (N_T, S) per-sub-block, sigma order (group
-    index = s' mod G). An exact 0/1 expansion matmul: every output is one
-    product, so no rounding is introduced."""
+    index = s' mod G). out[n, j] = base[n, j % g] is a g-periodic tiling,
+    i.e. a pure lane-copy repeat — exact by construction (no arithmetic).
+
+    The round-4 code computed this as a 0/1 expansion matmul at
+    Precision.HIGHEST (6-pass f32): with "batch" n_tile=512 that is MORE
+    MXU work per grid step than the main nibble dot, twice per tile
+    (scales + mins) — the 20-30%% kernel deficit on every shape whose
+    padded dot dims misalign (roofline_r5.json / scale_expand_r5.json)."""
     g = base.shape[-1]
+    if os.environ.get("PRIMA_QMM_EXPAND", "repeat") == "repeat":
+        return _tile_repeat(base, s // g)
     e = (
         jax.lax.broadcasted_iota(jnp.int32, (g, s), 0)
         == jax.lax.broadcasted_iota(jnp.int32, (g, s), 1) % g
@@ -387,6 +416,13 @@ def _build_qmm(b: int, n: int, k: int, layout: str, q_offset: int, sub: int,
             out_shape=jax.ShapeDtypeStruct((b, n), jnp.float32),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary"),
+                # the packed-layout down-projection tile (n_tile=256,
+                # S=432) with the repeat-based scale expansion lands
+                # ~116 KB over Mosaic's conservative 16 MB scoped-VMEM
+                # default; the v5e has 128 MB of physical VMEM, so give
+                # the kernel a little headroom instead of shrinking the
+                # tile (which costs real bandwidth on every shape)
+                vmem_limit_bytes=24 * 1024 * 1024,
             ),
             cost_estimate=pl.CostEstimate(
                 flops=flops, bytes_accessed=int(bytes_accessed), transcendentals=0
