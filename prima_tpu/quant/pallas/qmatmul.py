@@ -67,7 +67,10 @@ def _tile_repeat(sc: jax.Array, reps: int) -> jax.Array:
         return sc
     if _interpret():
         return jnp.tile(sc, (1, reps))
-    strat = os.environ.get("PRIMA_QMM_REPEAT", "twostep")
+    # model-level 14B decode measured equal-or-better with "direct"
+    # (experiments/decode14b_r5.json); per-shape the two are within ±6%
+    # with no consistent winner (scale_expand_r5.json)
+    strat = os.environ.get("PRIMA_QMM_REPEAT", "direct")
     s = sc.shape[-1]
     if strat == "twostep" and s % 128:
         r1 = 128 // np.gcd(s, 128)
