@@ -90,8 +90,14 @@ def kv_write_eligible(cache) -> bool:
     if jax.default_backend() != "tpu" and not _interpret():
         return False
     # flattened trailing elems per (b, t) row must tile (8, 128) lanes for
-    # a clean DMA; all real configs (H*D multiples of 128) qualify
+    # a clean DMA; all real configs (H*D multiples of 128) qualify.
+    # The second-minor reshaped dim (P/128) must also be a multiple of the
+    # 8-sublane tile: at P/128=2 (tiny 256-wide models) Mosaic packs the
+    # bf16 memref as (2,128)(2,1) and its DMA decomposition emits an
+    # illegal 1-slice of the tiled dim ("Slice shape along dimension 2
+    # must be aligned to tiling (2)", seen on real hardware in the r5
+    # spec capture); P/128=8 (every production shape) is proven on chip.
     import numpy as np
 
     tail = int(np.prod(cache.shape[2:]))
-    return tail % 128 == 0
+    return tail % 128 == 0 and (tail // 128) % 8 == 0
