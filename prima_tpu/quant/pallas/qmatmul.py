@@ -455,7 +455,15 @@ def qmatmul_pallas(x: jax.Array, qt: QTensor, out_dtype=None, fast: bool | None 
     if xla_min_b and b >= xla_min_b:
         return qmatmul_xla(x, qt, out_dtype)
     x2 = permute_x(x.reshape(b, k).astype(jnp.float32), qt.sub, qt.gsub)
-    b_pad = max(8, -(-b // 8) * 8)
+    # PRIMA_QMM_PAD8=0 keeps the true row count instead of padding to 8
+    # (Mosaic pads sublanes internally). Measured NO faster at the 14B
+    # model level (40.2 vs 41.2 tok/s, experiments/decode14b_r5.json) —
+    # the b=1 operand costs Mosaic relayout work that outweighs the saved
+    # pad op — so the padded layout stays the default.
+    if os.environ.get("PRIMA_QMM_PAD8", "1") == "1":
+        b_pad = max(8, -(-b // 8) * 8)
+    else:
+        b_pad = b if b <= 8 else -(-b // 8) * 8
     if b_pad != b:
         x2 = jnp.pad(x2, ((0, b_pad - b), (0, 0)))
     # per-sub-block sums for the affine term (tiny; fused by XLA)
