@@ -67,11 +67,14 @@ def _tile_repeat(sc: jax.Array, reps: int) -> jax.Array:
         return sc
     if _interpret():
         return jnp.tile(sc, (1, reps))
-    # model-level 14B decode measured equal-or-better with "direct"
-    # (experiments/decode14b_r5.json); per-shape the two are within ±6%
-    # with no consistent winner (scale_expand_r5.json)
-    strat = os.environ.get("PRIMA_QMM_REPEAT", "direct")
+    # per-shape choice (scale_expand_r5.json, on-chip): twostep wins on
+    # every S=160 shape (+2-3%: 14B/32B wqkv/wo/gateup and both vocab
+    # heads at K=5120), loses ~5% on S=432/448 (the down projections),
+    # no-ops on lane-aligned S. "auto" encodes exactly that.
+    strat = os.environ.get("PRIMA_QMM_REPEAT", "auto")
     s = sc.shape[-1]
+    if strat == "auto":
+        strat = "twostep" if s % 128 == 32 else "direct"
     if strat == "twostep" and s % 128:
         r1 = 128 // np.gcd(s, 128)
         if r1 > 1 and reps % r1 == 0:
